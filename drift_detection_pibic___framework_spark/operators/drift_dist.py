@@ -1,0 +1,113 @@
+"""Distribution-drift scores (PSI / KS) per partition vs a baseline window.
+
+north_rule: "PSI/KS distribution-drift scores between a baseline window and
+each incoming partition".  The reference's baseline window is its FIFO
+``janela_dados_recentes`` of the last 200 samples
+(/root/reference/frameworkDetector/framework_detector.py:127-132); at table
+scale the window becomes a set of designated baseline partitions (FIXTURES.md:
+p0-p3), and per-sample comparison becomes per-partition histogram comparison.
+
+Scale notes:
+- Histograms use FIXED equal-width bins, so each partition reduces to
+  <= n_bins rows via one map-side-combining groupBy — the shuffle carries
+  bin counts, never values. This is the only formulation that stays O(bins)
+  at 10^12 rows (exact KS would need a global sort).
+- Binned KS (max ECDF gap over bin boundaries) converges to exact KS as bins
+  grow; the numpy oracle in tests cross-checks both.
+- Baseline histogram is tiny (n_bins rows) and broadcast into the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_BASELINE_PARTS = (0, 1, 2, 3)
+EPS = 1e-6
+
+
+def binned(clips: DataFrame, col: str, width: float, n_bins: int) -> DataFrame:
+    """Add a ``bin`` column: equal-width, clamped to [0, n_bins-1]."""
+    b = F.least(F.greatest(F.floor(F.col(col) / F.lit(width)), F.lit(0)),
+                F.lit(n_bins - 1)).cast("int")
+    return clips.select("part", b.alias("bin"))
+
+
+def histogram(clips: DataFrame, col: str, width: float = 100.0,
+              n_bins: int = 40) -> DataFrame:
+    """Per-(part, bin) counts — one aggregation, O(parts*bins) output."""
+    return (binned(clips, col, width, n_bins)
+            .groupBy("part", "bin").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
+                 n_bins: int = 40,
+                 baseline_parts=DEFAULT_BASELINE_PARTS,
+                 baseline: DataFrame = None,
+                 round_to: int = 6) -> DataFrame:
+    """Per-partition PSI and binned-KS vs the baseline partitions.
+
+    PSI = sum over bins of (p - b) * ln(p / b) with EPS-smoothed proportions
+    (published population-stability-index formulation).
+    KS  = max over bin boundaries of |CDF_part - CDF_baseline|.
+
+    ``baseline`` lets the caller source the baseline window from a different
+    DataFrame than the partitions under check (single-partition validation
+    still compares against the designated baseline partitions on disk)."""
+    hist = histogram(clips, col, width, n_bins)
+    base_src = histogram(baseline, col, width, n_bins) if baseline is not None else hist
+    base = (base_src.filter(F.col("part").isin(list(baseline_parts)))
+            .groupBy("bin").agg(F.sum("cnt").alias("bcnt")))
+    totals = hist.groupBy("part").agg(F.sum("cnt").alias("tot"))
+    btot = base.agg(F.sum("bcnt").alias("btot"))
+
+    # dense (part x bin) grid over the FULL fixed bin range so zero bins
+    # participate in smoothing identically regardless of which partitions
+    # are being validated (single-partition runs must score the same)
+    parts = hist.select("part").distinct()
+    bins = (clips.sparkSession.range(n_bins)
+            .select(F.col("id").cast("int").alias("bin")))
+    grid = parts.crossJoin(F.broadcast(bins))
+
+    j = (grid
+         .join(hist, ["part", "bin"], "left")
+         .join(F.broadcast(base), ["bin"], "left")
+         .join(F.broadcast(totals), ["part"])
+         .crossJoin(F.broadcast(btot))
+         .select(
+             "part", "bin",
+             (F.coalesce(F.col("cnt"), F.lit(0)) / F.col("tot")).alias("p"),
+             (F.coalesce(F.col("bcnt"), F.lit(0)) / F.col("btot")).alias("b")))
+
+    pe = F.col("p") + F.lit(EPS)
+    be = F.col("b") + F.lit(EPS)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("part").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    scored = j.select(
+        "part",
+        ((pe - be) * F.log(pe / be)).alias("psi_term"),
+        F.abs(F.sum("p").over(w) - F.sum("b").over(w)).alias("ecdf_gap"))
+    return (scored.groupBy("part")
+            .agg(F.round(F.sum("psi_term"), round_to).alias("psi"),
+                 F.round(F.max("ecdf_gap"), round_to).alias("ks")))
+
+
+def drift_verdicts(clips: DataFrame, col: str = "dur_ms",
+                   psi_threshold: float = 0.2,
+                   baseline_parts=DEFAULT_BASELINE_PARTS,
+                   baseline: DataFrame = None,
+                   **kw) -> DataFrame:
+    """Per-partition pass/fail on PSI vs baseline (golden matrix: p8..p15
+    fail dur_ms drift at PSI > 0.2, the published 'significant shift' level).
+    Baseline partitions pass by construction (PSI vs themselves ~ 0).
+    A null PSI (baseline window unavailable) fails closed."""
+    s = drift_scores(clips, col, baseline_parts=baseline_parts,
+                     baseline=baseline, **kw)
+    return s.select(
+        "part",
+        F.lit(f"dist_drift({col})").alias("check_name"),
+        F.coalesce(F.col("psi") <= F.lit(psi_threshold), F.lit(False))
+        .alias("passed"),
+        F.concat(F.lit("psi="), F.col("psi").cast("string"),
+                 F.lit(" ks="), F.col("ks").cast("string")).alias("observed"),
+        F.lit(f"psi <= {psi_threshold}").alias("expected"))

@@ -1,0 +1,303 @@
+"""Deterministic synthetic fixture generators (FIXTURES.md, seed 42).
+
+The reference pulls live yfinance series (/root/reference/preprocessamento/
+SeriesProcessor.py:11-24) — unusable offline and non-deterministic — so all
+inputs here are synthesized bit-identically from seed 42:
+
+* ``clips``          — the north-rule input table (clip_id, bytes, sr_hz,
+                       dur_ms, codec, transcript) + ``part`` partition key +
+                       ``rid`` row-lineage id (the Iceberg v3 row-lineage
+                       analog, used to join against ``clips_ref``).
+* ``clips_ref``      — pristine copy (pre-injection bytes/transcript) for the
+                       per-row decoded-PCM SNR>=30dB + transcript equality
+                       invariant.
+* ``allowed_codecs`` — 3-row referential dimension (broadcast side).
+* ``drift_streams``  — synthetic concept-drift streams with known change
+                       points, standing in for the reference's financial
+                       series while preserving its prequential semantics
+                       (/root/reference/avaliacao/DriftEvaluator.py:53-130).
+
+Injected defects (FIXTURES.md §1, golden verdict matrix §5):
+  p2: 1% null transcripts          p10: 3% null transcripts
+  p3, p9: 0.2% duplicate clip_ids  p5, p11: 0.5% codec='opus'
+  p8..p15: dur_ms mean 400ms -> 700ms (distribution-drift target)
+  0.1% sr_hz outliers (192000) everywhere; codec 80/15/5 hot-key skew.
+
+Clip payloads are stored at STORE_RATE=2000 Hz (a documented sandbox
+decimation of the true sr_hz so SF=0.1 fits the sandbox — SURVEY §7.3); the
+length-consistency rule for valid rows is
+``len(decoded_pcm) == round(dur_ms * STORE_RATE / 1000)`` and the check takes
+the rate expression as config (the ``sr_hz`` column at production scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import audio
+
+SEED = 42
+N_PARTS = 16
+STORE_RATE = 2000  # Hz — sandbox decimation of sr_hz (see module docstring)
+
+ROWS_PER_PART = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 37500}
+
+SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000], dtype=np.int64)
+SR_WEIGHTS = [0.35, 0.35, 0.15, 0.10, 0.05]
+CODECS = np.array(["pcm_s16le", "mulaw", "alaw"])
+CODEC_WEIGHTS = [0.80, 0.15, 0.05]
+
+NULL_TRANSCRIPT_PARTS = {2: 0.01, 10: 0.03}
+DUP_ID_PARTS = {3: 0.002, 9: 0.002}
+BAD_CODEC_PARTS = {5: 0.005, 11: 0.005}
+DRIFT_START_PART = 8  # dur_ms mean shifts 400 -> 700 from p8 onward
+SR_OUTLIER_RATE = 0.001
+SR_OUTLIER_VALUE = 192000
+
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
+    "quebec", "romeo", "sierra", "tango", "uniform", "victor", "whiskey",
+    "xray", "yankee", "zulu", "amber", "birch", "cedar", "dune", "ember",
+    "fjord", "glade", "harbor", "islet", "jetty", "knoll", "lagoon", "mesa",
+    "nadir", "oasis", "prairie", "quarry", "ridge", "summit", "tundra",
+    "upland", "vale", "wharf", "xenon", "yonder", "zenith", "basalt",
+    "cobalt", "drift", "eddy", "flume", "gorge", "heath", "inlet", "jasper",
+    "karst", "loess", "moraine",
+]
+assert len(VOCAB) == 64
+
+CLIPS_SCHEMA = pa.schema([
+    ("rid", pa.int64()),
+    ("clip_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("sr_hz", pa.int32()),
+    ("dur_ms", pa.int32()),
+    ("codec", pa.string()),
+    ("transcript", pa.string()),
+    ("part", pa.int32()),
+])
+
+
+def _rng(*key: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([SEED, *key]))
+
+
+def _dur_ms(rng: np.random.Generator, n: int, mean: float) -> np.ndarray:
+    sigma = 0.4
+    mu = np.log(mean) - sigma * sigma / 2.0
+    d = rng.lognormal(mu, sigma, n)
+    return np.clip(np.round(d), 80, 5000).astype(np.int32)
+
+
+def _transcripts(rng: np.random.Generator, n: int) -> list:
+    lengths = rng.integers(3, 21, size=n)
+    total = int(lengths.sum())
+    words = rng.integers(0, 64, size=total)
+    out, off = [], 0
+    for ln in lengths:
+        out.append(" ".join(VOCAB[w] for w in words[off:off + ln]))
+        off += int(ln)
+    return out
+
+
+def _synth_payloads(rng: np.random.Generator, dur_ms: np.ndarray,
+                    codecs: np.ndarray) -> tuple:
+    """Synthesize sine+noise clips at STORE_RATE, encode per codec.
+
+    Returns (encoded_bytes_list, float_signal_list). Vectorized: one flat
+    signal buffer for the whole partition, sliced per row.
+    """
+    n_samples = np.round(dur_ms.astype(np.float64) * STORE_RATE / 1000.0).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n_samples)])
+    total = int(offsets[-1])
+    freqs = rng.uniform(100.0, 900.0, size=len(dur_ms))
+    phases = rng.uniform(0.0, 2 * np.pi, size=len(dur_ms))
+    noise = rng.normal(0.0, 0.01, size=total)
+    # per-sample time index within its own clip
+    t = np.arange(total, dtype=np.float64)
+    t -= np.repeat(offsets[:-1], n_samples)
+    f = np.repeat(freqs, n_samples)
+    ph = np.repeat(phases, n_samples)
+    signal = 0.3 * np.sin(2 * np.pi * f * t / STORE_RATE + ph) + noise
+    pcm = audio.float_to_int16(signal)
+    enc, sigs = [], []
+    for i in range(len(dur_ms)):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        clip = pcm[lo:hi]
+        enc.append(audio.encode(clip, str(codecs[i])))
+        sigs.append(clip)
+    return enc, sigs
+
+
+def generate_clips_partition(part: int, rows: int) -> tuple:
+    """Generate one partition of (clips, clips_ref) as pyarrow tables."""
+    rng = _rng(part)
+    rid = (np.int64(part) << np.int64(32)) + np.arange(rows, dtype=np.int64)
+    clip_id = np.array([f"clip-{part:04d}-{i:08d}" for i in range(rows)])
+    sr = rng.choice(SR_CHOICES, size=rows, p=SR_WEIGHTS).astype(np.int64)
+    sr_outlier = rng.random(rows) < SR_OUTLIER_RATE
+    sr[sr_outlier] = SR_OUTLIER_VALUE
+    mean = 700.0 if part >= DRIFT_START_PART else 400.0
+    dur = _dur_ms(rng, rows, mean)
+    codec = rng.choice(CODECS, size=rows, p=CODEC_WEIGHTS)
+    transcript = _transcripts(rng, rows)
+
+    payloads, _sigs = _synth_payloads(rng, dur, codec)
+
+    # pristine copy before injections
+    ref_transcript = list(transcript)
+    ref_payloads = list(payloads)
+
+    # --- injections -------------------------------------------------------
+    # each flagged partition gets AT LEAST one injected defect, so the golden
+    # verdict matrix holds at every scale (rates are too small to guarantee a
+    # hit at 200 rows/part otherwise)
+    def _mask(rate: float) -> np.ndarray:
+        m = rng.random(rows) < rate
+        if not m.any():
+            m[int(rng.integers(1, rows))] = True
+        return m
+
+    if part in DUP_ID_PARTS:
+        idx = np.nonzero(_mask(DUP_ID_PARTS[part]))[0]
+        idx = idx[idx > 0]
+        if idx.size == 0:
+            idx = np.array([rows - 1])
+        clip_id[idx] = clip_id[idx // 2]
+    if part in BAD_CODEC_PARTS:
+        m = _mask(BAD_CODEC_PARTS[part])
+        codec = codec.copy()
+        codec[m] = "opus"  # payload stays s16le-decodable; referential flags it
+    if part in NULL_TRANSCRIPT_PARTS:
+        m = _mask(NULL_TRANSCRIPT_PARTS[part])
+        transcript = [None if m[i] else transcript[i] for i in range(rows)]
+
+    part_col = np.full(rows, part, dtype=np.int32)
+    clips = pa.table({
+        "rid": rid,
+        "clip_id": clip_id,
+        "bytes": payloads,
+        "sr_hz": sr.astype(np.int32),
+        "dur_ms": dur,
+        "codec": codec,
+        "transcript": transcript,
+        "part": part_col,
+    }, schema=CLIPS_SCHEMA)
+    ref = pa.table({
+        "rid": rid,
+        "clip_id": clip_id,
+        "bytes": ref_payloads,
+        "sr_hz": sr.astype(np.int32),
+        "dur_ms": dur,
+        "codec": codec,
+        "transcript": ref_transcript,
+        "part": part_col,
+    }, schema=CLIPS_SCHEMA)
+    return clips, ref
+
+
+def allowed_codecs_table() -> pa.Table:
+    return pa.table({
+        "codec": pa.array(["pcm_s16le", "mulaw", "alaw"]),
+        "bits_per_sample": pa.array([16, 8, 8], type=pa.int32()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# drift streams (FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+STREAM_N = 2000
+STREAM_IDS = ["abrupt_mean", "gradual_mean", "variance_shift", "recurring",
+              "no_drift"]
+
+
+def generate_drift_stream(stream_id: str, n: int = STREAM_N) -> pa.Table:
+    """One scenario: (stream_id, seq, value, err), seed 42, known change points.
+
+    ``err`` is |value - 0| (pre-drift mean is 0 in every scenario), the
+    model-independent error series fed to the detectors, mirroring the
+    prediction-error feed at /root/reference/utils/StreamProcessor.py:213-215.
+    """
+    rng = _rng(1000 + STREAM_IDS.index(stream_id))
+    base = rng.normal(0.0, 0.05, n)
+    v = base.copy()
+    if stream_id == "abrupt_mean":
+        v[1000:] += 0.5
+    elif stream_id == "gradual_mean":
+        ramp = np.clip((np.arange(n) - 800) / 400.0, 0.0, 1.0) * 0.5
+        v += ramp
+    elif stream_id == "variance_shift":
+        v[1000:] = rng.normal(0.0, 0.2, n - 1000)
+    elif stream_id == "recurring":
+        v[700:1400] += 0.5
+    elif stream_id == "no_drift":
+        pass
+    else:
+        raise ValueError(stream_id)
+    err = np.abs(v)
+    return pa.table({
+        "stream_id": pa.array([stream_id] * n),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(v),
+        "err": pa.array(err),
+    })
+
+
+def generate_drift_streams() -> pa.Table:
+    return pa.concat_tables([generate_drift_stream(s) for s in STREAM_IDS])
+
+
+# ---------------------------------------------------------------------------
+# disk materialization (idempotent, content-stable)
+# ---------------------------------------------------------------------------
+
+def fixture_dir(scale: str, root: str = "/root/repo/data") -> str:
+    return os.path.join(root, scale)
+
+
+def _write_partition(args: tuple) -> None:
+    d, part, rows = args
+    clips, ref = generate_clips_partition(part, rows)
+    pq.write_table(clips, os.path.join(d, "clips", f"part-{part:04d}.parquet"))
+    pq.write_table(ref, os.path.join(d, "clips_ref", f"part-{part:04d}.parquet"))
+
+
+def ensure_fixtures(scale: str, root: str = "/root/repo/data") -> str:
+    """Write clips/clips_ref (one file per partition), allowed_codecs and
+    drift_streams parquet for `scale` if absent. Returns the scale dir.
+
+    Partitions are generated in parallel processes — each partition's RNG is
+    independently seeded (SeedSequence([42, part])) so the output is
+    bit-identical regardless of worker count or ordering."""
+    d = fixture_dir(scale, root)
+    done = os.path.join(d, "_FIXTURES_OK")
+    if os.path.exists(done):
+        return d
+    rows = ROWS_PER_PART[scale]
+    os.makedirs(os.path.join(d, "clips"), exist_ok=True)
+    os.makedirs(os.path.join(d, "clips_ref"), exist_ok=True)
+    jobs = [(d, part, rows) for part in range(N_PARTS)]
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=min(N_PARTS, os.cpu_count() or 1)) as ex:
+            list(ex.map(_write_partition, jobs))
+    except Exception:
+        for j in jobs:
+            _write_partition(j)
+    pq.write_table(allowed_codecs_table(), os.path.join(d, "allowed_codecs.parquet"))
+    pq.write_table(generate_drift_streams(), os.path.join(d, "drift_streams.parquet"))
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return d
+
+
+def sf_label_from_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to our fixture scale label."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in ROWS_PER_PART else "sf0.01"

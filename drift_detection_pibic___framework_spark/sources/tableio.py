@@ -1,0 +1,159 @@
+"""TableIO seam — Iceberg semantics behind a pluggable backend (SURVEY §7.1).
+
+The north_rule targets Iceberg tables; this sandbox has no Iceberg runtime jar
+and no network, so every engine component talks to this seam instead of a
+catalog.  Two backends:
+
+* ``ParquetTableIO`` — partitioned-Parquet + JSON-manifest backend that
+  preserves the Iceberg semantics the engine relies on: partition listing,
+  per-partition scan (partition pruning), append, atomic manifest upsert
+  (write-tmp + rename = the commit point), snapshot ids for lineage.
+* ``IcebergTableIO`` — activated when ``spark.sql.catalog.*`` Iceberg config
+  is present; same interface over ``spark.read.format("iceberg")`` /
+  ``df.writeTo(...).append()``.
+
+The manifest is the engine's resume/lineage store (north_rule: "resumable from
+a checkpointed per-partition lineage/metrics manifest").  It plays the role
+the reference's memoized hyperparameter JSON plays at file granularity
+(/root/reference/otimizador/Optimizer.py:136-139): skip work whose result is
+already committed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetTableIO:
+    """Partitioned-Parquet backend. Layout::
+
+        root/
+          <table>/part-0000.parquet ...     # one file per partition
+          <table>.parquet                   # unpartitioned small tables
+          _manifest/<run_scope>.json        # manifest rows, atomic rename
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- reads --------------------------------------------------------------
+
+    def table_path(self, name: str) -> str:
+        d = os.path.join(self.root, name)
+        if os.path.isdir(d):
+            return d
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def list_partitions(self, name: str) -> list:
+        """Ordered partition ids (the 'stream of partitions' the sequential
+        detectors consume — order is semantic, FIXTURES.md §1)."""
+        d = os.path.join(self.root, name)
+        parts = []
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.startswith("part-") and f.endswith(".parquet"):
+                    parts.append(int(f[len("part-"):-len(".parquet")]))
+        return parts
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def read_partition(self, spark: SparkSession, name: str, part: int) -> DataFrame:
+        """Partition-pruned scan: reads exactly one partition file."""
+        d = os.path.join(self.root, name)
+        if os.path.isdir(d):
+            return spark.read.parquet(os.path.join(d, f"part-{part:04d}.parquet"))
+        return self.read_table(spark, name).filter(f"part = {part}")
+
+    # -- writes -------------------------------------------------------------
+
+    def append(self, df: DataFrame, name: str) -> str:
+        """Append a snapshot directory; returns snapshot id."""
+        snap = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, name, f"snap-{snap}")
+        df.write.mode("overwrite").parquet(out)
+        return snap
+
+    def read_appended(self, spark: SparkSession, name: str) -> DataFrame:
+        d = os.path.join(self.root, name)
+        return spark.read.parquet(os.path.join(d, "snap-*"))
+
+    def has_appended(self, name: str) -> bool:
+        d = os.path.join(self.root, name)
+        return os.path.isdir(d) and any(f.startswith("snap-") for f in os.listdir(d))
+
+    # -- manifest (atomic upsert; driver-side — one row per partition) ------
+
+    def _manifest_path(self, scope: str) -> str:
+        return os.path.join(self.root, "_manifest", f"{scope}.json")
+
+    def read_manifest(self, scope: str) -> dict:
+        p = self._manifest_path(scope)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            raw = json.load(f)
+        return {int(k): v for k, v in raw.items()}
+
+    def upsert_manifest(self, scope: str, rows: dict) -> None:
+        """Merge ``rows`` (part -> row dict) into the manifest atomically.
+
+        Write order contract (SURVEY §7.2 step 6): callers write violations
+        and metrics FIRST, then the manifest — the rename here is the commit
+        point, so a kill before it leaves the partition 'unprocessed' and the
+        resume path re-validates it (idempotent: outputs are keyed by
+        (part, run_scope) and overwritten)."""
+        p = self._manifest_path(scope)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        cur = self.read_manifest(scope)
+        for k, v in rows.items():
+            v = dict(v)
+            v.setdefault("updated_at", time.strftime("%Y-%m-%dT%H:%M:%S"))
+            cur[int(k)] = v
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in sorted(cur.items())}, f, indent=1)
+        os.replace(tmp, p)  # atomic on POSIX
+
+    def pending_partitions(self, name: str, scope: str) -> list:
+        """Resume path: partitions with no committed 'done' manifest row —
+        the driver-side equivalent of
+        ``parts.join(manifest_done, "part", "left_anti")`` (SURVEY §2.3 J1);
+        kept driver-side because the manifest is one row per partition."""
+        done = {k for k, v in self.read_manifest(scope).items()
+                if v.get("status") == "done"}
+        return [p for p in self.list_partitions(name) if p not in done]
+
+
+class IcebergTableIO:
+    """Iceberg-catalog backend (same interface). Only instantiable when an
+    Iceberg catalog is configured on the session; untested in this sandbox
+    (no Iceberg runtime jar offline — SURVEY §7.1)."""
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        if not any(k.startswith("spark.sql.catalog.")
+                   for k, _ in spark.sparkContext.getConf().getAll()):
+            raise RuntimeError("no Iceberg catalog configured on this session")
+        self.namespace = namespace
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.format("iceberg").load(f"{self.namespace}.{name}")
+
+    def read_partition(self, spark: SparkSession, name: str, part: int) -> DataFrame:
+        # Iceberg partition pruning via predicate on the partition column.
+        return self.read_table(spark, name).filter(f"part = {part}")
+
+    def list_partitions(self, spark: SparkSession, name: str) -> list:
+        rows = (spark.read.format("iceberg")
+                .load(f"{self.namespace}.{name}.partitions")
+                .select("partition.part").collect())
+        return sorted(r[0] for r in rows)
+
+    def append(self, df: DataFrame, name: str) -> str:
+        df.writeTo(f"{self.namespace}.{name}").append()
+        return "iceberg-snapshot"

@@ -1,0 +1,82 @@
+"""Validation job entry point — ``spark-submit jobs/validate.py [options]``.
+
+Runs the batch check suite (per-partition column stats, null-rate, range,
+uniqueness, referential, distribution drift) over a clips fixture directory
+and prints per-partition verdicts; writes violations/metrics/manifest via the
+runner when --write is given.
+
+Usage:
+    spark-submit jobs/validate.py --data data/sf0.001 [--part N]
+        [--master local[8]] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/sf0.001")
+    ap.add_argument("--part", type=int, default=None,
+                    help="validate a single partition (default: all)")
+    ap.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[8]"))
+    ap.add_argument("--shuffle-partitions", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from drift_detection_pibic___framework_spark.operators import (
+        drift_dist, referential, stats, uniqueness)
+
+    t0 = time.time()
+    spark = (SparkSession.builder.master(args.master).appName("dpf-validate")
+             .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    clips_path = os.path.join(args.data, "clips")
+    dim_path = os.path.join(args.data, "allowed_codecs.parquet")
+    if not os.path.isdir(clips_path):
+        print(f"error: no clips table at {clips_path}", file=sys.stderr)
+        return 2
+    full = spark.read.parquet(clips_path)
+    clips = full
+    dim = spark.read.parquet(dim_path)
+    if args.part is not None:
+        clips = full.filter(F.col("part") == args.part)
+        if clips.isEmpty():
+            print(f"error: partition {args.part} not found", file=sys.stderr)
+            return 2
+
+    st = stats.partition_column_stats(clips)
+    verdicts = (
+        stats.null_rate_verdicts(st)
+        .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
+        .unionByName(uniqueness.uniqueness_verdicts(clips))
+        .unionByName(referential.referential_verdicts(clips, dim))
+        .unionByName(drift_dist.drift_verdicts(clips, baseline=full))
+    ).orderBy("part", "check_name")
+
+    rows = verdicts.collect()
+    n_fail = sum(1 for r in rows if not r["passed"])
+    for r in rows:
+        mark = "PASS" if r["passed"] else "FAIL"
+        print(f"part={r['part']:>3} {r['check_name']:<24} {mark}  "
+              f"observed={r['observed']}  expected={r['expected']}")
+    n_rows = clips.count()
+    dt = time.time() - t0
+    print(f"\n{len(rows)} checks, {n_fail} failing; {n_rows} clips validated "
+          f"in {dt:.1f}s ({n_rows / dt:.0f} clips/sec)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,115 @@
+"""Batch checks vs the DuckDB oracle (SURVEY §5 'stats oracle via duckdb')
+plus golden verdict-matrix assertions (FIXTURES.md §5)."""
+
+import numpy as np
+
+from drift_detection_pibic___framework_spark.operators import (
+    drift_dist, referential, stats, uniqueness)
+
+
+def test_partition_stats_match_duckdb(spark, clips, duck):
+    got = (stats.partition_column_stats(clips)
+           .orderBy("part")
+           .select("part", "row_count", "dur_ms_mean", "dur_ms_stddev",
+                   "sr_hz_min", "sr_hz_max", "transcript_null_rate")
+           .toPandas())
+    want = duck.sql("""
+        select part, count(*) row_count,
+               round(avg(dur_ms), 6) dur_ms_mean,
+               round(stddev_samp(dur_ms), 6) dur_ms_stddev,
+               min(sr_hz) sr_hz_min, max(sr_hz) sr_hz_max,
+               round(avg(case when transcript is null then 1.0 else 0.0 end), 6)
+                 transcript_null_rate
+        from clips group by part order by part""").df()
+    for c in want.columns:
+        assert np.allclose(got[c].astype(float), want[c].astype(float),
+                           rtol=1e-9), c
+
+
+def test_quantiles_close_to_exact(spark, clips, duck):
+    got = (stats.partition_column_stats(clips).orderBy("part")
+           .select("part", "dur_ms_p50", "dur_ms_p95").toPandas())
+    want = duck.sql("""
+        select part, quantile_disc(dur_ms, 0.5) p50, quantile_disc(dur_ms, 0.95) p95
+        from clips group by part order by part""").df()
+    assert np.all(np.abs(got["dur_ms_p50"] - want["p50"]) / want["p50"] < 0.02)
+    assert np.all(np.abs(got["dur_ms_p95"] - want["p95"]) / want["p95"] < 0.05)
+
+
+def test_null_rate_verdict_matrix(spark, clips):
+    st = stats.partition_column_stats(clips)
+    v = stats.null_rate_verdicts(st).toPandas().set_index("part")
+    failing = set(v.index[~v["passed"]])
+    assert failing == {2, 10}
+
+
+def test_uniqueness_verdict_matrix_and_violations(spark, clips):
+    v = uniqueness.uniqueness_verdicts(clips).toPandas().set_index("part")
+    assert set(v.index[~v["passed"]]) == {3, 9}
+    viol = uniqueness.duplicate_violations(clips).toPandas()
+    assert set(viol["part"]) == {3, 9}
+    # one violation row per extra occurrence (first occurrence is kept)
+    counts = viol.groupby("part").size()
+    exact = (clips.groupBy("part").count().toPandas().set_index("part")["count"]
+             - uniqueness.uniqueness_verdicts(clips).toPandas()  # noqa: W503
+             .set_index("part")["observed"].str.split("/").str[0].astype(int))
+    for p in (3, 9):
+        assert counts[p] == exact[p]
+
+
+def test_global_hll_estimate_within_bounds(spark, clips, duck):
+    est = uniqueness.global_distinct_estimate(clips).collect()[0]
+    exact = duck.sql("select count(distinct clip_id) from clips").fetchone()[0]
+    assert abs(est["global_distinct_estimate"] - exact) / exact < 0.03
+
+
+def test_referential_verdicts_and_violations(spark, clips, allowed_codecs, duck):
+    v = referential.referential_verdicts(clips, allowed_codecs).toPandas().set_index("part")
+    assert set(v.index[~v["passed"]]) == {5, 11}
+    viol = referential.referential_violations(clips, allowed_codecs).toPandas()
+    want = duck.sql("""
+        select part, count(*) n from clips
+        where codec not in (select codec from allowed_codecs)
+        group by part""").df().set_index("part")["n"]
+    got = viol.groupby("part").size()
+    assert got.to_dict() == want.to_dict()
+    assert (viol["observed"] == "opus").all()
+
+
+def test_referential_join_is_broadcast(spark, clips, allowed_codecs):
+    plan = referential.referential_violations(clips, allowed_codecs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stats_scan_prunes_bytes_column(spark, clips):
+    """The stats pass must never read the audio payload (SURVEY §4 column
+    pruning note) — check the parquet ReadSchema."""
+    plan = stats.partition_column_stats(clips) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "bytes" not in m.group(1)
+
+
+def test_drift_verdict_matrix(spark, clips):
+    v = drift_dist.drift_verdicts(clips).toPandas().set_index("part")
+    assert set(v.index[~v["passed"]]) == set(range(8, 16))
+
+
+def test_psi_ks_against_numpy_oracle(spark, clips, duck):
+    got = drift_dist.drift_scores(clips).toPandas().set_index("part").sort_index()
+    pdf = duck.sql("select part, dur_ms from clips").df()
+    width, n_bins = 100.0, 40
+    edges = np.arange(0, (n_bins + 1) * width, width)
+    base = pdf[pdf["part"].isin([0, 1, 2, 3])]["dur_ms"].to_numpy()
+    bh, _ = np.histogram(np.clip(base, 0, edges[-1] - 1), bins=edges)
+    b = bh / bh.sum()
+    eps = 1e-6
+    for part, grp in pdf.groupby("part"):
+        ph, _ = np.histogram(np.clip(grp["dur_ms"].to_numpy(), 0, edges[-1] - 1), bins=edges)
+        p = ph / ph.sum()
+        psi = np.sum((p + eps - (b + eps)) * np.log((p + eps) / (b + eps)))
+        ks = np.max(np.abs(np.cumsum(p) - np.cumsum(b)))
+        assert abs(got.loc[part, "psi"] - psi) < 1e-4, part
+        assert abs(got.loc[part, "ks"] - ks) < 1e-4, part
