@@ -27,6 +27,9 @@ def main() -> int:
                     help="validate a single partition (default: all)")
     ap.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[8]"))
     ap.add_argument("--shuffle-partitions", type=int, default=16)
+    ap.add_argument("--streams", action="store_true",
+                    help="run the sequential drift-detector suite over "
+                         "drift_streams.parquet instead of the clips checks")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -41,6 +44,24 @@ def main() -> int:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.streams:
+        from drift_detection_pibic___framework_spark.operators.detectors import kernels
+        sp = os.path.join(args.data, "drift_streams.parquet")
+        if not os.path.exists(sp):
+            print(f"error: no drift_streams table at {sp}", file=sys.stderr)
+            return 2
+        streams = spark.read.parquet(sp)
+        det = kernels.detections_only(kernels.detect(streams)).collect()
+        n_rows = streams.count()
+        by_key = {}
+        for r in det:
+            by_key.setdefault((r["detector"], r["stream_id"]), []).append(r["seq"])
+        for (d, sid), seqs in sorted(by_key.items()):
+            print(f"{d:<13} {sid:<15} detections={seqs}")
+        dt = time.time() - t0
+        print(f"\n{len(det)} drift flags over {n_rows} samples in {dt:.1f}s")
+        return 0
 
     clips_path = os.path.join(args.data, "clips")
     dim_path = os.path.join(args.data, "allowed_codecs.parquet")
