@@ -1,0 +1,205 @@
+"""ValidationRunner — per-partition check orchestration with manifest resume.
+
+The Spark lifecycle of the reference's per-sample loop (SURVEY §3 entry
+point 1), at Iceberg-partition granularity:
+
+  1. driver enumerates unprocessed partitions (manifest left-anti);
+  2. ONE DataFrame job computes all batch checks for every pending partition
+     (stats agg + uniqueness + referential + PSI/KS) — map-side combined,
+     no per-partition job storm;
+  3. the ordered per-partition stat series advances the sequential detector
+     steppers (state re-hydrated from the manifest checkpoint — the Spark
+     equivalent of the reference's detector state carried across samples,
+     /root/reference/utils/StreamProcessor.py:213-215);
+  4. violations are written partition-by-partition (dynamic overwrite =
+     idempotent), THEN the manifest row is committed (atomic rename) — the
+     commit point, so a kill re-validates exactly the uncommitted suffix
+     and outputs are byte-identical to an uninterrupted run (SURVEY §5
+     resume tests).
+
+Per-partition verdict = AND over checks; MUDANÇA from the partition-series
+detector marks the drift state exactly as the reference's 3-state machine
+does per sample (framework_detector.py:134-147).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import drift_dist, referential, stats, uniqueness
+from ..operators.detectors import oracle
+from ..operators.detectors.harness import PrequentialStepper
+from ..sources.tableio import ParquetTableIO
+
+# partition-series detector config: the series has ONE sample per partition
+# (16 in fixtures), so warm-starts are scaled down from the row-level
+# defaults; at production scale (1e5+ partitions) the row-level defaults in
+# detectors/config.py apply. Page-Hinkley on |z|-standardized stats is the
+# primary monitor (fires within 1-2 partitions of a mean shift).
+SERIES_DETECTORS = {
+    "page_hinkley": {"params": {"min_instances": 2, "delta": 0.05,
+                                "threshold": 10.0, "alpha": 1.0},
+                     "bin_threshold": 3.0},
+}
+SERIES_SEED_PARTS = 4  # baseline window = p0..p3 (FIXTURES.md §5)
+MONITOR_COL = "dur_ms"
+
+
+class ValidationRunner:
+    def __init__(self, io: ParquetTableIO, scope: str = "default",
+                 baseline_parts=drift_dist.DEFAULT_BASELINE_PARTS):
+        self.io = io
+        self.scope = scope
+        self.baseline_parts = tuple(baseline_parts)
+
+    # -- table names ---------------------------------------------------------
+
+    @property
+    def violations_table(self) -> str:
+        return f"violations_{self.scope}"
+
+    @property
+    def metrics_table(self) -> str:
+        return f"metrics_{self.scope}"
+
+    # -- main ---------------------------------------------------------------
+
+    def run(self, spark: SparkSession, limit_parts: int = None) -> dict:
+        """Validate all pending partitions (optionally at most
+        ``limit_parts``, for kill/resume tests). Returns a summary dict."""
+        pending = self.io.pending_partitions("clips", self.scope)
+        if limit_parts is not None:
+            pending = pending[:limit_parts]
+        if not pending:
+            return {"validated": [], "failed": [], "skipped": True}
+
+        clips_all = self.io.read_table(spark, "clips")
+        clips = clips_all.filter(F.col("part").isin(pending))
+        dim = self.io.read_table(spark, "allowed_codecs")
+
+        # ---- one batch job: every check, every pending partition ----------
+        st = stats.partition_column_stats(clips)
+        verdicts = (
+            stats.null_rate_verdicts(st)
+            .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
+            .unionByName(uniqueness.uniqueness_verdicts(clips))
+            .unionByName(referential.referential_verdicts(clips, dim))
+            .unionByName(drift_dist.drift_verdicts(
+                clips, baseline=clips_all,
+                baseline_parts=self.baseline_parts)))
+        verdict_rows = verdicts.collect()          # <= parts * checks rows
+        stat_rows = {r["part"]: r.asDict() for r in st.collect()}
+
+        violations = (
+            stats.null_violations(clips)
+            .unionByName(stats.range_violations(clips, "sr_hz", 8000, 48000))
+            .unionByName(uniqueness.duplicate_violations(clips))
+            .unionByName(referential.referential_violations(clips, dim))
+        ).withColumn("run_scope", F.lit(self.scope))
+
+        # write violations for ALL pending partitions BEFORE any manifest
+        # commit (idempotent dynamic overwrite per partition)
+        out = f"{self.io.root}/{self.violations_table}"
+        (violations.repartition("part").write
+         .partitionBy("part").mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic").parquet(out))
+
+        # ---- sequential detector over the ordered partition-stat series ---
+        steppers = self._load_steppers()
+        by_part: dict = {}
+        for r in verdict_rows:
+            by_part.setdefault(r["part"], []).append(r)
+
+        validated, failed = [], []
+        base_mean, base_std = self._baseline_moments(stat_rows)
+        for part in sorted(pending):
+            stat = stat_rows[part]
+            z = abs((stat[f"{MONITOR_COL}_mean"] - base_mean) /
+                    (base_std or 1.0))
+            drift_flag, drift_state = self._advance_steppers(steppers, part, z)
+
+            checks = by_part.get(part, [])
+            all_passed = all(r["passed"] for r in checks) and not drift_flag
+            state = drift_state if drift_flag else (
+                oracle.STATE_NORMAL if all_passed else oracle.STATE_WARNING)
+            row = {
+                "status": "done",
+                "verdict": "pass" if all_passed else "fail",
+                "state": state,
+                "checks": {r["check_name"]: bool(r["passed"]) for r in checks},
+                "series_drift": bool(drift_flag),
+                "metrics_json": json.dumps(stat, default=str),
+                "detector_state": self._dump_steppers(steppers),
+                "snapshot_id": f"{self.scope}-{part}",
+            }
+            # commit point: manifest row (violations already on disk)
+            self.io.upsert_manifest(self.scope, {part: row})
+            (validated if all_passed else failed).append(part)
+        return {"validated": validated, "failed": failed, "skipped": False}
+
+    # -- detector-state checkpointing ---------------------------------------
+
+    def _load_steppers(self) -> dict:
+        manifest = self.io.read_manifest(self.scope)
+        done = [p for p, v in manifest.items() if v.get("status") == "done"]
+        if done:
+            blob = manifest[max(done)].get("detector_state")
+            if blob:
+                raw = json.loads(blob)
+                return {k: PrequentialStepper.deserialize(
+                    base64.b64decode(v)) for k, v in raw.items()}
+        return {
+            name: PrequentialStepper(name, tamanho_batch=SERIES_SEED_PARTS,
+                                     params=cfg["params"],
+                                     bin_threshold=cfg["bin_threshold"])
+            for name, cfg in SERIES_DETECTORS.items()}
+
+    @staticmethod
+    def _dump_steppers(steppers: dict) -> str:
+        return json.dumps({k: base64.b64encode(v.serialize()).decode()
+                           for k, v in steppers.items()})
+
+    @staticmethod
+    def _advance_steppers(steppers: dict, part: int, z: float) -> tuple:
+        flag = False
+        state = oracle.STATE_NORMAL
+        for stepper in steppers.values():
+            f, _w, s = stepper.step(z, z)
+            if s == "SEED":
+                continue
+            flag = flag or f
+            if s == oracle.STATE_DRIFT:
+                state = oracle.STATE_DRIFT
+            elif s == oracle.STATE_WARNING and state == oracle.STATE_NORMAL:
+                state = oracle.STATE_WARNING
+        return flag, state
+
+    def _baseline_moments(self, stat_rows: dict) -> tuple:
+        """mean/std of the monitored stat over the baseline partitions;
+        falls back to manifest metrics when baseline parts were validated
+        in an earlier run."""
+        import numpy as np
+        vals = []
+        manifest = self.io.read_manifest(self.scope)
+        for p in self.baseline_parts:
+            if p in stat_rows:
+                vals.append(stat_rows[p][f"{MONITOR_COL}_mean"])
+            elif p in manifest and manifest[p].get("metrics_json"):
+                vals.append(json.loads(manifest[p]["metrics_json"])
+                            [f"{MONITOR_COL}_mean"])
+        if not vals:
+            return 0.0, 1.0
+        a = np.asarray(vals, dtype=float)
+        return float(a.mean()), float(a.std(ddof=0) or 1.0)
+
+    # -- reads ---------------------------------------------------------------
+
+    def read_violations(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(f"{self.io.root}/{self.violations_table}")
+
+    def verdict_matrix(self) -> dict:
+        m = self.io.read_manifest(self.scope)
+        return {p: v["verdict"] for p, v in m.items() if v.get("status") == "done"}

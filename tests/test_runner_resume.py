@@ -1,0 +1,82 @@
+"""End-to-end runner tests: golden verdict matrix, violation rows, resume
+(kill after partition k -> only the suffix recomputes; outputs identical),
+and the partition-series drift monitor (FIXTURES.md §5, SURVEY §5)."""
+
+import shutil
+
+import pytest
+
+from drift_detection_pibic___framework_spark.plans.runner import ValidationRunner
+from drift_detection_pibic___framework_spark.sources.tableio import ParquetTableIO
+
+
+@pytest.fixture()
+def io(fixture_dir, tmp_path):
+    """Copy of the fixture tables in a scratch root (runner writes here)."""
+    root = tmp_path / "warehouse"
+    shutil.copytree(fixture_dir, root)
+    return ParquetTableIO(str(root))
+
+
+def test_full_run_verdict_matrix(spark, io):
+    r = ValidationRunner(io, scope="full")
+    res = r.run(spark)
+    assert not res["skipped"]
+    matrix = r.verdict_matrix()
+    # fail set = golden matrix (null p2/p10, dups p3/p9, codec p5/p11,
+    # drift p8..15) + sr_hz outlier partitions (scale-dependent)
+    must_fail = {2, 3, 5, 9, 10, 11} | set(range(8, 16))
+    assert {p for p, v in matrix.items() if v == "fail"} >= must_fail
+    assert matrix[0] == "pass" and matrix[1] == "pass"
+    # series monitor: manifest drift state from p8 onward
+    m = io.read_manifest("full")
+    assert any(m[p]["series_drift"] for p in range(8, 16))
+    assert not any(m[p]["series_drift"] for p in range(0, 8))
+
+
+def test_violation_rows_shape_and_content(spark, io):
+    r = ValidationRunner(io, scope="viol")
+    r.run(spark)
+    v = r.read_violations(spark)
+    cols = set(v.columns)
+    assert {"clip_id", "check_name", "observed", "expected", "part",
+            "run_scope"} <= cols
+    by_check = {row["check_name"]: row["n"] for row in
+                v.groupBy("check_name").count()
+                .withColumnRenamed("count", "n").collect()}
+    assert by_check.get("referential(codec)", 0) >= 2     # p5 + p11
+    assert by_check.get("unique(clip_id)", 0) >= 2        # p3 + p9
+    assert by_check.get("null_rate(transcript)", 0) >= 2  # p2 + p10
+
+
+def test_resume_only_processes_pending(spark, io):
+    r = ValidationRunner(io, scope="resume")
+    res1 = r.run(spark, limit_parts=6)   # "kill" after partition 5
+    assert sorted(res1["validated"] + res1["failed"]) == list(range(6))
+    assert io.pending_partitions("clips", "resume") == list(range(6, 16))
+    res2 = r.run(spark)
+    assert sorted(res2["validated"] + res2["failed"]) == list(range(6, 16))
+    # idempotent third run: nothing pending
+    res3 = r.run(spark)
+    assert res3["skipped"]
+
+
+def test_resume_outputs_identical_to_uninterrupted(spark, io):
+    a = ValidationRunner(io, scope="one_shot")
+    a.run(spark)
+    b = ValidationRunner(io, scope="two_step")
+    b.run(spark, limit_parts=9)
+    b.run(spark)
+
+    ma, mb = io.read_manifest("one_shot"), io.read_manifest("two_step")
+    assert set(ma) == set(mb) == set(range(16))
+    for p in ma:
+        for k in ("verdict", "state", "checks", "series_drift",
+                  "metrics_json"):
+            assert ma[p][k] == mb[p][k], (p, k)
+
+    va = (a.read_violations(spark).orderBy("part", "clip_id", "check_name")
+          .drop("run_scope").collect())
+    vb = (b.read_violations(spark).orderBy("part", "clip_id", "check_name")
+          .drop("run_scope").collect())
+    assert va == vb
