@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship query (full per-partition validation verdict
+matrix over the clips table at sf0.001); ``queries``/``oracle_sql`` expose
+every implemented operator with DuckDB oracles where ANSI-SQL-expressible
+(see drift_detection_pibic___framework_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from drift_detection_pibic___framework_spark import queries as Q  # noqa: E402
+from drift_detection_pibic___framework_spark.sources import generators as G  # noqa: E402
+
+# the DuckDB oracle reads the sf0.01 clips fixture by absolute path — make
+# sure it exists regardless of evaluation order (generation is idempotent,
+# seed 42, ~15 s once)
+G.ensure_fixtures("sf0.01")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full check-suite verdicts for every partition of the
+    sf0.001 clips table (stats + uniqueness + referential + drift)."""
+    from pyspark.sql import functions as F
+
+    from drift_detection_pibic___framework_spark.operators import (
+        drift_dist, referential, stats, uniqueness)
+
+    d = G.ensure_fixtures("sf0.001")
+    clips = spark.read.parquet(f"{d}/clips")
+    dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
+    st = stats.partition_column_stats(clips)
+    return (
+        stats.null_rate_verdicts(st)
+        .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
+        .unionByName(uniqueness.uniqueness_verdicts(clips))
+        .unionByName(referential.referential_verdicts(clips, dim))
+        .unionByName(drift_dist.drift_verdicts(clips))
+        .orderBy("part", "check_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

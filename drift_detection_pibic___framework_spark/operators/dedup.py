@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+
+Scale design (these are the operators that must survive 10^12 rows):
+- exact dedup: hash-groupBy on a 128-bit content digest — one shuffle keyed
+  by digest (uniform, skew-free);
+- MinHash: shingle explode -> per-(doc, hash-seed) min — partial aggregation
+  collapses the explosion map-side; LSH bands turn O(n^2) similarity into an
+  equi-join on (band, band_signature) buckets;
+- the O(n^2) verification (Jaccard) runs only WITHIN candidate buckets;
+- SimHash: 64-bit sign-aggregated token hashes; near-dup = Hamming distance
+  on a 64-bit integer (cheap bit_count), bucketed by 16-bit chunks
+  (pigeonhole: distance<=3 pairs share at least one of 4 chunks);
+- embedding near-dup: cosine > threshold via a normalized dot product;
+  at scale, pre-bucketed by an LSH signature (similarity.py).
+
+Hashes are md5-derived (first 15 hex chars -> int64) so the SAME signatures
+are computable in ANSI SQL for the DuckDB oracle — deterministic across
+engines, no library dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _h64(col, seed: int):
+    """Deterministic 64-bit hash: int(md5(seed || value)[0:15], 16)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)),
+                              1, 15), 16, 10).cast("long")
+
+
+def norm_text(col: str = "text"):
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def word_shingles(col: str = "text", k: int = 3):
+    """Distinct word k-gram shingles of the normalized text."""
+    toks = F.split(norm_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+
+
+# -------------------------------------------------------------------------
+# exact dedup
+# -------------------------------------------------------------------------
+
+def exact_duplicate_groups(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: digest -> doc_ids.
+    One shuffle on the digest; keeps the smallest doc_id as canonical."""
+    d = docs.select("doc_id", F.md5(norm_text(col)).alias("digest"))
+    return (d.groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .filter(F.col("n_docs") > 1))
+
+
+# -------------------------------------------------------------------------
+# MinHash + LSH
+# -------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, col: str = "text",
+                       num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the min hash over the doc's word-k-gram shingles.  Computed
+    WITHOUT explode-shuffle: the min per seed is an array expression over
+    the shingle array (stays inside whole-stage codegen); one row out per
+    doc."""
+    sh = word_shingles(col, k)
+
+    def hasher(seed: int):
+        # NOTE: must be a ONE-arg lambda — a two-arg lambda would be given
+        # (element, index) by F.transform, silently turning the seed into
+        # the array-index column
+        return lambda s: _h64(s, seed)
+
+    sig = F.array(*[F.array_min(F.transform(sh, hasher(i)))
+                    for i in range(num_hashes)])
+    return docs.select("doc_id", sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join on (band_idx, band_hash): docs sharing
+    any band become candidate pairs (a < b). The join is equi on the bucket
+    key — no cross join anywhere."""
+    n = None  # rows per band derived from signature length at plan time
+    sig_len = F.size(F.col("minhash"))
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+    banded = banded.join(signatures, "doc_id").select(
+        "doc_id", "band",
+        F.md5(F.concat_ws(",", F.transform(
+            F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1,
+                    rows_per_band), lambda x: x.cast("string"))))
+        .alias("band_hash"))
+    _ = n
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band", "band_hash"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage):
+    |A ∩ B| / |A ∪ B| over distinct word-k-gram shingles."""
+    sh = docs.select("doc_id", word_shingles(col, k).alias("sh"))
+    j = (pairs
+         .join(sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sh_a")), "doc_a")
+         .join(sh.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select("doc_a", "doc_b",
+                    F.round(inter / union, 6).alias("jaccard"))
+
+
+def minhash_near_duplicates(docs: DataFrame, col: str = "text",
+                            threshold: float = 0.7,
+                            num_hashes: int = 16, bands: int = 4,
+                            k: int = 3) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> band-bucket join ->
+    exact Jaccard verify -> threshold."""
+    sig = minhash_signatures(docs, col, num_hashes, k)
+    cand = lsh_candidate_pairs(sig, bands)
+    return (jaccard_pairs(docs, cand, col, k)
+            .filter(F.col("jaccard") >= threshold))
+
+
+# -------------------------------------------------------------------------
+# SimHash
+# -------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per bit position, the sign of the sum over tokens of
+    (+1 if token-hash bit set else -1).  Pure column expressions: token
+    array -> per-bit aggregate -> packed long. O(bits) expression width,
+    single pass, no shuffle."""
+    toks = F.split(norm_text(col), " ")
+    th = F.transform(toks, lambda t: _h64(t, 777))
+    def bit_sum(i):
+        # bit test via unsigned shift (1 << 63 would overflow a long literal)
+        return F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1,
+                1).otherwise(-1))
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)  # two's complement
+        packed = packed + F.when(bit_sum(i) > 0,
+                                 F.lit(weight).cast("long")).otherwise(0)
+    return docs.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dups by SimHash Hamming distance <= max_hamming, bucketed by
+    16-bit chunks (pigeonhole: any pair within distance 3 agrees on >= 1 of
+    the 4 chunks), so the join is equi on (chunk_idx, chunk_value)."""
+    sh = simhash(docs, col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_idx"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
+            for i in range(4)])).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, ["chunk_idx", "chunk_val"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+# -------------------------------------------------------------------------
+# embedding-cosine near-dup
+# -------------------------------------------------------------------------
+
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Pairs with cosine similarity above threshold. Brute-force formulation
+    (correctness baseline); the LSH-bucketed scale path is
+    similarity.hyperplane_lsh_neighbors."""
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    e = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) *
+        F.sqrt(dot(F.col("b.v"), F.col("b.v"))))
+    return (a.crossJoin(b)
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"),
+                    F.round(cos, 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

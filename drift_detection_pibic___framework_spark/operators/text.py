@@ -1,0 +1,99 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.  The reference has no text operators
+(its strings are labels only, SURVEY §1.2); these are the north-rule
+"large-scale training-data pipeline" extensions, applied to transcripts at
+production scale (the ``documents`` driver table stands in here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny public stopword seeds per language for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "pt": ["o", "a", "de", "que", "e", "em", "um", "para"],
+}
+
+
+def tokens(col: str = "text"):
+    """Whitespace tokenization (the BPE-ish regex variant uses
+    ``\\w+|[^\\w\\s]`` — see token_count_bpe)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def with_token_counts(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subunit count (words and standalone
+    punctuation as separate tokens)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(col)).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(col)), r"\W+")).alias("n_word_units"),
+        F.length(col).alias("n_chars_measured"))
+
+
+def with_quality(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, alpha ratio, space ratio, mean word
+    length, plus a composite [0,1] score (heuristics published in pipeline
+    literature: length window + alpha density)."""
+    text = F.col(col)
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    spaces = F.length(F.regexp_replace(text, r"[^ ]", ""))
+    ntok = F.size(tokens(col))
+    alpha_ratio = F.round(alpha / n, 6)
+    mean_word_len = F.round((n - spaces) / ntok, 6)
+    length_ok = (n >= 20) & (n <= 10000)
+    score = F.round(
+        (F.when(length_ok, 0.4).otherwise(0.0)) +
+        0.4 * (alpha / n) +
+        (F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 0.2)
+         .otherwise(0.0)), 6)
+    return docs.select("doc_id", n.alias("n_chars_measured"),
+                       ntok.alias("n_tokens"),
+                       alpha_ratio.alias("alpha_ratio"),
+                       mean_word_len.alias("mean_word_len"),
+                       score.alias("quality_score"))
+
+
+def with_lang_scores(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Stopword-hit language-ID heuristic: per language, the fraction of
+    tokens that are language stopwords; predicted = argmax (ties -> lexical
+    order). Pure built-ins: array_intersect-free formulation via
+    aggregate over the token array."""
+    toks = tokens(col)
+    cols = [F.col("doc_id")]
+    for lang, sw in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in sw])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        cols.append(F.round(hits / F.size(toks), 6).alias(f"score_{lang}"))
+    scored = docs.select(*cols)
+    langs = sorted(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lo}") for lo in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lo}") == best, F.lit(lo)) for lo in langs])
+    return scored.withColumn("predicted_lang", pred)
+
+
+def with_fingerprints(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Document fingerprints: (a) md5 of the normalized text (exact-dup
+    key), (b) a rolling-hash min-fingerprint — the minimum 64-bit hash over
+    word 3-gram shingles (winnowing-style content signature)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+    toks = F.split(norm, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    n3 = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    min_rolling = F.array_min(F.transform(
+        n3, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5_fingerprint"),
+        min_rolling.alias("min_shingle_hash"))

@@ -1,0 +1,837 @@
+"""Driver-facing query registry: every implemented operator as a
+(spark, sf_dir) -> DataFrame callable plus, where ANSI-SQL-expressible, a
+DuckDB oracle string over the same tables (driver correctness gate).
+
+Conventions (driver compare = row count + schema + order-insensitive
+value hash over name-sorted columns):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- floats are rounded (6 dp for plain aggs; 3-4 dp for long float pipelines)
+  in BOTH engines so double-precision summation-order noise can't flip the
+  hash;
+- DuckDB integer sums are cast to BIGINT (DuckDB widens to HUGEINT).
+
+Tables: the driver's parquet tables (lineitem/events/documents/embeddings…)
+are referenced by view name; the engine's own clips fixture is referenced by
+absolute parquet path (generated deterministically at import, seed 42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .sources import generators as G
+
+CLIPS_SF001_GLOB = "/root/repo/data/sf0.01/clips/*.parquet"
+
+
+def clips_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    return spark.read.parquet(f"{d}/clips")
+
+
+def clips_ref_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    return spark.read.parquet(f"{d}/clips_ref")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# =========================================================================
+# clips validation checks (SURVEY §2.4 A1-A5, §2.2 P-ops, north_rule)
+# =========================================================================
+
+@register("clips_part_stats", f"""
+SELECT part,
+       CAST(count(*) AS BIGINT)                                  AS row_count,
+       ROUND(avg(dur_ms), 6)                                     AS dur_ms_mean,
+       ROUND(stddev_samp(dur_ms), 6)                             AS dur_ms_stddev,
+       CAST(min(sr_hz) AS INTEGER)                               AS sr_hz_min,
+       CAST(max(sr_hz) AS INTEGER)                               AS sr_hz_max,
+       ROUND(avg(CASE WHEN transcript IS NULL THEN 1.0 ELSE 0.0 END), 6)
+                                                                 AS transcript_null_rate
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY part
+""")
+def clips_part_stats(spark, sf_dir):
+    """Per-partition column stats — reference A5 regime summaries
+    (framework_detector.py:224-229) extended per north_rule."""
+    c = clips_df(spark, sf_dir)
+    return c.groupBy("part").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.round(F.avg("dur_ms"), 6).alias("dur_ms_mean"),
+        F.round(F.stddev_samp("dur_ms"), 6).alias("dur_ms_stddev"),
+        F.min("sr_hz").alias("sr_hz_min"),
+        F.max("sr_hz").alias("sr_hz_max"),
+        F.round(F.avg(F.when(F.col("transcript").isNull(), 1.0)
+                      .otherwise(0.0)), 6).alias("transcript_null_rate"))
+
+
+@register("clips_null_rate_check", f"""
+SELECT part,
+       ROUND(avg(CASE WHEN transcript IS NULL THEN 1.0 ELSE 0.0 END), 6)
+           AS null_rate,
+       avg(CASE WHEN transcript IS NULL THEN 1.0 ELSE 0.0 END) <= 0.005
+           AS passed
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY part
+""")
+def clips_null_rate_check(spark, sf_dir):
+    c = clips_df(spark, sf_dir)
+    nr = F.avg(F.when(F.col("transcript").isNull(), 1.0).otherwise(0.0))
+    return c.groupBy("part").agg(
+        F.round(nr, 6).alias("null_rate"),
+        (nr <= F.lit(0.005)).alias("passed"))
+
+
+@register("clips_uniqueness_exact", f"""
+SELECT part,
+       CAST(count(*) AS BIGINT)                 AS row_count,
+       CAST(count(DISTINCT clip_id) AS BIGINT)  AS exact_distinct,
+       count(DISTINCT clip_id) = count(*)       AS passed
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY part
+""")
+def clips_uniqueness_exact(spark, sf_dir):
+    c = clips_df(spark, sf_dir)
+    return c.groupBy("part").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.count_distinct("clip_id").alias("exact_distinct"),
+        (F.count_distinct("clip_id") == F.count(F.lit(1))).alias("passed"))
+
+
+@register("clips_global_distinct", f"""
+SELECT CAST(count(DISTINCT clip_id) AS BIGINT) AS global_distinct,
+       CAST(count(*) AS BIGINT)                AS global_rows
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+""")
+def clips_global_distinct(spark, sf_dir):
+    c = clips_df(spark, sf_dir)
+    return c.agg(F.count_distinct("clip_id").alias("global_distinct"),
+                 F.count(F.lit(1)).alias("global_rows"))
+
+
+@register("clips_referential_violations", f"""
+SELECT clip_id, codec AS observed, part
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+WHERE codec NOT IN ('pcm_s16le', 'mulaw', 'alaw')
+""")
+def clips_referential_violations(spark, sf_dir):
+    """Broadcast-hash anti-join vs the allowed-codec dim (north_rule J1)."""
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    c = clips_df(spark, sf_dir)
+    dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
+    return (c.join(F.broadcast(dim.select("codec")), "codec", "left_anti")
+            .select("clip_id", F.col("codec").alias("observed"), "part"))
+
+
+@register("clips_duplicate_violations", f"""
+WITH occ AS (
+  SELECT clip_id, part, rid,
+         count(*)    OVER (PARTITION BY part, clip_id) AS occurrences,
+         row_number() OVER (PARTITION BY part, clip_id ORDER BY rid) AS rk
+  FROM read_parquet('{CLIPS_SF001_GLOB}'))
+SELECT clip_id, part, CAST(occurrences AS BIGINT) AS occurrences
+FROM occ WHERE occurrences > 1 AND rk > 1
+""")
+def clips_duplicate_violations(spark, sf_dir):
+    c = clips_df(spark, sf_dir)
+    w = Window.partitionBy("part", "clip_id")
+    wr = w.orderBy("rid")
+    return (c.select("clip_id", "part",
+                     F.count(F.lit(1)).over(w).alias("occurrences"),
+                     F.row_number().over(wr).alias("rk"))
+            .filter((F.col("occurrences") > 1) & (F.col("rk") > 1))
+            .select("clip_id", "part", "occurrences"))
+
+
+@register("clips_sr_range_violations", f"""
+SELECT clip_id, CAST(sr_hz AS INTEGER) AS sr_hz, part
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+WHERE sr_hz < 8000 OR sr_hz > 48000
+""")
+def clips_sr_range_violations(spark, sf_dir):
+    c = clips_df(spark, sf_dir)
+    return (c.filter((F.col("sr_hz") < 8000) | (F.col("sr_hz") > 48000))
+            .select("clip_id", "sr_hz", "part"))
+
+
+@register("clips_dur_histogram", f"""
+SELECT part,
+       CAST(least(greatest(floor(dur_ms / 100.0), 0), 39) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+GROUP BY 1, 2
+""")
+def clips_dur_histogram(spark, sf_dir):
+    """Fixed-width histogram — the O(bins) shuffle unit of the drift check."""
+    c = clips_df(spark, sf_dir)
+    b = F.least(F.greatest(F.floor(F.col("dur_ms") / 100.0), F.lit(0)),
+                F.lit(39)).cast("int")
+    return c.groupBy("part", b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+@register("clips_psi_drift", f"""
+WITH hist AS (
+  SELECT part,
+         CAST(least(greatest(floor(dur_ms / 100.0), 0), 39) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY 1, 2),
+bins AS (SELECT unnest(generate_series(0, 39)) AS bin),
+parts AS (SELECT DISTINCT part FROM hist),
+base AS (SELECT bin, sum(cnt) AS bcnt FROM hist WHERE part IN (0,1,2,3) GROUP BY bin),
+btot AS (SELECT sum(bcnt) AS btot FROM base),
+tot AS (SELECT part, sum(cnt) AS tot FROM hist GROUP BY part),
+grid AS (
+  SELECT p.part, b.bin,
+         COALESCE(h.cnt, 0) * 1.0 / t.tot   AS p,
+         COALESCE(ba.bcnt, 0) * 1.0 / bt.btot AS b
+  FROM parts p CROSS JOIN bins b
+  LEFT JOIN hist h ON h.part = p.part AND h.bin = b.bin
+  LEFT JOIN base ba ON ba.bin = b.bin
+  JOIN tot t ON t.part = p.part
+  CROSS JOIN btot bt)
+SELECT part,
+       ROUND(sum((p + 1e-6 - (b + 1e-6)) * ln((p + 1e-6) / (b + 1e-6))), 3)
+           AS psi
+FROM grid GROUP BY part
+""")
+def clips_psi_drift(spark, sf_dir):
+    """PSI vs baseline partitions p0-p3 (north_rule drift score)."""
+    from .operators import drift_dist
+    c = clips_df(spark, sf_dir)
+    return (drift_dist.drift_scores(c, "dur_ms", round_to=3)
+            .select("part", "psi"))
+
+
+@register("clips_dur_quantiles", f"""
+SELECT part,
+       ROUND(quantile_cont(dur_ms, 0.25), 6) AS p25,
+       ROUND(quantile_cont(dur_ms, 0.50), 6) AS p50,
+       ROUND(quantile_cont(dur_ms, 0.95), 6) AS p95
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY part
+""")
+def clips_dur_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (the KLL path is the scale variant,
+    checked separately as approximate)."""
+    c = clips_df(spark, sf_dir)
+    return c.groupBy("part").agg(
+        F.round(F.expr("percentile(dur_ms, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(dur_ms, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(dur_ms, 0.95)"), 6).alias("p95"))
+
+
+@register("clips_codec_skew", f"""
+SELECT codec, CAST(count(*) AS BIGINT) AS cnt,
+       ROUND(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY codec
+""")
+def clips_codec_skew(spark, sf_dir):
+    """Hot-key profile driving the salting decision (80% pcm_s16le)."""
+    c = clips_df(spark, sf_dir)
+    w = Window.partitionBy()
+    return (c.groupBy("codec").agg(F.count(F.lit(1)).alias("cnt"))
+            .select("codec", "cnt",
+                    F.round(F.col("cnt") / F.sum("cnt").over(w), 6)
+                    .alias("frac")))
+
+
+@register("clips_len_consistency", f"""
+SELECT part,
+       CAST(sum(CASE WHEN octet_length(bytes) =
+             CASE codec WHEN 'mulaw' THEN 1 WHEN 'alaw' THEN 1 ELSE 2 END
+             * round(dur_ms * {G.STORE_RATE} / 1000.0)
+           THEN 0 ELSE 1 END) AS BIGINT) AS len_mismatches
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY part
+""")
+def clips_len_consistency(spark, sf_dir):
+    """Byte-length vs duration consistency WITHOUT decoding (pure column
+    math: G.711 = 1 byte/sample, s16le = 2) — the cheap screen before the
+    decode invariant."""
+    c = clips_df(spark, sf_dir)
+    bps = F.when(F.col("codec").isin("mulaw", "alaw"), 1).otherwise(2)
+    expected = bps * F.round(F.col("dur_ms") * G.STORE_RATE / 1000.0)
+    bad = F.when(F.length("bytes") == expected, 0).otherwise(1)
+    return c.groupBy("part").agg(F.sum(bad).alias("len_mismatches"))
+
+
+# =========================================================================
+# reference operator mappings over the driver tables (SURVEY §2 P/A/W/O ops)
+# =========================================================================
+
+@register("lineitem_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity), 4)                    AS sum_qty,
+       ROUND(sum(l_extendedprice), 4)               AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(avg(l_quantity), 6)                    AS avg_qty,
+       ROUND(avg(l_discount), 6)                    AS avg_disc,
+       CAST(count(*) AS BIGINT)                     AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def lineitem_pricing_summary(spark, sf_dir):
+    """Grouped multi-aggregate (reference A2/A10 windowed-metrics shape) —
+    the canonical partial-agg + single-shuffle plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"))
+
+
+@register("events_znorm_params", """
+SELECT event_type,
+       ROUND(avg(value), 6)        AS mu,
+       ROUND(stddev_pop(value), 6) AS sigma,
+       CAST(count(*) AS BIGINT)    AS n
+FROM events GROUP BY event_type
+""")
+def events_znorm_params(spark, sf_dir):
+    """Full-series z-normalization 'fit' (reference P2,
+    SeriesProcessor.py:45-66 fits on the ENTIRE series before transforming)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_pop("value"), 6).alias("sigma"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@register("events_znorm_rows", """
+WITH params AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, ROUND((e.value - p.mu) / p.sigma, 4) AS z
+FROM events e JOIN params p USING (event_type)
+WHERE e.event_id < 500
+""")
+def events_znorm_rows(spark, sf_dir):
+    """The 'transform' half of P2 as a projection against group stats."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return (e.select("event_id",
+                     F.round((F.col("value") - F.avg("value").over(w)) /
+                             F.stddev_pop("value").over(w), 4).alias("z"))
+            .filter(F.col("event_id") < 500))
+
+
+@register("events_lag_features", """
+SELECT event_id, user_id,
+       lag(value, 1) OVER w AS lag1,
+       lag(value, 2) OVER w AS lag2,
+       lag(value, 3) OVER w AS lag3,
+       lag(value, 4) OVER w AS lag4,
+       lag(value, 5) OVER w AS lag5,
+       value AS label
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(value, 5) OVER w IS NOT NULL
+""")
+def events_lag_features(spark, sf_dir):
+    """Lag-window featurization — reference P1 ``criar_janela_temporal``
+    (SeriesProcessor.py:27-42), lags=5."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = [F.lag("value", k).over(w).alias(f"lag{k}") for k in range(1, 6)]
+    return (e.select("event_id", "user_id", *cols,
+                     F.col("value").alias("label"))
+            .filter(F.col("lag5").isNotNull()))
+
+
+@register("events_trailing_ma_slope", """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+  FROM events WHERE user_id < 20)
+SELECT event_id, user_id,
+       ROUND(ma, 6) AS ma5,
+       ROUND(ma - lag(ma, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id), 6) AS slope
+FROM t
+""")
+def events_trailing_ma_slope(spark, sf_dir):
+    """Trend decomposition — reference A9 ``_adicionar_decomposicao``
+    (StreamProcessor.py:86-110): trailing 5-row mean + one-step slope."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ma = F.avg("value").over(w.rowsBetween(-4, 0))
+    return e.select("event_id", "user_id",
+                    F.round(ma, 6).alias("ma5"),
+                    F.round(ma - F.lag(ma, 1).over(w), 6).alias("slope"))
+
+
+@register("events_topk_by_type", """
+SELECT event_type, event_id, value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM events) t
+WHERE rk <= 3
+""")
+def events_topk_by_type(spark, sf_dir):
+    """Top-k by key — reference O1/W4 top-3 models by window MSE
+    (standard_prediction_strategy.py:22-23)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (e.select("event_type", "event_id", "value",
+                     F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3).drop("rk"))
+
+
+@register("events_mean_gap_between_errors", """
+SELECT user_id,
+       ROUND(avg(gap), 6) AS mean_gap, CAST(count(*) AS BIGINT) AS n_gaps
+FROM (SELECT user_id,
+             event_id - lag(event_id) OVER (PARTITION BY user_id
+                                            ORDER BY event_id) AS gap
+      FROM events WHERE event_type = 'error') t
+WHERE gap IS NOT NULL
+GROUP BY user_id
+""")
+def events_mean_gap_between_errors(spark, sf_dir):
+    """Mean inter-detection interval — reference A12 (Visualizer.py:249-251)
+    over drift points; here over 'error' events per stream."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gaps = e.select("user_id",
+                    (F.col("event_id") - F.lag("event_id").over(w))
+                    .alias("gap")).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.round(F.avg("gap"), 6).alias("mean_gap"),
+        F.count(F.lit(1)).alias("n_gaps"))
+
+
+@register("events_temporal_holdout", """
+SELECT CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END)
+            AS BIGINT) AS train_rows,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END)
+            AS BIGINT) AS test_rows,
+       ROUND(avg(CASE WHEN ts < TIMESTAMP '2024-01-22' THEN value END), 6)
+            AS train_mean,
+       ROUND(avg(CASE WHEN ts >= TIMESTAMP '2024-01-22' THEN value END), 6)
+            AS test_mean
+FROM events
+""")
+def events_temporal_holdout(spark, sf_dir):
+    """Ordered prefix/suffix split — reference O4 temporal holdout
+    (Optimizer.py:89-95): never randomSplit, order is semantic."""
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22").cast("timestamp")
+    is_train = F.col("ts") < cut
+    return e.agg(
+        F.sum(F.when(is_train, 1).otherwise(0)).alias("train_rows"),
+        F.sum(F.when(~is_train, 1).otherwise(0)).alias("test_rows"),
+        F.round(F.avg(F.when(is_train, F.col("value"))), 6).alias("train_mean"),
+        F.round(F.avg(F.when(~is_train, F.col("value"))), 6).alias("test_mean"))
+
+
+# -------------------------------------------------------------------------
+# SQL-expressible detector monitors over the drift streams (no-reset form;
+# the full reset semantics live in the applyInPandas kernels)
+# -------------------------------------------------------------------------
+
+DRIFT_STREAMS_SF001 = "/root/repo/data/sf0.01/drift_streams.parquet"
+
+
+@register("ph_sql_monitor", f"""
+WITH t AS (
+  SELECT stream_id, seq, err,
+         avg(err) OVER w AS run_mean,
+         row_number() OVER w AS i
+  FROM read_parquet('{DRIFT_STREAMS_SF001}') WINDOW w AS
+    (PARTITION BY stream_id ORDER BY seq
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT stream_id, seq, i,
+         sum(err - run_mean - 0.005) OVER w AS m_t
+  FROM t WINDOW w AS
+    (PARTITION BY stream_id ORDER BY seq
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT stream_id, seq,
+       ROUND(m_t - min(m_t) OVER w, 6) AS ph
+FROM m WINDOW w AS
+  (PARTITION BY stream_id ORDER BY seq
+   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+QUALIFY seq % 100 = 99
+""")
+def ph_sql_monitor(spark, sf_dir):
+    """Page-Hinkley cumulative statistic (alpha=1, no reset) as pure window
+    functions — the declarative scale path for PH scoring; sampled every
+    100th seq (reference T5 periodic triggers, StreamProcessor.py:145)."""
+    G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    s = spark.read.parquet(
+        f"{G.fixture_dir(G.sf_label_from_dir(sf_dir))}/drift_streams.parquet")
+    w = Window.partitionBy("stream_id").orderBy("seq") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    t = s.select("stream_id", "seq", "err",
+                 F.avg("err").over(w).alias("run_mean"))
+    m = t.select("stream_id", "seq",
+                 F.sum(F.col("err") - F.col("run_mean") - 0.005).over(w)
+                 .alias("m_t"))
+    return (m.select("stream_id", "seq",
+                     F.round(F.col("m_t") - F.min("m_t").over(w), 6)
+                     .alias("ph"))
+            .filter(F.col("seq") % 100 == 99))
+
+
+@register("ddm_sql_monitor", f"""
+WITH t AS (
+  SELECT stream_id, seq,
+         CASE WHEN err > 0.05 THEN 1.0 ELSE 0.0 END AS b,
+         row_number() OVER (PARTITION BY stream_id ORDER BY seq) AS i
+  FROM read_parquet('{DRIFT_STREAMS_SF001}')),
+p AS (
+  SELECT stream_id, seq, i,
+         avg(b) OVER w AS p_i
+  FROM t WINDOW w AS (PARTITION BY stream_id ORDER BY seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT stream_id, seq, i, p_i,
+         sqrt(p_i * (1 - p_i) / i) AS s_i
+  FROM p)
+SELECT stream_id, seq,
+       ROUND(p_i, 6) AS p_i, ROUND(s_i, 6) AS s_i,
+       ROUND(p_i + s_i - min(p_i + s_i) OVER w, 6) AS ddm_score
+FROM s WINDOW w AS (PARTITION BY stream_id ORDER BY seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+QUALIFY seq % 100 = 99
+""")
+def ddm_sql_monitor(spark, sf_dir):
+    """DDM error-rate statistic (binarized at the reference's 0.05,
+    DDMDetector.py:5) as window functions; score = (p+s) above its running
+    minimum — the declarative no-reset monitor."""
+    G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    s = spark.read.parquet(
+        f"{G.fixture_dir(G.sf_label_from_dir(sf_dir))}/drift_streams.parquet")
+    w = Window.partitionBy("stream_id").orderBy("seq") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wo = Window.partitionBy("stream_id").orderBy("seq")
+    t = s.select("stream_id", "seq",
+                 F.when(F.col("err") > 0.05, 1.0).otherwise(0.0).alias("b"),
+                 F.row_number().over(wo).alias("i"))
+    p = t.select("stream_id", "seq", "i", F.avg("b").over(w).alias("p_i"))
+    sdf = p.select("stream_id", "seq", "i", "p_i",
+                   F.sqrt(F.col("p_i") * (1 - F.col("p_i")) / F.col("i"))
+                   .alias("s_i"))
+    ps = F.col("p_i") + F.col("s_i")
+    return (sdf.select("stream_id", "seq",
+                       F.round("p_i", 6).alias("p_i"),
+                       F.round("s_i", 6).alias("s_i"),
+                       F.round(ps - F.min(ps).over(w), 6).alias("ddm_score"))
+            .filter(F.col("seq") % 100 == 99))
+
+
+# =========================================================================
+# training-data pipeline ops: text analysis / dedup / similarity
+# =========================================================================
+
+from .operators import dedup as D  # noqa: E402
+from .operators import similarity as S  # noqa: E402
+from .operators import text as T  # noqa: E402
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+_RAW_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@register("doc_token_counts", f"""
+SELECT doc_id,
+       CAST(len({_RAW_TOKS_SQL}) AS INTEGER) AS n_tokens,
+       CAST(len(string_split_regex(trim(text), '\\W+')) AS INTEGER)
+           AS n_word_units,
+       CAST(length(text) AS INTEGER) AS n_chars_measured
+FROM documents
+""")
+def doc_token_counts(spark, sf_dir):
+    return T.with_token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_quality", f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       CAST(len({_RAW_TOKS_SQL}) AS INTEGER) AS n_tokens,
+       ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / length(text), 6) AS alpha_ratio,
+       ROUND((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+             * 1.0 / len({_RAW_TOKS_SQL}), 6) AS mean_word_len,
+       ROUND(CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 0.4 ELSE 0.0 END
+           + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                    / length(text))
+           + CASE WHEN ROUND((length(text) - length(regexp_replace(text,
+                    '[^ ]', '', 'g'))) * 1.0 / len({_RAW_TOKS_SQL}), 6)
+                  BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END, 6)
+           AS quality_score
+FROM documents
+""")
+def doc_quality(spark, sf_dir):
+    return T.with_quality(_t(spark, sf_dir, "documents"))
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang, sw in sorted(T.LANG_STOPWORDS.items()):
+        lst = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+        cols.append(
+            f"ROUND(len(list_filter({_RAW_TOKS_SQL}, x -> "
+            f"list_contains({lst}, x))) * 1.0 / len({_RAW_TOKS_SQL}), 6) "
+            f"AS score_{lang}")
+    langs = sorted(T.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"score_{lo}" for lo in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lo} = {best} THEN '{lo}'" for lo in langs) + " END"
+    return (f"WITH s AS (SELECT doc_id, {', '.join(cols)} FROM documents) "
+            f"SELECT s.*, {pred} AS predicted_lang FROM s")
+
+
+@register("doc_lang_scores", _lang_scores_sql())
+def doc_lang_scores(spark, sf_dir):
+    return T.with_lang_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, {_NORM_SQL} AS norm
+           FROM documents)
+SELECT doc_id,
+       md5(norm) AS md5_fingerprint,
+       list_min(list_transform(
+         generate_series(0, greatest(len(toks) - 3, 0)),
+         i -> CAST(('0x' || substr(md5(array_to_string(
+                list_slice(toks, i + 1, i + 3), ' ')), 1, 15)) AS BIGINT)))
+           AS min_shingle_hash
+FROM t
+""")
+def doc_fingerprints(spark, sf_dir):
+    return T.with_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_exact_dup_groups", f"""
+SELECT md5({_NORM_SQL}) AS digest,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""")
+def doc_exact_dup_groups(spark, sf_dir):
+    return (D.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+            .select("digest", "n_docs", "canonical_doc_id"))
+
+
+def _shingles_sql() -> str:
+    return (f"list_distinct(list_transform("
+            f"generate_series(0, greatest(len({_TOKS_SQL}) - 3, 0)), "
+            f"i -> array_to_string(list_slice({_TOKS_SQL}, i + 1, i + 3), ' ')))")
+
+
+@register("doc_minhash_h0", f"""
+SELECT doc_id,
+       list_min(list_transform({_shingles_sql()},
+         s -> CAST(('0x' || substr(md5('s0:' || s), 1, 15)) AS BIGINT)))
+           AS minhash_0
+FROM documents
+""")
+def doc_minhash_h0(spark, sf_dir):
+    """First MinHash component — cross-engine check of the whole
+    shingle->seeded-hash->min pipeline (the other 15 components use the
+    same code path with a different seed prefix)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=1)
+    return sig.select("doc_id",
+                      F.element_at("minhash", 1).alias("minhash_0"))
+
+
+@register("doc_jaccard_high_pairs", f"""
+WITH sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(sa, sb)) * 1.0 /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+FROM pairs
+WHERE len(list_intersect(sa, sb)) * 1.0 /
+      (len(sa) + len(sb) - len(list_intersect(sa, sb))) >= 0.2
+""")
+def doc_jaccard_high_pairs(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard above threshold (correctness baseline
+    for the LSH pipeline; O(n^2) is oracle-scale only)."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (ids.alias("a").crossJoin(ids.alias("b"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    return D.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.2)
+
+
+@register("doc_simhash_sample", None)  # oracle generated below
+def doc_simhash_sample(spark, sf_dir):
+    """64-bit SimHash for a doc subset (full-width bit math cross-checked
+    in SQL)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return D.simhash(docs)
+
+
+def _simhash_sql() -> str:
+    toks = _TOKS_SQL
+    h = ("CAST(('0x' || substr(md5('s777:' || t), 1, 15)) AS BIGINT)")
+    terms = []
+    for i in range(64):
+        bit = (f"list_sum(list_transform({toks}, t -> CASE WHEN "
+               f"(({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END))")
+        weight = (1 << i) if i < 63 else -(1 << 63)  # two's complement
+        terms.append(f"CASE WHEN {bit} > 0 THEN CAST({weight} AS BIGINT) "
+                     f"ELSE 0 END")
+    return (f"SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash "
+            f"FROM documents WHERE doc_id < 50")
+
+
+ORACLES["doc_simhash_sample"] = _simhash_sql()
+
+
+@register("emb_knn_bruteforce", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         ROUND(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.v, e.v))), 4) AS cosine
+  FROM q, e WHERE e.vec_id <> q.query_id)
+SELECT query_id, nbr_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id) AS rank
+      FROM scored) t
+WHERE rank <= 5
+""")
+def emb_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for the first 10 query vectors (ANN correctness
+    baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, q, k=5)
+
+
+@register("emb_near_dups", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.8
+""")
+def emb_near_dups(spark, sf_dir):
+    return D.embedding_near_duplicates(_t(spark, sf_dir, "embeddings"),
+                                       threshold=0.8)
+
+
+@register("emb_lsh_knn")  # approximate: rows-only driver check; recall
+def emb_lsh_knn(spark, sf_dir):  # asserted vs brute force in tests
+    return S.hyperplane_lsh_neighbors(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@register("doc_minhash_lsh_dups")  # approximate: rows-only driver check
+def doc_minhash_lsh_dups(spark, sf_dir):
+    return D.minhash_near_duplicates(_t(spark, sf_dir, "documents"),
+                                     threshold=0.2, num_hashes=16, bands=8)
+
+
+@register("doc_simhash_near_dups")  # rows-only driver check
+def doc_simhash_near_dups(spark, sf_dir):
+    return D.simhash_near_duplicates(_t(spark, sf_dir, "documents"),
+                                     max_hamming=10)
+
+
+# =========================================================================
+# non-SQL-expressible operators (driver records rows-only checks)
+# =========================================================================
+
+@register("detector_flags")  # sequential stateful kernels: no SQL equivalent
+def detector_flags(spark, sf_dir):
+    """Full 8-detector suite over the concept-drift streams via the
+    applyInPandas kernels (golden-pinned in tests/golden/)."""
+    from .operators.detectors import kernels
+    G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    s = spark.read.parquet(
+        f"{G.fixture_dir(G.sf_label_from_dir(sf_dir))}/drift_streams.parquet")
+    return kernels.detections_only(kernels.detect(s))
+
+
+@register("clips_kll_quantiles")  # approximate sketch: rows-only check
+def clips_kll_quantiles(spark, sf_dir):
+    """Per-codec dur_ms quantiles from SALTED two-phase KLL sketches (the
+    skew path; accuracy asserted vs exact in tests)."""
+    from .operators import sketch_agg
+    c = clips_df(spark, sf_dir)
+    pdf = sketch_agg.group_quantiles(c, "codec", "dur_ms", n_salts=8)
+    return spark.createDataFrame(pdf)
+
+
+@register("clips_hll_uniqueness")  # approximate sketch: rows-only check
+def clips_hll_uniqueness(spark, sf_dir):
+    """Per-partition HLL estimate + global two-phase union (datasketches
+    built-ins; exactness bounds asserted in tests)."""
+    from .operators import uniqueness
+    c = clips_df(spark, sf_dir)
+    per = c.groupBy("part").agg(
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg(clip_id, "
+               f"{uniqueness.LG_K}))").alias("hll_estimate"))
+    return per.orderBy("part")
+
+
+@register("clips_invariant_results")  # audio decode: no SQL equivalent
+def clips_invariant_results(spark, sf_dir):
+    """Per-partition decoded-PCM SNR + transcript-equality invariant
+    (input_hint) — aggregated pass/fail per partition."""
+    from .operators import invariant
+    c = clips_df(spark, sf_dir)
+    r = clips_ref_df(spark, sf_dir)
+    return invariant.invariant_verdicts(c, r)
+
+
+@register("clips_audio_features")  # audio decode: no SQL equivalent
+def clips_audio_features(spark, sf_dir):
+    """Multimodal feature extraction (rms/zcr/spectral centroid) over the
+    binary audio column, aggregated per partition."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir)
+    f = multimodal.audio_features(c)
+    return f.groupBy("part").agg(
+        F.round(F.avg("rms"), 6).alias("rms_mean"),
+        F.round(F.avg("zcr"), 6).alias("zcr_mean"),
+        F.round(F.avg("spectral_centroid_hz"), 3).alias("centroid_mean"),
+        F.count(F.lit(1)).alias("n"))
+
+
+@register("clips_validation_verdicts")  # composite runner output: rows-only
+def clips_validation_verdicts(spark, sf_dir):
+    """The flagship composite: full check-suite verdict matrix."""
+    from .operators import drift_dist, referential, stats, uniqueness
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    c = spark.read.parquet(f"{d}/clips")
+    dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
+    st = stats.partition_column_stats(c)
+    return (stats.null_rate_verdicts(st)
+            .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
+            .unionByName(uniqueness.uniqueness_verdicts(c))
+            .unionByName(referential.referential_verdicts(c, dim))
+            .unionByName(drift_dist.drift_verdicts(c)))

@@ -1,0 +1,218 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, salted sketch aggregation, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from drift_detection_pibic___framework_spark.operators import (
+    dedup, multimodal, similarity, sketch_agg, text)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# -- exact dedup ----------------------------------------------------------
+
+def test_exact_dedup_finds_injected_dups(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dups = docs.unionByName(dup)
+    groups = dedup.exact_duplicate_groups(with_dups).collect()
+    assert len(groups) == 3
+    for g in groups:
+        assert g["n_docs"] == 2
+        assert g["canonical_doc_id"] == min(g["doc_ids"])
+
+
+def test_exact_dedup_normalizes_whitespace(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=1, text="hello   world"),
+        Row(doc_id=2, text="  hello world  "),
+        Row(doc_id=3, text="HELLO WORLD"),
+        Row(doc_id=4, text="different"),
+    ])
+    g = dedup.exact_duplicate_groups(d).collect()
+    assert len(g) == 1 and sorted(g[0]["doc_ids"]) == [1, 2, 3]
+
+
+# -- minhash / LSH ---------------------------------------------------------
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = dedup.minhash_signatures(docs.limit(20)).collect()
+    b = dedup.minhash_signatures(docs.limit(20)).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """Every exact-Jaccard>=0.5 pair must be recovered by the LSH pipeline
+    (16 hashes x 8 bands => catch prob ~1 at j>=0.5)."""
+    base = docs.limit(40)
+    near = (base.limit(6)
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extra tail word"))))
+    d = base.unionByName(near)
+    found = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.minhash_near_duplicates(
+                 d, threshold=0.5, num_hashes=16, bands=8).collect()}
+    ids = d.select("doc_id")
+    pairs = (ids.alias("a").crossJoin(ids.alias("b"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             dedup.jaccard_pairs(d, pairs).filter("jaccard >= 0.5").collect()}
+    assert exact, "fixture must contain near-dup pairs"
+    assert exact <= found
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f"),
+        Row(doc_id=2, text="a b c d e f"),
+        Row(doc_id=3, text="x y z w q r")])
+    pairs = spark.createDataFrame([Row(doc_a=1, doc_b=2), Row(doc_a=1, doc_b=3)])
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.jaccard_pairs(d, pairs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 3)] == 0.0
+
+
+# -- simhash ---------------------------------------------------------------
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"w{i}" for i in range(60))),
+        Row(doc_id=2, text=" ".join(f"w{i}" for i in range(59)) + " tail"),
+        Row(doc_id=3, text=" ".join(f"zz{i}" for i in range(60)))])
+    pairs = dedup.simhash_near_duplicates(d, max_hamming=16).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert (1, 2) in got
+    assert got[(1, 2)] <= 10
+    assert (1, 3) not in got
+
+
+# -- similarity search -----------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    got = similarity.brute_force_topk(
+        emb, emb.filter("vec_id < 3"), k=4).toPandas()
+    pdf = emb.toPandas()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    for q in range(3):
+        qi = np.where(ids == q)[0][0]
+        cos = V @ V[qi] / (np.linalg.norm(V, axis=1) * np.linalg.norm(V[qi]))
+        cos_r = np.round(cos, 4)
+        order = sorted([(float(-cos_r[i]), int(ids[i])) for i in range(len(ids))
+                        if ids[i] != q])[:4]
+        want = [i for _, i in order]
+        have = got[got.query_id == q].sort_values("rank")["nbr_id"].tolist()
+        assert have == want, q
+
+
+def test_lsh_knn_recall(spark, emb):
+    """Multi-probe hyperplane LSH must recover >= 60% of true top-5
+    neighbors on the fixture (recall measured, not assumed)."""
+    exact = similarity.brute_force_topk(emb, emb, k=5).toPandas()
+    approx = similarity.hyperplane_lsh_neighbors(emb, k=5).toPandas()
+    e = {(r.query_id, r.nbr_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.nbr_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+
+
+# -- text ops --------------------------------------------------------------
+
+def test_token_counts_simple(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="  one two  three ")])
+    r = text.with_token_counts(d).collect()[0]
+    assert r["n_tokens"] == 3
+
+
+def test_quality_score_bounds(spark, docs):
+    q = text.with_quality(docs).toPandas()
+    assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+    assert ((q["alpha_ratio"] >= 0) & (q["alpha_ratio"] <= 1)).all()
+
+
+def test_lang_scores_pick_stopword_language(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=1, text="the cat and the dog of the house is it"),
+        Row(doc_id=2, text="el perro y la casa de que un es en dia")])
+    out = {r["doc_id"]: r["predicted_lang"]
+           for r in text.with_lang_scores(d).collect()}
+    assert out[1] == "en" and out[2] == "es"
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=1, text="alpha  beta\tgamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta")])
+    fp = text.with_fingerprints(d).collect()
+    assert fp[0]["md5_fingerprint"] == fp[1]["md5_fingerprint"]
+    assert fp[0]["min_shingle_hash"] == fp[1]["min_shingle_hash"]
+
+
+# -- salted sketches -------------------------------------------------------
+
+def test_salted_equals_unsalted(spark, clips):
+    """Property: salting must not change the merged sketch's estimates
+    (merge is order-insensitive up to compaction randomness — quantiles
+    agree within sketch tolerance, n exactly)."""
+    salted = sketch_agg.salted_group_kll(clips, "codec", "dur_ms", n_salts=8)
+    plain = sketch_agg.unsalted_group_kll(clips, "codec", "dur_ms")
+    assert set(salted) == set(plain)
+    for k in salted:
+        assert salted[k].n == plain[k].n
+        qs = np.array([0.25, 0.5, 0.75])
+        a, b = salted[k].quantile(qs), plain[k].quantile(qs)
+        assert np.all(np.abs(a - b) / np.maximum(b, 1) < 0.05), k
+
+
+def test_salted_kll_accuracy_vs_exact(spark, clips, duck):
+    got = sketch_agg.group_quantiles(clips, "codec", "dur_ms")
+    want = duck.sql("""
+        select codec, quantile_disc(dur_ms, 0.5) p50 from clips
+        group by codec""").df().set_index("codec")["p50"]
+    for _, r in got.iterrows():
+        assert abs(r["p50"] - want[r["key"]]) / want[r["key"]] < 0.05
+
+
+def test_tree_aggregate_kll(spark, clips, duck):
+    sk = sketch_agg.tree_aggregate_kll(clips, "dur_ms")
+    exact = duck.sql("select quantile_disc(dur_ms, 0.5), count(*) from clips").fetchone()
+    assert sk.n == exact[1]
+    assert abs(sk.quantile(0.5) - exact[0]) / exact[0] < 0.05
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_audio_features_shapes_and_ranges(spark, clips):
+    f = multimodal.audio_features(clips.filter("part = 0")).toPandas()
+    assert len(f) == clips.filter("part = 0").count()
+    assert ((f["rms"] > 0.1) & (f["rms"] < 0.4)).all()      # 0.3 sine + noise
+    assert (f["spectral_centroid_hz"] > 0).all()
+    assert (f["spectral_centroid_hz"] <= 1000).all()        # store rate/2
+
+
+def test_image_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", "png")
+    fake = multimodal.decode_image_fake(b"\x01" * 300, "png")
+    assert fake.shape == (8, 8, 3) and fake.dtype == np.uint8
+
+
+def test_frame_sampling_shape():
+    pcm = np.arange(1000, dtype=np.int16)
+    frames = multimodal.frame_sample(pcm, frame_len=100, every_k=2)
+    assert frames.shape == (5, 100)
+    assert frames[0][0] == 0 and frames[1][0] == 200
