@@ -84,20 +84,24 @@ def minhash_signatures(docs: DataFrame, col: str = "text",
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """Band the signature, bucket-join on (band_idx, band_hash): docs sharing
     any band become candidate pairs (a < b). The join is equi on the bucket
-    key — no cross join anywhere."""
-    n = None  # rows per band derived from signature length at plan time
+    key — no cross join anywhere.
+
+    The banded view is computed in ONE projection from the signature column
+    (band hash over an array slice) and persisted before the self-join —
+    otherwise Catalyst inlines the whole signature expression tree on both
+    join sides and analysis/codegen time explodes."""
     sig_len = F.size(F.col("minhash"))
     rows_per_band = (sig_len / bands).cast("int")
-    banded = signatures.select(
+    banded = (signatures.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
-    banded = banded.join(signatures, "doc_id").select(
-        "doc_id", "band",
-        F.md5(F.concat_ws(",", F.transform(
-            F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1,
-                    rows_per_band), lambda x: x.cast("string"))))
-        .alias("band_hash"))
-    _ = n
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("minhash"))
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1,
+                        rows_per_band), lambda x: x.cast("string"))))
+            .alias("band_hash"))).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, ["band", "band_hash"])
@@ -110,8 +114,9 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, col: str = "text",
                   k: int = 3) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage):
-    |A ∩ B| / |A ∪ B| over distinct word-k-gram shingles."""
-    sh = docs.select("doc_id", word_shingles(col, k).alias("sh"))
+    |A ∩ B| / |A ∪ B| over distinct word-k-gram shingles. The shingle table
+    is persisted — it is referenced on both sides of the pair join."""
+    sh = docs.select("doc_id", word_shingles(col, k).alias("sh")).persist()
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("doc_a"),
                          F.col("sh").alias("sh_a")), "doc_a")

@@ -86,6 +86,93 @@ def invariant_results(clips: DataFrame, clips_ref: DataFrame,
     return joined.mapInPandas(gen, RESULT_SCHEMA)
 
 
+def invariant_results_colocated(clips: DataFrame, ref_dir: str,
+                                store_rate: int = STORE_RATE) -> DataFrame:
+    """Zero-shuffle variant: ``clips_ref`` is stored co-partitioned with
+    ``clips`` (same part -> same file layout — the Iceberg identity-partition
+    / bucketed-table contract), so instead of a SortMergeJoin that shuffles
+    BOTH binary payloads, the kernel loads the matching ref partition
+    file(s) directly and aligns on rid in memory.
+
+    At production scale this is the bucketed-join elimination: both tables
+    bucketed by rid -> join requires no exchange. Here the executor-side
+    pyarrow read plays the bucket-local role; an LRU keeps one ref
+    partition per worker."""
+    import os
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        def ref_slice(part: int, lo: int, hi: int) -> pd.DataFrame:
+            # rid-range filter -> row-group pruning: a task reads only the
+            # ref row groups covering ITS split, not the whole partition
+            # (fixture files are written with 4096-row row groups)
+            f = os.path.join(ref_dir, f"part-{part:04d}.parquet")
+            return (pq.read_table(
+                f, columns=["rid", "bytes", "codec", "transcript"],
+                filters=[("rid", ">=", lo), ("rid", "<=", hi)])
+                .to_pandas().set_index("rid"))
+
+        for b in batches:
+            if not len(b):
+                continue
+            for part, grp in b.groupby("part"):
+                ref = ref_slice(int(part), int(grp["rid"].min()),
+                                int(grp["rid"].max())).loc[grp["rid"]]
+                merged = grp.assign(
+                    ref_bytes=ref["bytes"].to_numpy(),
+                    ref_codec=ref["codec"].to_numpy(),
+                    ref_transcript=ref["transcript"].to_numpy())
+                yield _batch_invariant(merged, store_rate)
+
+    cols = clips.select("rid", "clip_id", "part", "bytes", "codec",
+                        "dur_ms", "transcript")
+    return cols.mapInPandas(gen, RESULT_SCHEMA)
+
+
+def invariant_results_filepairs(spark, clips_dir: str, ref_dir: str,
+                                store_rate: int = STORE_RATE,
+                                parts: list = None) -> DataFrame:
+    """Optimal physical plan for the pairwise compare: ONE task per
+    co-located (clips, ref) file pair — each file is read exactly once,
+    locally, column-pruned; zero shuffle; results (small typed rows) come
+    back as a DataFrame.  This is what a bucketed-by-rid Iceberg layout
+    gives a 1000-executor cluster: the compare is embarrassingly parallel
+    over buckets.  Row parity with invariant_results is asserted in tests."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if parts is None:
+        parts = sorted(
+            int(f[len("part-"):-len(".parquet")])
+            for f in os.listdir(clips_dir)
+            if f.startswith("part-") and f.endswith(".parquet"))
+    pairs = [(p,
+              os.path.join(clips_dir, f"part-{p:04d}.parquet"),
+              os.path.join(ref_dir, f"part-{p:04d}.parquet"))
+             for p in parts]
+
+    def run_pair(pair) -> list:
+        _part, cf, rf = pair
+        c = pq.read_table(cf, columns=["rid", "clip_id", "part", "bytes",
+                                       "codec", "dur_ms", "transcript"]
+                          ).to_pandas()
+        r = pq.read_table(rf, columns=["rid", "bytes", "codec", "transcript"]
+                          ).to_pandas().set_index("rid")
+        ref = r.loc[c["rid"]]
+        merged = c.assign(ref_bytes=ref["bytes"].to_numpy(),
+                          ref_codec=ref["codec"].to_numpy(),
+                          ref_transcript=ref["transcript"].to_numpy())
+        out = _batch_invariant(merged, store_rate)
+        return list(out.itertuples(index=False, name=None))
+
+    rdd = (spark.sparkContext
+           .parallelize(pairs, numSlices=len(pairs))
+           .flatMap(run_pair))
+    return spark.createDataFrame(rdd, schema=RESULT_SCHEMA)
+
+
 def invariant_violations(clips: DataFrame, clips_ref: DataFrame,
                          store_rate: int = STORE_RATE) -> DataFrame:
     """Violation rows for failing clips (north_rule shape)."""

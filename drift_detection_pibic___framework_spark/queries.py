@@ -803,9 +803,13 @@ def clips_invariant_results(spark, sf_dir):
     """Per-partition decoded-PCM SNR + transcript-equality invariant
     (input_hint) — aggregated pass/fail per partition."""
     from .operators import invariant
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
     c = clips_df(spark, sf_dir)
-    r = clips_ref_df(spark, sf_dir)
-    return invariant.invariant_verdicts(c, r)
+    res = invariant.invariant_results_colocated(c, f"{d}/clips_ref")
+    per = res.groupBy("part").agg(
+        F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("bad"),
+        F.count(F.lit(1)).alias("n"))
+    return per.select("part", "bad", "n", (F.col("bad") == 0).alias("passed"))
 
 
 @register("clips_audio_features")  # audio decode: no SQL equivalent

@@ -264,8 +264,11 @@ def fixture_dir(scale: str, root: str = "/root/repo/data") -> str:
 def _write_partition(args: tuple) -> None:
     d, part, rows = args
     clips, ref = generate_clips_partition(part, rows)
-    pq.write_table(clips, os.path.join(d, "clips", f"part-{part:04d}.parquet"))
-    pq.write_table(ref, os.path.join(d, "clips_ref", f"part-{part:04d}.parquet"))
+    # small row groups => rid-range predicate pushdown prunes ref reads
+    pq.write_table(clips, os.path.join(d, "clips", f"part-{part:04d}.parquet"),
+                   row_group_size=4096)
+    pq.write_table(ref, os.path.join(d, "clips_ref", f"part-{part:04d}.parquet"),
+                   row_group_size=4096)
 
 
 def ensure_fixtures(scale: str, root: str = "/root/repo/data") -> str:
