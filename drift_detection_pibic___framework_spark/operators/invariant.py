@@ -132,13 +132,18 @@ def invariant_results_colocated(clips: DataFrame, ref_dir: str,
 
 def invariant_results_filepairs(spark, clips_dir: str, ref_dir: str,
                                 store_rate: int = STORE_RATE,
-                                parts: list = None) -> DataFrame:
-    """Optimal physical plan for the pairwise compare: ONE task per
-    co-located (clips, ref) file pair — each file is read exactly once,
-    locally, column-pruned; zero shuffle; results (small typed rows) come
-    back as a DataFrame.  This is what a bucketed-by-rid Iceberg layout
-    gives a 1000-executor cluster: the compare is embarrassingly parallel
-    over buckets.  Row parity with invariant_results is asserted in tests."""
+                                parts: list = None,
+                                rgs_per_task: int = 2) -> DataFrame:
+    """Optimal physical plan for the pairwise compare: tasks are row-group
+    ranges of co-located (clips, ref) file pairs — both sides are written
+    with the SAME row-group layout (generators.py, 4096 rows/group), so a
+    task reads the same row-group indices from each file and rows align
+    1:1 by rid; zero shuffle; each byte read exactly once, locally.
+    Task count = parts * ceil(row_groups / rgs_per_task), so parallelism
+    scales with data volume, not partition count (the local[8]->local[32]
+    scaling gate needs >> 32 tasks).  This is what a bucketed-by-rid
+    Iceberg layout gives a 1000-executor cluster.  Row parity with
+    invariant_results is asserted in tests."""
     import os
 
     import pyarrow.parquet as pq
@@ -148,18 +153,23 @@ def invariant_results_filepairs(spark, clips_dir: str, ref_dir: str,
             int(f[len("part-"):-len(".parquet")])
             for f in os.listdir(clips_dir)
             if f.startswith("part-") and f.endswith(".parquet"))
-    pairs = [(p,
-              os.path.join(clips_dir, f"part-{p:04d}.parquet"),
-              os.path.join(ref_dir, f"part-{p:04d}.parquet"))
-             for p in parts]
+    tasks = []
+    for p in parts:
+        cf = os.path.join(clips_dir, f"part-{p:04d}.parquet")
+        rf = os.path.join(ref_dir, f"part-{p:04d}.parquet")
+        nrg = pq.ParquetFile(cf).metadata.num_row_groups
+        for lo in range(0, nrg, rgs_per_task):
+            tasks.append((cf, rf, list(range(lo, min(lo + rgs_per_task,
+                                                     nrg)))))
 
-    def run_pair(pair) -> list:
-        _part, cf, rf = pair
-        c = pq.read_table(cf, columns=["rid", "clip_id", "part", "bytes",
-                                       "codec", "dur_ms", "transcript"]
-                          ).to_pandas()
-        r = pq.read_table(rf, columns=["rid", "bytes", "codec", "transcript"]
-                          ).to_pandas().set_index("rid")
+    def run_chunk(task) -> list:
+        cf, rf, rgs = task
+        c = pq.ParquetFile(cf).read_row_groups(
+            rgs, columns=["rid", "clip_id", "part", "bytes", "codec",
+                          "dur_ms", "transcript"]).to_pandas()
+        r = pq.ParquetFile(rf).read_row_groups(
+            rgs, columns=["rid", "bytes", "codec", "transcript"]
+        ).to_pandas().set_index("rid")
         ref = r.loc[c["rid"]]
         merged = c.assign(ref_bytes=ref["bytes"].to_numpy(),
                           ref_codec=ref["codec"].to_numpy(),
@@ -168,8 +178,8 @@ def invariant_results_filepairs(spark, clips_dir: str, ref_dir: str,
         return list(out.itertuples(index=False, name=None))
 
     rdd = (spark.sparkContext
-           .parallelize(pairs, numSlices=len(pairs))
-           .flatMap(run_pair))
+           .parallelize(tasks, numSlices=len(tasks))
+           .flatMap(run_chunk))
     return spark.createDataFrame(rdd, schema=RESULT_SCHEMA)
 
 

@@ -65,20 +65,47 @@ def audio_features(clips: DataFrame,
             n = len(b)
             if not n:
                 continue
-            rms = np.empty(n)
-            zcr = np.empty(n)
-            cent = np.empty(n)
-            ns = np.empty(n, dtype=np.int32)
-            for i in range(n):
+            # vectorized across the batch: concatenate payloads per codec,
+            # decode ONCE, then per-clip rms/zcr via add.reduceat over the
+            # flat signal; only the FFT (spectral centroid) loops per clip,
+            # on views — no fresh allocation per row.
+            bufs = b["bytes"].to_numpy()
+            codecs = b["codec"].to_numpy()
+            # decode per codec group into per-row views, then flatten
+            pcm_rows: list = [None] * n
+            for codec_val in np.unique(codecs):
+                idx = np.nonzero(codecs == codec_val)[0]
+                joined = b"".join(bufs[i] for i in idx)
                 try:
-                    pcm = audio.int16_to_float(
-                        audio.decode(b["bytes"].iat[i], b["codec"].iat[i]))
+                    dec = audio.int16_to_float(audio.decode(joined, codec_val))
                 except (ValueError, TypeError):
-                    pcm = np.zeros(1)
-                ns[i] = len(pcm)
-                rms[i] = float(np.sqrt(np.mean(pcm ** 2)))
-                zcr[i] = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) \
-                    if len(pcm) > 1 else 0.0
+                    dec = None
+                width = 1 if codec_val in ("mulaw", "alaw") else 2
+                off = 0
+                for i in idx:
+                    m = len(bufs[i]) // width
+                    if dec is None:
+                        pcm_rows[i] = np.zeros(1)
+                    else:
+                        pcm_rows[i] = dec[off:off + m]
+                    off += m
+            ns = np.array([len(p) for p in pcm_rows], dtype=np.int64)
+            flat = np.concatenate(pcm_rows) if n else np.empty(0)
+            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            # rms: sum of squares per clip
+            sq = flat * flat
+            rms = np.sqrt(np.add.reduceat(sq, starts) / np.maximum(ns, 1))
+            # zcr: sign changes per clip, boundaries zeroed
+            sb = np.signbit(flat).astype(np.int8)
+            d = np.abs(np.diff(sb)).astype(np.float64)
+            boundary = (starts - 1)[1:]
+            d[boundary[boundary >= 0]] = 0.0
+            d = np.concatenate([d, [0.0]])
+            zc = np.add.reduceat(d, starts)
+            zcr = np.where(ns > 1, zc / np.maximum(ns - 1, 1), 0.0)
+            cent = np.empty(n)
+            for i in range(n):
+                pcm = pcm_rows[i]
                 spec = np.abs(np.fft.rfft(pcm))
                 freqs = np.fft.rfftfreq(len(pcm), d=1.0 / store_rate)
                 denom = spec.sum()
@@ -87,7 +114,7 @@ def audio_features(clips: DataFrame,
                 "rid": b["rid"].to_numpy(),
                 "clip_id": b["clip_id"].to_numpy(),
                 "part": b["part"].to_numpy(),
-                "n_samples": ns, "rms": np.round(rms, 6),
+                "n_samples": ns.astype(np.int32), "rms": np.round(rms, 6),
                 "zcr": np.round(zcr, 6),
                 "spectral_centroid_hz": np.round(cent, 3)})
 

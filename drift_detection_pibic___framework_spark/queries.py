@@ -839,3 +839,135 @@ def clips_validation_verdicts(spark, sf_dir):
             .unionByName(uniqueness.uniqueness_verdicts(c))
             .unionByName(referential.referential_verdicts(c, dim))
             .unionByName(drift_dist.drift_verdicts(c)))
+
+
+@register("clips_partition_summaries", f"""
+SELECT part,
+       ROUND(avg(dur_ms), 6) AS dur_ms_mean,
+       ROUND(var_pop(dur_ms), 6) AS dur_ms_var,
+       ROUND(avg(sr_hz), 6) AS sr_hz_mean,
+       ROUND(var_pop(sr_hz), 6) AS sr_hz_var
+FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY part
+""")
+def clips_partition_summaries(spark, sf_dir):
+    """Per-partition regime summary vectors — reference A5/T6 input
+    (framework_detector.py:224-229)."""
+    c = clips_df(spark, sf_dir)
+    return c.groupBy("part").agg(
+        F.round(F.avg("dur_ms"), 6).alias("dur_ms_mean"),
+        F.round(F.var_pop("dur_ms"), 6).alias("dur_ms_var"),
+        F.round(F.avg("sr_hz"), 6).alias("sr_hz_mean"),
+        F.round(F.var_pop("sr_hz"), 6).alias("sr_hz_var"))
+
+
+@register("clips_regimes")  # driver-side seeded KMeans: rows-only check
+def clips_regimes(spark, sf_dir):
+    """Regime id per partition — reference T6 KMeans over accumulated
+    window summaries (framework_detector.py:215-246), seeded/deterministic."""
+    from .plans import regimes
+    c = clips_df(spark, sf_dir)
+    r = regimes.identify_regimes(c, k=2)
+    return spark.createDataFrame(
+        [(int(p), int(v)) for p, v in sorted(r.items())],
+        "part int, regime int")
+
+
+@register("events_trend_adjust", """
+WITH t AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+  FROM events WHERE user_id < 20),
+s AS (
+  SELECT event_id, user_id, value,
+         ma - lag(ma, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+             AS trend
+  FROM t)
+SELECT event_id,
+       ROUND(CASE WHEN abs(trend) > 0.1
+                  THEN value * 0.9 + trend * 0.1 ELSE value END, 6)
+           AS adjusted
+FROM s WHERE trend IS NOT NULL
+""")
+def events_trend_adjust(spark, sf_dir):
+    """Trend-adjust blend — reference P7 (StreamProcessor.py:207-208)
+    applied to the per-user trend slope."""
+    from .functions import blends
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("event_id")
+    ma = F.avg("value").over(w.rowsBetween(-4, 0))
+    s = (e.select("event_id", "user_id", "value", ma.alias("ma"))
+         .select("event_id", "value",
+                 (F.col("ma") - F.lag("ma", 1).over(wo)).alias("trend")))
+    return (s.filter(F.col("trend").isNotNull())
+            .select("event_id",
+                    F.round(blends.trend_adjust(F.col("value"),
+                                                F.col("trend")), 6)
+                    .alias("adjusted")))
+
+
+@register("events_props_json", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id < 1000
+""")
+def events_props_json(spark, sf_dir):
+    """JSON decode of the props column — reference F7 (FileManager json
+    round-trips) as a columnar from_json/get_json_object."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"))
+
+
+@register("events_window_mse_200", """
+SELECT event_id, user_id,
+       ROUND(avg(value * value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 199 PRECEDING AND CURRENT ROW), 6) AS window_mse
+FROM events WHERE user_id < 10
+""")
+def events_window_mse_200(spark, sf_dir):
+    """200-row sliding window mean-square — reference W1/A1: the
+    janela_dados_recentes FIFO of 200 samples (framework_detector.py:127-132)
+    feeding the window-MSE evaluation (framework_detector.py:114-124)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-199, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.avg(F.col("value") * F.col("value")).over(w), 6)
+        .alias("window_mse"))
+
+
+@register("events_inverse_error_topk", """
+WITH e AS (
+  SELECT event_id, event_type, abs(value) AS err FROM events
+  WHERE event_type IN ('click', 'error')),
+r AS (
+  SELECT event_id, event_type, err,
+         1.0 / (err + 0.001) AS w,
+         row_number() OVER (PARTITION BY event_type ORDER BY err, event_id)
+             AS rk
+  FROM e)
+SELECT event_id, event_type,
+       ROUND(w / sum(w) OVER (PARTITION BY event_type), 6) AS weight
+FROM r WHERE rk <= 3
+""")
+def events_inverse_error_topk(spark, sf_dir):
+    """Top-3-by-error inverse-error ensemble weights — reference F2/W4
+    (standard_prediction_strategy.py:22-27): select the 3 lowest-error
+    members, weight by normalized 1/(err+eps)."""
+    from .functions import blends
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("click", "error"))
+         .select("event_id", "event_type", F.abs("value").alias("err")))
+    wo = Window.partitionBy("event_type").orderBy("err", "event_id")
+    r = e.select("event_id", "event_type", "err",
+                 blends.inverse_error_weight(F.col("err")).alias("w"),
+                 F.row_number().over(wo).alias("rk")).filter(F.col("rk") <= 3)
+    wsum = Window.partitionBy("event_type")
+    return r.select("event_id", "event_type",
+                    F.round(F.col("w") / F.sum("w").over(wsum), 6)
+                    .alias("weight"))

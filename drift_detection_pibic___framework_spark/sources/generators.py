@@ -304,3 +304,84 @@ def sf_label_from_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our fixture scale label."""
     base = os.path.basename(os.path.normpath(sf_dir))
     return base if base in ROWS_PER_PART else "sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# scaling fixture: the stats projection of clips at 10x rows, payload-free
+# ---------------------------------------------------------------------------
+
+STATS_ROWS_PER_PART = {"sfstats1": 1_500_000}
+STATS_FILES_PER_PART = 8
+
+
+def generate_stats_partition(part: int, rows: int) -> pa.Table:
+    """Same columns/distributions/injections as generate_clips_partition but
+    with an EMPTY payload — the batch-check suite never reads ``bytes``
+    (column pruning), so this measures aggregation scaling at 10x rows
+    without synthesizing 14 GB of audio. Used only by bench --scaling."""
+    rng = _rng(7000 + part)
+    rid = (np.int64(part) << np.int64(32)) + np.arange(rows, dtype=np.int64)
+    clip_id = np.array([f"clip-{part:04d}-{i:08d}" for i in range(rows)])
+    sr = rng.choice(SR_CHOICES, size=rows, p=SR_WEIGHTS).astype(np.int64)
+    sr[rng.random(rows) < SR_OUTLIER_RATE] = SR_OUTLIER_VALUE
+    mean = 700.0 if part >= DRIFT_START_PART else 400.0
+    dur = _dur_ms(rng, rows, mean)
+    codec = rng.choice(CODECS, size=rows, p=CODEC_WEIGHTS)
+    # short deterministic transcripts (null-rate target only)
+    transcript = np.array([VOCAB[i % 64] for i in range(rows)], dtype=object)
+    if part in DUP_ID_PARTS:
+        idx = np.nonzero(rng.random(rows) < DUP_ID_PARTS[part])[0]
+        idx = idx[idx > 0]
+        clip_id[idx] = clip_id[idx // 2]
+    if part in BAD_CODEC_PARTS:
+        m = rng.random(rows) < BAD_CODEC_PARTS[part]
+        codec = codec.copy()
+        codec[m] = "opus"
+    if part in NULL_TRANSCRIPT_PARTS:
+        m = rng.random(rows) < NULL_TRANSCRIPT_PARTS[part]
+        transcript = transcript.copy()
+        transcript[m] = None
+    return pa.table({
+        "rid": rid, "clip_id": clip_id,
+        "bytes": [b""] * rows,
+        "sr_hz": sr.astype(np.int32), "dur_ms": dur, "codec": codec,
+        "transcript": transcript.tolist(),
+        "part": np.full(rows, part, dtype=np.int32),
+    }, schema=CLIPS_SCHEMA)
+
+
+def _write_stats_partition(args: tuple) -> None:
+    d, part, rows = args
+    t = generate_stats_partition(part, rows)
+    # several files per partition => scan parallelism scales past the
+    # 16-partition count (the scaling gate needs >= 4x32 tasks)
+    chunk = rows // STATS_FILES_PER_PART
+    for k in range(STATS_FILES_PER_PART):
+        lo = k * chunk
+        hi = rows if k == STATS_FILES_PER_PART - 1 else lo + chunk
+        pq.write_table(t.slice(lo, hi - lo),
+                       os.path.join(d, "clips",
+                                    f"part-{part:04d}-{k:02d}.parquet"),
+                       row_group_size=65536)
+
+
+def ensure_stats_fixture(scale: str = "sfstats1",
+                         root: str = "/root/repo/data") -> str:
+    d = fixture_dir(scale, root)
+    done = os.path.join(d, "_FIXTURES_OK")
+    if os.path.exists(done):
+        return d
+    rows = STATS_ROWS_PER_PART[scale]
+    os.makedirs(os.path.join(d, "clips"), exist_ok=True)
+    jobs = [(d, part, rows) for part in range(N_PARTS)]
+    try:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=min(N_PARTS, os.cpu_count() or 1)) as ex:
+            list(ex.map(_write_stats_partition, jobs))
+    except Exception:
+        for j in jobs:
+            _write_stats_partition(j)
+    pq.write_table(allowed_codecs_table(), os.path.join(d, "allowed_codecs.parquet"))
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return d

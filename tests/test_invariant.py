@@ -72,3 +72,12 @@ def test_colocated_equals_join_variant(spark, clips, clips_ref, fixture_dir):
     b = (invariant.invariant_results_colocated(clips, f"{fixture_dir}/clips_ref")
          .orderBy("rid").collect())
     assert a == b
+
+
+def test_filepairs_equals_join_variant(spark, clips, clips_ref, fixture_dir):
+    a = (invariant.invariant_results(clips, clips_ref)
+         .orderBy("rid").collect())
+    b = (invariant.invariant_results_filepairs(
+            spark, f"{fixture_dir}/clips", f"{fixture_dir}/clips_ref")
+         .orderBy("rid").collect())
+    assert a == b

@@ -216,3 +216,25 @@ def test_frame_sampling_shape():
     frames = multimodal.frame_sample(pcm, frame_len=100, every_k=2)
     assert frames.shape == (5, 100)
     assert frames[0][0] == 0 and frames[1][0] == 200
+
+
+def test_audio_features_match_per_row_reference(spark, clips):
+    """The vectorized (reduceat) feature kernel must match a per-row
+    reference computation exactly (same rounding)."""
+    import numpy as np
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 1").limit(100)
+    got = multimodal.audio_features(sub).toPandas().set_index("rid")
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        rms = round(float(np.sqrt(np.mean(pcm ** 2))), 6)
+        zcr = round(float(np.mean(np.abs(np.diff(np.signbit(pcm))))), 6)
+        spec = np.abs(np.fft.rfft(pcm))
+        freqs = np.fft.rfftfreq(len(pcm), d=1.0 / 2000)
+        cent = round(float((freqs * spec).sum() / spec.sum()), 3)
+        g = got.loc[r["rid"]]
+        assert g["n_samples"] == len(pcm)
+        assert abs(g["rms"] - rms) < 1e-9
+        assert abs(g["zcr"] - zcr) < 1e-9
+        assert abs(g["spectral_centroid_hz"] - cent) < 1e-6
