@@ -169,6 +169,14 @@ def run_once(cpus: str) -> dict:
     return out
 
 
+def _md5_work(n):
+    import hashlib
+    h = b"x" * 64
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
 def cpu_calibration() -> dict:
     """Measure the host's REAL parallel capacity with plain multiprocessing
     md5 (no Spark): this sandbox advertises 32 vCPUs but aggregate
@@ -177,20 +185,12 @@ def cpu_calibration() -> dict:
     (local[2] -> local[8]); local[8] -> local[32] is also reported for
     transparency."""
     import multiprocessing as mp
-
-    def work(n):
-        import hashlib
-        h = b"x" * 64
-        for _ in range(n):
-            h = hashlib.md5(h).digest()
-        return 1
-
     out = {}
     for procs in (1, 2, 8, 16, 32):
         per = 300_000
         t0 = time.time()
         with mp.Pool(procs) as pool:
-            pool.map(work, [per] * procs)
+            pool.map(_md5_work, [per] * procs)
         out[procs] = round(procs * per / (time.time() - t0) / 1e6, 2)
     return out
 
