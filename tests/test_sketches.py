@@ -55,6 +55,26 @@ def test_nan_ignored_empty_safe():
     assert 1.0 <= sk.quantile(0.5) <= 3.0
 
 
+def _total_weight(sk):
+    return sum(int(buf.size) << h for h, buf in enumerate(sk.levels))
+
+
+def test_weight_conservation_under_compaction():
+    """Sum of represented weights must equal n exactly after arbitrary
+    updates and merges — odd-sized compactions must retain the leftover
+    item rather than promote/drop it (published KLL; ADVICE r1)."""
+    rng = np.random.default_rng(7)
+    sk = KLL(k=32)                       # small k -> many compactions
+    n = 0
+    for sz in rng.integers(1, 997, size=200):
+        sk.update(rng.normal(size=int(sz)))
+        n += int(sz)
+        assert _total_weight(sk) == sk.n == n
+    other = kll_from_values(rng.normal(size=12345), k=32)
+    merged = sk.merge(other)
+    assert _total_weight(merged) == merged.n == n + 12345
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
                           allow_nan=False), min_size=1, max_size=2000),
