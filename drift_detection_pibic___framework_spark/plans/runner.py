@@ -135,8 +135,9 @@ class ValidationRunner:
                 "detector_state": self._dump_steppers(steppers),
                 "snapshot_id": f"{self.scope}-{part}",
             }
-            # commit point: manifest row (violations already on disk)
-            self.io.upsert_manifest(self.scope, {part: row})
+            # commit point: manifest row (violations already on disk);
+            # O(1) per partition — no full-manifest rewrite
+            self.io.commit_manifest_row(self.scope, part, row)
             (validated if all_passed else failed).append(part)
         return {"validated": validated, "failed": failed, "skipped": False}
 

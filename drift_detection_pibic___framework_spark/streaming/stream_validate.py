@@ -11,13 +11,16 @@ Design:
   streaming source cannot infer);
 - ``foreachBatch``: each micro-batch runs the SAME batch-check operators
   (stats/null-rate/referential per partition observed in the batch) and
-  appends verdict rows to a parquet sink — exactly-once per micro-batch via
-  the streaming checkpoint;
-- sequential detector state: the foreachBatch closure advances the
-  partition-series steppers across micro-batches and persists them to the
-  manifest (same PrequentialStepper serialization as the batch runner) —
-  ``applyInPandasWithState`` is unnecessary because state is per-stream
-  tiny and driver-held, not per-key sharded.
+  writes verdict rows to a parquet sink partitioned by epoch.  foreachBatch
+  is at-least-once — a crash between the write and the checkpoint commit
+  replays the epoch — so the write OVERWRITES the epoch's own partition
+  (dynamic partitionOverwriteMode): a replayed epoch replaces its previous
+  output instead of duplicating it, making the sink idempotent and the
+  pipeline exactly-once end-to-end;
+- drift / sequential-detector series monitoring is owned by the BATCH
+  runner (plans/runner.py): a micro-batch need not contain the baseline
+  window, and the prequential steppers advance in partition order there.
+  The streaming front-end emits per-batch verdicts only.
 """
 
 from __future__ import annotations
@@ -67,7 +70,13 @@ def validate_stream(spark: SparkSession, clips_dir: str, dim_path: str,
     def handle(batch: DataFrame, epoch_id: int) -> None:
         v = micro_batch_verdicts(batch, dim) \
             .withColumn("epoch", F.lit(epoch_id))
-        v.write.mode("append").parquet(out_dir)
+        # idempotent per epoch: dynamic overwrite touches only the epoch
+        # partitions present in v, so an at-least-once replay of this
+        # micro-batch replaces its own earlier output (ADVICE r1).
+        (v.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(out_dir))
 
     writer = (stream.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_dir))

@@ -80,3 +80,41 @@ def test_resume_outputs_identical_to_uninterrupted(spark, io):
     vb = (b.read_violations(spark).orderBy("part", "clip_id", "check_name")
           .drop("run_scope").collect())
     assert va == vb
+
+
+def test_manifest_commit_is_o1_per_partition(tmp_path, monkeypatch):
+    """Committing one partition's manifest row must not read or rewrite any
+    other row (round-1 full-file rewrite was O(P^2) over a run): 400 rows
+    commit with read_manifest forbidden, then read back completely."""
+    io = ParquetTableIO(str(tmp_path))
+
+    def boom(*a, **k):
+        raise AssertionError("commit path must not read the manifest")
+    monkeypatch.setattr(ParquetTableIO, "read_manifest", boom)
+    for p in range(400):
+        io.commit_manifest_row("big", p, {"status": "done",
+                                          "verdict": "pass"})
+    monkeypatch.undo()
+    m = io.read_manifest("big")
+    assert set(m) == set(range(400))
+    assert all(m[p]["verdict"] == "pass" for p in m)
+    assert io.pending_partitions("clips", "big") == []
+
+
+def test_manifest_reads_legacy_single_file(tmp_path):
+    """Pre-existing single-file manifests still resume: per-row commits
+    overlay the legacy file, legacy-only rows survive."""
+    import json
+    import os
+    io = ParquetTableIO(str(tmp_path))
+    legacy = os.path.join(str(tmp_path), "_manifest")
+    os.makedirs(legacy, exist_ok=True)
+    with open(os.path.join(legacy, "old.json"), "w") as f:
+        json.dump({"0": {"status": "done", "verdict": "pass"},
+                   "1": {"status": "done", "verdict": "fail"}}, f)
+    io.commit_manifest_row("old", 1, {"status": "done", "verdict": "pass"})
+    io.commit_manifest_row("old", 2, {"status": "done", "verdict": "fail"})
+    m = io.read_manifest("old")
+    assert m[0]["verdict"] == "pass"      # legacy-only row kept
+    assert m[1]["verdict"] == "pass"      # per-row commit wins
+    assert m[2]["verdict"] == "fail"

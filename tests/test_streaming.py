@@ -46,3 +46,28 @@ def test_streaming_checkpoint_exactly_once(spark, fixture_dir, dirs):
         dirs["out"], dirs["ckpt"])
     q2.awaitTermination(300)
     assert spark.read.parquet(dirs["out"]).count() == a  # nothing re-emitted
+
+
+def test_streaming_epoch_replay_is_idempotent(spark, fixture_dir, clips,
+                                              allowed_codecs, tmp_path):
+    """foreachBatch is at-least-once: simulate a crash between the sink
+    write and the checkpoint commit by invoking the epoch write twice.
+    The epoch-partitioned dynamic overwrite must leave ONE copy."""
+    from drift_detection_pibic___framework_spark.streaming import stream_validate
+    out = str(tmp_path / "out")
+    batch = clips.filter("part < 4")
+
+    def write_epoch(epoch_id):
+        from pyspark.sql import functions as F
+        v = (stream_validate.micro_batch_verdicts(batch, allowed_codecs)
+             .withColumn("epoch", F.lit(epoch_id)))
+        (v.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out))
+
+    write_epoch(0)
+    once = spark.read.parquet(out).count()
+    write_epoch(0)                                   # replayed epoch
+    write_epoch(1)                                   # next epoch appends
+    assert spark.read.parquet(out).filter("epoch = 0").count() == once
+    assert spark.read.parquet(out).count() == 2 * once
