@@ -28,22 +28,13 @@ G.ensure_fixtures("sf0.01")
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full check-suite verdicts for every partition of the
     sf0.001 clips table (stats + uniqueness + referential + drift)."""
-    from pyspark.sql import functions as F
-
-    from drift_detection_pibic___framework_spark.operators import (
-        drift_dist, referential, stats, uniqueness)
+    from drift_detection_pibic___framework_spark.plans import suite
 
     d = G.ensure_fixtures("sf0.001")
     clips = spark.read.parquet(f"{d}/clips")
     dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
-    st = stats.partition_column_stats(clips)
-    return (
-        stats.null_rate_verdicts(st)
-        .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
-        .unionByName(uniqueness.uniqueness_verdicts(clips))
-        .unionByName(referential.referential_verdicts(clips, dim))
-        .unionByName(drift_dist.drift_verdicts(clips))
-        .orderBy("part", "check_name"))
+    return (suite.suite_verdicts(clips, dim)
+            .orderBy("part", "check_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -56,7 +56,7 @@ def bench_queries(spark, sf_dir: str) -> tuple:
 
     from drift_detection_pibic___framework_spark import queries as Q
     from drift_detection_pibic___framework_spark.operators import (
-        drift_dist, invariant, referential, sketch_agg, stats, uniqueness)
+        invariant, sketch_agg, uniqueness)
     from drift_detection_pibic___framework_spark.operators import (
         dedup, multimodal, similarity)
     from drift_detection_pibic___framework_spark.operators.detectors import kernels
@@ -72,21 +72,13 @@ def bench_queries(spark, sf_dir: str) -> tuple:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_clips = clips.count()
 
+    from drift_detection_pibic___framework_spark.plans import suite
+
     def q_batch_checks():
-        st = stats.partition_column_stats(clips)
-        v = (stats.null_rate_verdicts(st)
-             .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
-             .unionByName(uniqueness.uniqueness_verdicts(clips))
-             .unionByName(referential.referential_verdicts(clips, dim))
-             .unionByName(drift_dist.drift_verdicts(clips)))
-        return v.count()
+        return suite.suite_verdicts(clips, dim).count()
 
     def q_violations():
-        v = (stats.null_violations(clips)
-             .unionByName(stats.range_violations(clips, "sr_hz", 8000, 48000))
-             .unionByName(uniqueness.duplicate_violations(clips))
-             .unionByName(referential.referential_violations(clips, dim)))
-        return v.count()
+        return suite.suite_violations(clips, dim).count()
 
     def q_invariant():
         return invariant.invariant_results_filepairs(
@@ -203,8 +195,8 @@ def scaling_core(cpus: str) -> dict:
     spark = build_spark(cpus)
     from pyspark.sql import functions as F
 
-    from drift_detection_pibic___framework_spark.operators import (
-        dedup, drift_dist, referential, stats, uniqueness)
+    from drift_detection_pibic___framework_spark.operators import dedup
+    from drift_detection_pibic___framework_spark.plans import suite as SU
     from drift_detection_pibic___framework_spark.sources import generators as G
     d_stats = G.ensure_stats_fixture()
     d_clips = G.ensure_fixtures(G.sf_label_from_dir(SF_DIR))
@@ -218,12 +210,7 @@ def scaling_core(cpus: str) -> dict:
     n_docs = docs.count()
 
     def suite():
-        st = stats.partition_column_stats(clips)
-        return (stats.null_rate_verdicts(st)
-                .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
-                .unionByName(uniqueness.uniqueness_verdicts(clips))
-                .unionByName(referential.referential_verdicts(clips, dim))
-                .unionByName(drift_dist.drift_verdicts(clips))).count()
+        return SU.suite_verdicts(clips, dim).count()
 
     def minhash():
         return dedup.minhash_signatures(docs, num_hashes=8).agg(

@@ -29,10 +29,11 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators import drift_dist, referential, stats, uniqueness
+from ..operators import drift_dist, stats
 from ..operators.detectors import oracle
 from ..operators.detectors.harness import PrequentialStepper
 from ..sources.tableio import ParquetTableIO
+from . import suite
 
 # partition-series detector config: the series has ONE sample per partition
 # (16 in fixtures), so warm-starts are scaled down from the row-level
@@ -82,23 +83,14 @@ class ValidationRunner:
 
         # ---- one batch job: every check, every pending partition ----------
         st = stats.partition_column_stats(clips)
-        verdicts = (
-            stats.null_rate_verdicts(st)
-            .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
-            .unionByName(uniqueness.uniqueness_verdicts(clips))
-            .unionByName(referential.referential_verdicts(clips, dim))
-            .unionByName(drift_dist.drift_verdicts(
-                clips, baseline=clips_all,
-                baseline_parts=self.baseline_parts)))
+        verdicts = suite.suite_verdicts(
+            clips, dim, baseline=clips_all,
+            baseline_parts=self.baseline_parts, st=st)
         verdict_rows = verdicts.collect()          # <= parts * checks rows
         stat_rows = {r["part"]: r.asDict() for r in st.collect()}
 
-        violations = (
-            stats.null_violations(clips)
-            .unionByName(stats.range_violations(clips, "sr_hz", 8000, 48000))
-            .unionByName(uniqueness.duplicate_violations(clips))
-            .unionByName(referential.referential_violations(clips, dim))
-        ).withColumn("run_scope", F.lit(self.scope))
+        violations = (suite.suite_violations(clips, dim)
+                      .withColumn("run_scope", F.lit(self.scope)))
 
         # write violations for ALL pending partitions BEFORE any manifest
         # commit (idempotent dynamic overwrite per partition)

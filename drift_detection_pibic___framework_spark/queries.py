@@ -923,9 +923,13 @@ def events_props_json(spark, sf_dir):
 
 @register("events_window_mse_200", """
 SELECT event_id, user_id,
-       ROUND(avg(value * value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN 199 PRECEDING AND CURRENT ROW), 4) AS window_mse
+       ROUND(CAST(sum(CAST(round(value * value * 1000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 199 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (1000.0 * count(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)), 4)
+           AS window_mse
 FROM events WHERE user_id < 10
 """)
 def events_window_mse_200(spark, sf_dir):
@@ -933,15 +937,20 @@ def events_window_mse_200(spark, sf_dir):
     janela_dados_recentes FIFO of 200 samples (framework_detector.py:127-132)
     feeding the window-MSE evaluation (framework_detector.py:114-124).
 
-    Rounded to 4 dp (not 6): a 200-term sliding mean accumulates
-    summation-order noise beyond the 6th decimal between Spark's
-    incremental window state and a recomputing engine."""
+    The squared values are quantized to integer milli-units and summed as
+    BIGINT inside the window: integer sums are exact and order-independent,
+    so both engines produce the bit-identical double after the final
+    division — float window sums differ in the last ulp between engines
+    and can straddle a rounding boundary (observed in round 1 at 6 dp AND
+    at 4 dp)."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-199, 0))
+    v2_milli = F.round(F.col("value") * F.col("value") * 1000).cast("long")
     return e.select(
         "event_id", "user_id",
-        F.round(F.avg(F.col("value") * F.col("value")).over(w), 4)
+        F.round(F.sum(v2_milli).over(w).cast("double")
+                / (1000.0 * F.count(F.lit(1)).over(w)), 4)
         .alias("window_mse"))
 
 
@@ -975,3 +984,180 @@ def events_inverse_error_topk(spark, sf_dir):
     return r.select("event_id", "event_type",
                     F.round(F.col("w") / F.sum("w").over(wsum), 6)
                     .alias("weight"))
+
+
+# =========================================================================
+# round-2 additions: non-vacuous dedup oracles, R2 windowed metrics,
+# global argmin / last-30 window / sorted summary (SURVEY A8 / W5 / O3)
+# =========================================================================
+
+@register("clips_transcript_dup_groups", f"""
+WITH t AS (
+  SELECT rid,
+         lower(trim(regexp_replace(transcript, '\\s+', ' ', 'g'))) AS txt
+  FROM read_parquet('{CLIPS_SF001_GLOB}') WHERE transcript IS NOT NULL)
+SELECT md5(txt) AS digest,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(rid) AS BIGINT) AS canonical_doc_id
+FROM t GROUP BY 1 HAVING count(*) > 1
+""")
+def clips_transcript_dup_groups(spark, sf_dir):
+    """Exact dedup over the clips TRANSCRIPTS — non-vacuous twin of
+    doc_exact_dup_groups (the driver's documents table has no exact dups
+    at sf0.01, so that oracle row proves nothing — VERDICT r1 missing #2);
+    the random 3-20-word transcripts collide naturally (8 groups at
+    sf0.01)."""
+    c = (clips_df(spark, sf_dir)
+         .filter(F.col("transcript").isNotNull())
+         .select(F.col("rid").alias("doc_id"),
+                 F.col("transcript").alias("text")))
+    return (D.exact_duplicate_groups(c)
+            .select("digest", "n_docs", "canonical_doc_id"))
+
+
+NEAR_EMB_SF001 = "/root/repo/data/sf0.01/near_embeddings.parquet"
+
+
+@register("emb_injected_near_dups", f"""
+WITH e AS (SELECT vec_id, embedding AS v
+           FROM read_parquet('{NEAR_EMB_SF001}'))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+""")
+def emb_injected_near_dups(spark, sf_dir):
+    """Cosine near-dups over the engine's own near_embeddings fixture,
+    which INJECTS 40 perturbed copies (generators.near_embeddings_table)
+    so the oracle row is non-vacuous — twin of emb_near_dups."""
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    emb = spark.read.parquet(f"{d}/near_embeddings.parquet")
+    return D.embedding_near_duplicates(emb, threshold=0.95)
+
+
+@register("events_window_metrics", f"""
+WITH f AS (
+  SELECT stream_id, seq, value,
+         lag(value) OVER (PARTITION BY stream_id ORDER BY seq) AS pred
+  FROM read_parquet('{DRIFT_STREAMS_SF001}')
+  QUALIFY pred IS NOT NULL),
+m AS (
+  SELECT stream_id, seq,
+         count(*) OVER w AS n_win,
+         sqrt(avg((value - pred) * (value - pred)) OVER w) AS rmse_,
+         avg(abs(value - pred)) OVER w AS mae_,
+         sum((value - pred) * (value - pred)) OVER w AS ss_res,
+         sum(value * value) OVER w
+           - count(*) OVER w * avg(value) OVER w * avg(value) OVER w
+           AS ss_tot
+  FROM f WINDOW w AS (PARTITION BY stream_id ORDER BY seq
+                      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+SELECT stream_id, seq,
+       ROUND(rmse_, 4) AS rmse,
+       ROUND(mae_, 4) AS mae,
+       ROUND(1 - ss_res / nullif(ss_tot, 0), 4) AS r2
+FROM m WHERE seq % 50 = 49 AND n_win = 50
+""")
+def events_window_metrics(spark, sf_dir):
+    """Windowed RMSE/MAE/R2 every 50 samples over the trailing 50-row
+    window — reference A2 (utils/StreamProcessor.py:143-157 evaluates
+    rmse/mae/r2 on a 50-sample cadence). Prediction = lag-1 persistence;
+    R2 = 1 - SS_res/SS_tot with SS_tot via the sum(v^2) - n*mean^2
+    identity (window-computable in one pass)."""
+    G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    s = spark.read.parquet(
+        f"{G.fixture_dir(G.sf_label_from_dir(sf_dir))}/drift_streams.parquet")
+    wo = Window.partitionBy("stream_id").orderBy("seq")
+    f = (s.select("stream_id", "seq", "value",
+                  F.lag("value").over(wo).alias("pred"))
+         .filter(F.col("pred").isNotNull()))
+    w = (Window.partitionBy("stream_id").orderBy("seq")
+         .rowsBetween(-49, 0))
+    err2 = (F.col("value") - F.col("pred")) * (F.col("value") - F.col("pred"))
+    n_win = F.count(F.lit(1)).over(w)
+    mean_v = F.avg("value").over(w)
+    ss_res = F.sum(err2).over(w)
+    ss_tot = (F.sum(F.col("value") * F.col("value")).over(w)
+              - n_win * mean_v * mean_v)
+    m = f.select(
+        "stream_id", "seq",
+        n_win.alias("n_win"),
+        F.round(F.sqrt(F.avg(err2).over(w)), 4).alias("rmse"),
+        F.round(F.avg(F.abs(F.col("value") - F.col("pred"))).over(w), 4)
+        .alias("mae"),
+        F.round(1 - ss_res / F.nullif(ss_tot, F.lit(0)), 4).alias("r2"))
+    return (m.filter((F.col("seq") % 50 == 49) & (F.col("n_win") == 50))
+            .drop("n_win"))
+
+
+@register("events_global_argmin", """
+SELECT event_id, event_type, ROUND(abs(value), 6) AS err
+FROM events ORDER BY abs(value), event_id LIMIT 1
+""")
+def events_global_argmin(spark, sf_dir):
+    """Cross-pool GLOBAL argmin — reference A8 degradation rescue
+    (utils/StreamProcessor.py:162-172: pick the globally lowest-error
+    model across every pool). orderBy().limit(1) plans as
+    TakeOrderedAndProject (per-partition top-1 + driver merge of 1-row
+    partials), never a full sort."""
+    e = _t(spark, sf_dir, "events")
+    return (e.select("event_id", "event_type",
+                     F.round(F.abs("value"), 6).alias("err"))
+            .orderBy(F.abs("value"), "event_id").limit(1))
+
+
+@register("events_last30_window", """
+WITH r AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(avg(value), 6) AS win_mean,
+       ROUND(stddev_samp(value), 6) AS win_std
+FROM r WHERE rk <= 30 GROUP BY user_id
+""")
+def events_last30_window(spark, sf_dir):
+    """Last-30 training window per stream — reference W5
+    (utils/StreamProcessor.py:114-118 trains on the most recent 30
+    samples). row_number over ts-desc bounds the window, then one
+    aggregation; the rank filter pushes the heavy agg to 30 rows/key."""
+    e = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                               F.col("event_id").desc())
+    r = (e.select("user_id", "value",
+                  F.row_number().over(wo).alias("rk"))
+         .filter(F.col("rk") <= 30))
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("value"), 6).alias("win_mean"),
+        F.round(F.stddev_samp("value"), 6).alias("win_std"))
+
+
+@register("events_sorted_type_summary", """
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         ROUND(avg(value), 6) AS mean_value
+  FROM events GROUP BY event_type)
+SELECT event_type, n, mean_value,
+       CAST(row_number() OVER (ORDER BY mean_value DESC, event_type)
+            AS INTEGER) AS rank
+FROM a
+""")
+def events_sorted_type_summary(spark, sf_dir):
+    """Sorted aggregate summary — reference O3 (framework_experiments
+    notebook c42: results table ordered by metric).  The rank column
+    materializes the ordering so the order-insensitive driver hash still
+    verifies sortedness."""
+    e = _t(spark, sf_dir, "events")
+    a = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"))
+    wo = Window.orderBy(F.col("mean_value").desc(), "event_type")
+    return a.select("event_type", "n", "mean_value",
+                    F.row_number().over(wo).cast("int").alias("rank"))

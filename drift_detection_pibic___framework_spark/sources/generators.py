@@ -209,6 +209,36 @@ def allowed_codecs_table() -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# near-dup embeddings fixture (VERDICT r1: the driver's embeddings table has
+# no near-dup pairs, so the emb_near_dups oracle was vacuously 0-row — this
+# table injects them deterministically)
+# ---------------------------------------------------------------------------
+
+NEAR_EMB_DIM = 16
+NEAR_EMB_BASE = 250
+NEAR_EMB_DUPS = 40
+
+
+def near_embeddings_table() -> pa.Table:
+    """(vec_id, embedding) with injected near-duplicates: the first
+    NEAR_EMB_DUPS base vectors get a lightly-perturbed copy at
+    vec_id+100000 (cosine ~0.998 at noise 0.05 on unit-scale gaussians),
+    so a cosine>=0.95 near-dup query returns a non-trivial pair set."""
+    rng = _rng(9000)
+    base = rng.normal(0.0, 1.0, size=(NEAR_EMB_BASE, NEAR_EMB_DIM))
+    near = base[:NEAR_EMB_DUPS] + rng.normal(
+        0.0, 0.05, size=(NEAR_EMB_DUPS, NEAR_EMB_DIM))
+    vecs = np.concatenate([base, near])
+    ids = np.concatenate([np.arange(NEAR_EMB_BASE),
+                          100000 + np.arange(NEAR_EMB_DUPS)]).astype(np.int64)
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              type=pa.list_(pa.float64())),
+    })
+
+
+# ---------------------------------------------------------------------------
 # drift streams (FIXTURES.md §3)
 # ---------------------------------------------------------------------------
 
@@ -281,6 +311,7 @@ def ensure_fixtures(scale: str, root: str = "/root/repo/data") -> str:
     d = fixture_dir(scale, root)
     done = os.path.join(d, "_FIXTURES_OK")
     if os.path.exists(done):
+        _ensure_aux_fixtures(d)
         return d
     rows = ROWS_PER_PART[scale]
     os.makedirs(os.path.join(d, "clips"), exist_ok=True)
@@ -295,9 +326,18 @@ def ensure_fixtures(scale: str, root: str = "/root/repo/data") -> str:
             _write_partition(j)
     pq.write_table(allowed_codecs_table(), os.path.join(d, "allowed_codecs.parquet"))
     pq.write_table(generate_drift_streams(), os.path.join(d, "drift_streams.parquet"))
+    _ensure_aux_fixtures(d)
     with open(done, "w") as f:
         f.write("ok\n")
     return d
+
+
+def _ensure_aux_fixtures(d: str) -> None:
+    """Additive fixtures (safe to write into an already-OK dir): scale-
+    independent aux tables introduced after round 1."""
+    p = os.path.join(d, "near_embeddings.parquet")
+    if not os.path.exists(p):
+        pq.write_table(near_embeddings_table(), p)
 
 
 def sf_label_from_dir(sf_dir: str) -> str:

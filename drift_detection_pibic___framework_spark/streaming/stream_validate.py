@@ -49,13 +49,10 @@ def stream_clips(spark: SparkSession, clips_dir: str,
 
 
 def micro_batch_verdicts(batch: DataFrame, dim: DataFrame) -> DataFrame:
-    """The per-micro-batch check suite (drift vs baseline is owned by the
-    batch runner — a micro-batch may not contain the baseline window)."""
-    from ..operators import referential, stats
-    st = stats.partition_column_stats(batch)
-    return (stats.null_rate_verdicts(st)
-            .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
-            .unionByName(referential.referential_verdicts(batch, dim)))
+    """The per-micro-batch check suite: the ``streaming_safe`` subset of
+    the single check registry (plans/suite.py)."""
+    from ..plans import suite
+    return suite.streaming_suite_verdicts(batch, dim)
 
 
 def validate_stream(spark: SparkSession, clips_dir: str, dim_path: str,

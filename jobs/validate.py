@@ -34,8 +34,7 @@ def main() -> int:
 
     from pyspark.sql import SparkSession, functions as F
 
-    from drift_detection_pibic___framework_spark.operators import (
-        drift_dist, referential, stats, uniqueness)
+    from drift_detection_pibic___framework_spark.plans import suite
 
     t0 = time.time()
     spark = (SparkSession.builder.master(args.master).appName("dpf-validate")
@@ -77,14 +76,8 @@ def main() -> int:
             print(f"error: partition {args.part} not found", file=sys.stderr)
             return 2
 
-    st = stats.partition_column_stats(clips)
-    verdicts = (
-        stats.null_rate_verdicts(st)
-        .unionByName(stats.range_verdicts(st, "sr_hz", 8000, 48000))
-        .unionByName(uniqueness.uniqueness_verdicts(clips))
-        .unionByName(referential.referential_verdicts(clips, dim))
-        .unionByName(drift_dist.drift_verdicts(clips, baseline=full))
-    ).orderBy("part", "check_name")
+    verdicts = (suite.suite_verdicts(clips, dim, baseline=full)
+                .orderBy("part", "check_name"))
 
     rows = verdicts.collect()
     n_fail = sum(1 for r in rows if not r["passed"])
