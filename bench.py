@@ -136,6 +136,16 @@ def bench_queries(spark, sf_dir: str) -> tuple:
     return timings, cold, n_clips
 
 
+def _sf_from_dir(sf_dir: str) -> float:
+    """Parse the scale factor from the basename (sf0.01 -> 0.01); substring
+    matching was brittle ('0.1' also matches '0.01' paths)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base[2:]) if base.startswith("sf") else 0.1
+    except ValueError:
+        return 0.1
+
+
 def run_once(cpus: str) -> dict:
     spark = build_spark(cpus)
     t0 = time.time()
@@ -152,7 +162,7 @@ def run_once(cpus: str) -> dict:
         "queries": timings,
         "queries_cold": cold,
         "wall_sec": wall,
-        "sf": 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001),
+        "sf": _sf_from_dir(SF_DIR),
         "n_clips": n_clips,
         "clips_per_sec": round(n_clips / core, 1),
         "cpus": int(cpus),

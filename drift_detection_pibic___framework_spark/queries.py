@@ -776,6 +776,19 @@ def detector_flags(spark, sf_dir):
     return kernels.detections_only(kernels.detect(s))
 
 
+@register("drift_experiment_grid")  # sequential kernels: rows-only check
+def drift_experiment_grid(spark, sf_dir):
+    """Stream x detector x repetition experiment grid with mean/std
+    summary — reference experimento/ExperimentoDrift.py:23-65 +
+    FileManager.py:44-55 results table (plans/experiments.py)."""
+    from .plans import experiments
+    G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    s = spark.read.parquet(
+        f"{G.fixture_dir(G.sf_label_from_dir(sf_dir))}/drift_streams.parquet")
+    return experiments.run_grid(
+        spark, s, detectors=["page_hinkley", "ddm"], reps=2)
+
+
 @register("clips_kll_quantiles")  # approximate sketch: rows-only check
 def clips_kll_quantiles(spark, sf_dir):
     """Per-codec dur_ms quantiles from SALTED two-phase KLL sketches (the
