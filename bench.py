@@ -38,6 +38,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def build_spark(cpus: str):
+    # exported BEFORE the JVM forks so its native (off-heap Arrow) allocs
+    # also reuse arena pages under the sandbox page throttle
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("dpf-bench")
@@ -46,6 +50,15 @@ def build_spark(cpus: str):
              .config("spark.driver.memory", "48g")
              .config("spark.sql.files.maxPartitionBytes", "32m")
              .config("spark.ui.enabled", "false")
+             # keep large numpy buffers in the glibc arena (reused pages)
+             # instead of per-allocation mmap/munmap: this sandbox throttles
+             # FRESH host pages to ~6-20 MB/s during throttle episodes, so
+             # per-batch mmap'd numpy temporaries would pay the throttle on
+             # every single batch; with a high mmap threshold each python
+             # worker pays it once at its high-water mark (measured ~40x
+             # better warm laps under an active episode)
+             .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+             .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     return spark
@@ -72,13 +85,13 @@ def bench_queries(spark, sf_dir: str) -> tuple:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_clips = clips.count()
 
-    from drift_detection_pibic___framework_spark.plans import suite
+    from drift_detection_pibic___framework_spark.plans import suite as check_suite
 
     def q_batch_checks():
-        return suite.suite_verdicts(clips, dim).count()
+        return check_suite.suite_verdicts(clips, dim).count()
 
     def q_violations():
-        return suite.suite_violations(clips, dim).count()
+        return check_suite.suite_violations(clips, dim).count()
 
     def q_invariant():
         return invariant.invariant_results_filepairs(

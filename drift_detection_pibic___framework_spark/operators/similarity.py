@@ -50,6 +50,90 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+# -------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# -------------------------------------------------------------------------
+
+def ivf_fit_centroids(emb: DataFrame, n_centroids: int = 16,
+                      sample_rows: int = 10000, n_iter: int = 10,
+                      seed: int = 42,
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer: seeded spherical k-means on a BOUNDED driver
+    sample (standard IVF practice — training is O(sample * dim), the only
+    driver-side step; assignment and search stay distributed).  Returns
+    unit-norm centroids (n_centroids, dim)."""
+    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def _centroid_scores(vec_col, centroids: np.ndarray):
+    """Array of dot(v, centroid_j) — literal centroid arrays, JVM-side."""
+    return F.array(*[
+        _dot(F.col(vec_col),
+             F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids])
+
+
+def with_ivf_cell(emb: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest (max-dot) centroid cell."""
+    scores = _centroid_scores(vec_col, centroids)
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return emb.withColumn("ivf_cell", cell)
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: base vectors live in ONE cell each (inverted
+    file); every query probes its ``n_probe`` highest-scoring cells; exact
+    cosine only within probed cells.
+
+    Scale shape: the index side is a single narrow column added in codegen
+    (no shuffle); the search join is equi on ivf_cell, so candidate volume
+    is ~ Q * n_probe * N / n_centroids instead of Q * N.  Recall is tuned
+    by (n_centroids, n_probe) — measured vs brute force in tests."""
+    C = ivf_fit_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    base = (with_ivf_cell(
+        emb.select(F.col(id_col).alias("nbr_id"),
+                   F.col(vec_col).alias("nv")), C, "nv"))
+    qscores = _centroid_scores("qv", C)
+    probes = F.slice(
+        F.sort_array(
+            F.zip_with(qscores,
+                       F.sequence(F.lit(0), F.lit(len(C) - 1)),
+                       lambda s, i: F.struct(s.alias("score"),
+                                             i.alias("cell"))),
+            asc=False),
+        1, n_probe)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+         .select("query_id", "qv",
+                 F.explode(probes).alias("p"))
+         .select("query_id", "qv",
+                 F.col("p.cell").cast("int").alias("ivf_cell")))
+    cos = F.round(_dot(F.col("qv"), F.col("nv")) /
+                  (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+    scored = (base.join(q, "ivf_cell")
+              .filter(F.col("nbr_id") != F.col("query_id"))
+              .select("query_id", "nbr_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(0.0, 1.0, (n_planes, dim))
 

@@ -749,6 +749,14 @@ def emb_lsh_knn(spark, sf_dir):  # asserted vs brute force in tests
     return S.hyperplane_lsh_neighbors(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+@register("emb_ivf_knn")  # approximate: rows-only driver check; recall
+def emb_ivf_knn(spark, sf_dir):  # asserted vs brute force in tests
+    """IVF coarse-quantizer ANN (seeded spherical k-means cells, n_probe
+    probing) — the second scale path beside hyperplane LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb, k=5)
+
+
 @register("doc_minhash_lsh_dups")  # approximate: rows-only driver check
 def doc_minhash_lsh_dups(spark, sf_dir):
     return D.minhash_near_duplicates(_t(spark, sf_dir, "documents"),

@@ -41,6 +41,9 @@ def main() -> int:
              .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
+             # arena-reuse for python-worker numpy buffers (see bench.py)
+             .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+             .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

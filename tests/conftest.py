@@ -9,6 +9,9 @@ SCALE = "sf0.001"  # fast tier; injections guaranteed at every scale
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     s = (SparkSession.builder.master("local[8]")
          .appName("dpf-tests")
          .config("spark.sql.shuffle.partitions", "8")
@@ -16,6 +19,9 @@ def spark():
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory", "8g")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # arena-reuse for python-worker numpy buffers (see bench.py note)
+         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
          .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s

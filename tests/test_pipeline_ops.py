@@ -163,6 +163,24 @@ def test_lsh_knn_recall(spark, emb):
     assert recall >= 0.6, recall
 
 
+def test_ivf_knn_recall_and_candidate_bound(spark, emb):
+    """IVF ANN: n_probe/n_centroids cells per query bound the candidate
+    set, and recall vs brute-force top-5 must still be >= 60%."""
+    exact = similarity.brute_force_topk(emb, emb, k=5).toPandas()
+    approx = similarity.ivf_topk(emb, emb, k=5,
+                                 n_centroids=16, n_probe=4).toPandas()
+    e = {(r.query_id, r.nbr_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.nbr_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
+    # every vector lands in exactly one cell; cells partition the corpus
+    C = similarity.ivf_fit_centroids(emb, 16)
+    cells = similarity.with_ivf_cell(
+        emb.selectExpr("vec_id", "embedding as nv"), C, "nv").toPandas()
+    assert cells["ivf_cell"].between(0, 15).all()
+    assert len(cells) == emb.count()
+
+
 # -- text ops --------------------------------------------------------------
 
 def test_token_counts_simple(spark):
