@@ -101,6 +101,21 @@ def test_manifest_commit_is_o1_per_partition(tmp_path, monkeypatch):
     assert io.pending_partitions("clips", "big") == []
 
 
+def test_manifest_rows_carry_timestamps(tmp_path):
+    """SURVEY F5: every committed manifest row gets an ISO-8601
+    updated_at stamp (run metadata lineage); caller-provided stamps are
+    preserved."""
+    import re
+    io = ParquetTableIO(str(tmp_path))
+    io.commit_manifest_row("ts", 0, {"status": "done", "verdict": "pass"})
+    io.commit_manifest_row("ts", 1, {"status": "done", "verdict": "pass",
+                                     "updated_at": "2020-01-01T00:00:00"})
+    m = io.read_manifest("ts")
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}",
+                        m[0]["updated_at"])
+    assert m[1]["updated_at"] == "2020-01-01T00:00:00"
+
+
 def test_manifest_reads_legacy_single_file(tmp_path):
     """Pre-existing single-file manifests still resume: per-row commits
     overlay the legacy file, legacy-only rows survive."""
