@@ -163,6 +163,23 @@ def test_lsh_knn_recall(spark, emb):
     assert recall >= 0.6, recall
 
 
+def test_ivf_join_is_equi_not_cartesian(spark, emb):
+    """The IVF search join must plan as an equi join on ivf_cell — never a
+    cartesian product (that would be brute force with extra steps)."""
+    plan = (similarity.ivf_topk(emb, emb.limit(20), k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "ivf_cell" in plan
+
+
+def test_simhash_candidate_join_is_equi(spark, docs):
+    """SimHash near-dup candidates come from an equi join on
+    (chunk_idx, chunk_val) — no cross join at any radius."""
+    plan = (dedup.simhash_near_duplicates(docs.limit(30), max_hamming=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_knn_recall_and_candidate_bound(spark, emb):
     """IVF ANN: n_probe/n_centroids cells per query bound the candidate
     set, and recall vs brute-force top-5 must still be >= 60%."""
