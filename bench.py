@@ -136,8 +136,9 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_minhash_lsh", q_minhash_lsh),
                   ("q_knn", q_knn)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
+    # (2 warm laps so a single throttle blip cannot own the reported number)
     timings, cold = {}, {}
-    reps = 3 if core_only else 2
+    reps = 3
     for name, fn in suite:
         laps = []
         for _ in range(reps):

@@ -30,6 +30,14 @@ def main() -> int:
     ap.add_argument("--streams", action="store_true",
                     help="run the sequential drift-detector suite over "
                          "drift_streams.parquet instead of the clips checks")
+    ap.add_argument("--grid", action="store_true",
+                    help="run the stream x detector x repetition experiment "
+                         "grid (ExperimentoDrift analogue) and print the "
+                         "mean/std summary")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="repetitions per grid cell (--grid)")
+    ap.add_argument("--out", default=None,
+                    help="directory to persist grid results (--grid)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -46,6 +54,30 @@ def main() -> int:
              .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.grid:
+        from drift_detection_pibic___framework_spark.plans import experiments
+        sp = os.path.join(args.data, "drift_streams.parquet")
+        if not os.path.exists(sp):
+            print(f"error: no drift_streams table at {sp}", file=sys.stderr)
+            return 2
+        streams = spark.read.parquet(sp)
+        summary = experiments.run_grid(spark, streams, out_dir=args.out,
+                                       reps=args.reps).collect()
+        hdr = (f"{'stream':<15} {'detector':<13} {'n':>2} "
+               f"{'mean_det':>8} {'std_det':>8} {'mean_delay':>10} "
+               f"{'std_delay':>9} {'false_al':>8}")
+        print(hdr)
+        for r in summary:
+            print(f"{r['stream_id']:<15} {r['detector']:<13} "
+                  f"{r['n_reps']:>2} {r['mean_detections']:>8} "
+                  f"{r['std_detections'] if r['std_detections'] is not None else '-':>8} "
+                  f"{r['mean_delay'] if r['mean_delay'] is not None else '-':>10} "
+                  f"{r['std_delay'] if r['std_delay'] is not None else '-':>9} "
+                  f"{r['mean_false_alarms']:>8}")
+        dt = time.time() - t0
+        print(f"\n{len(summary)} grid cells (x{args.reps} reps) in {dt:.1f}s")
+        return 0
 
     if args.streams:
         from drift_detection_pibic___framework_spark.operators.detectors import kernels
