@@ -213,7 +213,8 @@ def cpu_calibration() -> dict:
 
 def scaling_core(cpus: str) -> dict:
     """One scaling measurement at local[cpus]: (a) the batch-check suite
-    over the 24M-row payload-free stats fixture (scan+aggregate bound),
+    over the 128M-row payload-free stats fixture (scan+aggregate bound;
+    sized so compute dominates fixed job overhead — see generators note),
     (b) MinHash signatures over 600k transcripts (pure JVM CPU: ~60M
     md5+conv per pass). Warm laps only (see the bench cold/warm note)."""
     spark = build_spark(cpus)
@@ -222,7 +223,7 @@ def scaling_core(cpus: str) -> dict:
     from drift_detection_pibic___framework_spark.operators import dedup
     from drift_detection_pibic___framework_spark.plans import suite as SU
     from drift_detection_pibic___framework_spark.sources import generators as G
-    d_stats = G.ensure_stats_fixture()
+    d_stats = G.ensure_stats_fixture("sfstats32")
     d_clips = G.ensure_fixtures(G.sf_label_from_dir(SF_DIR))
     clips = spark.read.parquet(f"{d_stats}/clips")
     dim = spark.read.parquet(f"{d_stats}/allowed_codecs.parquet")
@@ -245,7 +246,7 @@ def scaling_core(cpus: str) -> dict:
         t0 = time.time()
         suite()
         suite_laps.append(time.time() - t0)
-    for _ in range(2):
+    for _ in range(3):   # 2 warm laps: one throttle blip can't own the min
         t0 = time.time()
         minhash()
         mh_laps.append(time.time() - t0)

@@ -350,7 +350,19 @@ def sf_label_from_dir(sf_dir: str) -> str:
 # scaling fixture: the stats projection of clips at 10x rows, payload-free
 # ---------------------------------------------------------------------------
 
-STATS_ROWS_PER_PART = {"sfstats1": 1_500_000}
+#: sfstats1 = 24M rows (per-round bench); sfstats8 = 128M rows — the
+#: scaling-gate fixture: at 24M rows the whole suite runs in ~3 s on TWO
+#: cores, so fixed per-job overhead (~1.4 s) floors the 8-core lap and the
+#: measured "efficiency" is an Amdahl artifact, not the engine (observed
+#: 0.46 at 2->8 while compute-dense minhash hit 0.97). 128M rows puts
+#: ~10x more compute per lap so the scan+agg work dominates.
+#: sfstats32 = 512M rows: with S ~= 1.5 s of serial driver/stage overhead
+#: per suite lap and P the parallelizable scan+agg work, measured
+#: efficiency at 2->8 cores is P/(P + S·f) — P must be ~20x S for the
+#: 0.8 gate to measure the PLAN rather than the job-launch constant
+#: (128M rows gave P ~= 8 s -> 0.55 despite perfect per-core scaling).
+STATS_ROWS_PER_PART = {"sfstats1": 1_500_000, "sfstats8": 8_000_000,
+                       "sfstats32": 32_000_000}
 STATS_FILES_PER_PART = 8
 
 
@@ -414,9 +426,13 @@ def ensure_stats_fixture(scale: str = "sfstats1",
     rows = STATS_ROWS_PER_PART[scale]
     os.makedirs(os.path.join(d, "clips"), exist_ok=True)
     jobs = [(d, part, rows) for part in range(N_PARTS)]
+    # cap workers for the big fixtures: each worker holds ~70 B/row of
+    # python-string clip_ids while building its partition table
+    workers = min(N_PARTS, os.cpu_count() or 1, 6 if rows > 10_000_000
+                  else N_PARTS)
     try:
         from concurrent.futures import ProcessPoolExecutor
-        with ProcessPoolExecutor(max_workers=min(N_PARTS, os.cpu_count() or 1)) as ex:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
             list(ex.map(_write_stats_partition, jobs))
     except Exception:
         for j in jobs:
