@@ -262,3 +262,60 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                     F.col("b.vid").alias("vec_b"),
                     F.round(cos, 4).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# -------------------------------------------------------------------------
+# duplicate-group resolution: connected components over candidate pairs
+# -------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: assign every node
+    the minimum node id reachable through the pair graph (the canonical
+    representative every real dedup pipeline keeps one copy of).
+
+    Near-duplicate similarity is not transitive, so LSH/SimHash pair output
+    must be closed into components before a keep-one policy can run
+    (ref has no analogue — the reference never dedups; this is the
+    training-data-pipeline extension required by the build brief).
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    set — each round every node takes the min label among itself and its
+    neighbours (one equi-join + one groupBy, i.e. two key-partitioned
+    shuffles per round), converging in O(component diameter) rounds.
+    Duplicate clusters are near-cliques of bounded size, so diameter is
+    tiny (2-4 rounds in practice) — the log(n) large-star/small-star
+    machinery (Kiveris et al., "Connected Components in MapReduce") is not
+    needed at this diameter. Lineage is truncated with localCheckpoint
+    every round so the plan does not grow with iterations; convergence is
+    detected by a cheap count of changed labels.
+
+    Returns (node, component) with component = min reachable id; only
+    nodes that appear in at least one pair are returned (singletons are
+    their own component by definition and would double the output for no
+    information).
+    """
+    e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    edges = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = (edges.select(F.col("s").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges.s == labels.node)
+                .select(F.col("d").alias("node"),
+                        F.col("component")))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("component"))

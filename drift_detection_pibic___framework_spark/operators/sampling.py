@@ -1,0 +1,46 @@
+"""Deterministic sampling operators for training-data curation.
+
+A 100 TB corpus is never trained on whole: pipelines carve deterministic,
+reproducible subsets (ablation slices, per-source quotas, eval holdouts).
+Random `sample()` is neither reproducible across runs/engines nor stable
+under re-partitioning, so both operators here key off a content hash:
+
+- ``hash_sample``: keep rows whose md5(key) falls below a threshold —
+  a pure narrow FILTER (no shuffle, pushes past column pruning, scales
+  embarrassingly). The md5-prefix trick is ANSI-SQL-expressible, so the
+  DuckDB oracle computes the identical sample.
+- ``group_cap``: at most ``cap`` rows per group, deterministic rank order —
+  one hash-partitioned window shuffle on the group key. This is the
+  per-domain/per-source quota every web-scale curation run applies
+  (e.g. cap docs per domain so one crawler trap can't dominate the mix).
+
+(Reference has no analogue — the reference never samples; this module is
+part of the training-data-pipeline extension required by the build brief.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def hash_sample(df: DataFrame, key_col: str, threshold_256: int) -> DataFrame:
+    """Deterministic ~(threshold_256/256) sample: keep rows where the first
+    md5 byte of the stringified key is below the threshold. Stable across
+    runs, engines, partitionings, and cluster sizes; zero shuffle."""
+    if not 0 <= threshold_256 <= 256:
+        raise ValueError("threshold_256 must be in [0, 256]")
+    hexlit = format(threshold_256, "02x")
+    return df.filter(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 2) < hexlit)
+
+
+def group_cap(df: DataFrame, group_col: str, cap: int,
+              order_col: str) -> DataFrame:
+    """At most ``cap`` rows per group, taking the first ``cap`` by
+    ``order_col`` (deterministic — order_col must be unique within a
+    group). One window shuffle on the group key; the rank is computed
+    streaming within each partition, no buffering beyond the frame."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn"))

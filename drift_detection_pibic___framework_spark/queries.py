@@ -543,6 +543,7 @@ def ddm_sql_monitor(spark, sf_dir):
 # =========================================================================
 
 from .operators import dedup as D  # noqa: E402
+from .operators import sampling as SA  # noqa: E402
 from .operators import similarity as S  # noqa: E402
 from .operators import text as T  # noqa: E402
 
@@ -1182,3 +1183,77 @@ def events_sorted_type_summary(spark, sf_dir):
     wo = Window.orderBy(F.col("mean_value").desc(), "event_type")
     return a.select("event_type", "n", "mean_value",
                     F.row_number().over(wo).cast("int").alias("rank"))
+
+
+# =========================================================================
+# duplicate-group resolution + deterministic sampling (pipeline extension)
+# =========================================================================
+
+@register("doc_dup_components", f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
+FROM reach GROUP BY s
+""")
+def doc_dup_components(spark, sf_dir):
+    """Near-duplicate GROUPS from pair output: connected components over
+    the exact-Jaccard>=0.2 pair graph (similarity is not transitive, so
+    LSH pairs must be closed into components before keep-one-per-group).
+    Min-label propagation, O(diameter) shuffle rounds; the DuckDB oracle
+    is a recursive-CTE transitive closure of the same edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (ids.alias("a").crossJoin(ids.alias("b"))
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+    high = D.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.2)
+    return (D.connected_components(high)
+            .select(F.col("node").alias("doc_id"), "component"))
+
+
+@register("doc_hash_sample", """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+""")
+def doc_hash_sample(spark, sf_dir):
+    """Deterministic ~1/8 corpus sample keyed on md5(doc_id): stable
+    across runs, engines, partitionings, and cluster sizes, and a pure
+    narrow filter (zero shuffle) — the reproducible ablation-slice
+    primitive of a training-data pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 32).select(
+        "doc_id", "lang", "n_chars")
+
+
+@register("doc_source_cap", """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+""")
+def doc_source_cap(spark, sf_dir):
+    """Per-source quota: at most 20 docs per source, first-20 by doc_id
+    (deterministic). One window shuffle on the group key — the per-domain
+    cap every web-scale curation run applies so a single crawler trap
+    cannot dominate the training mix."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.group_cap(docs, "source", 20, "doc_id").select(
+        "doc_id", "source")

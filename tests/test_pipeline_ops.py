@@ -321,3 +321,69 @@ def test_audio_features_match_per_row_reference(spark, clips):
         assert abs(g["rms"] - rms) < 1e-9
         assert abs(g["zcr"] - zcr) < 1e-9
         assert abs(g["spectral_centroid_hz"] - cent) < 1e-6
+
+
+# -------------------------------------------------------------------------
+# connected components (duplicate-group resolution)
+# -------------------------------------------------------------------------
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (diameter 3 — forces multiple propagation rounds),
+    a 3-clique, and an isolated pair resolve to min-id components."""
+    from drift_detection_pibic___framework_spark.operators import dedup
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # clique
+         (20, 21)],                     # pair
+        ["doc_a", "doc_b"])
+    got = {(r.node, r.component)
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10),
+                   (20, 20), (21, 20)}
+
+
+def test_connected_components_direction_independent(spark):
+    """Edge direction must not matter (pairs come in doc_a<doc_b order but
+    min labels flow both ways)."""
+    from drift_detection_pibic___framework_spark.operators import dedup
+    pairs = spark.createDataFrame([(5, 1), (2, 5)], ["doc_a", "doc_b"])
+    got = {(r.node, r.component)
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (5, 1)}
+
+
+# -------------------------------------------------------------------------
+# deterministic sampling
+# -------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    from drift_detection_pibic___framework_spark.operators import sampling
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in sampling.hash_sample(df, "k", 32).collect())
+    b = sorted(r.k for r in
+               sampling.hash_sample(df.repartition(13), "k", 32).collect())
+    assert a == b and len(a) > 0
+    # ~32/256 = 12.5% within loose bounds
+    assert 0.08 < len(a) / 4000 < 0.18
+
+
+def test_hash_sample_threshold_monotone(spark):
+    from drift_detection_pibic___framework_spark.operators import sampling
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    small = {r.k for r in sampling.hash_sample(df, "k", 16).collect()}
+    big = {r.k for r in sampling.hash_sample(df, "k", 64).collect()}
+    assert small < big
+
+
+def test_group_cap(spark):
+    from drift_detection_pibic___framework_spark.operators import sampling
+    rows = [(g, i) for g in ("a", "b") for i in range(10)] + [("c", 0)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    got = sampling.group_cap(df, "g", 3, "i").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r.g, []).append(r.i)
+    assert {k: sorted(v) for k, v in by_g.items()} == {
+        "a": [0, 1, 2], "b": [0, 1, 2], "c": [0]}
+    assert set(df.columns) == set(got[0].asDict().keys())
