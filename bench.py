@@ -297,13 +297,30 @@ def scaling_report() -> None:
     4x window, per the calibration); local[8] -> local[32] also reported."""
     calib = cpu_calibration()
     results = {}
-    for cpus in ("2", "8", "32"):
+    # Two interleaved passes, merged per config by PEAK throughput: the
+    # sandbox page throttle is strictly one-sided (it only ever slows a
+    # lap down), so an episode that lands inside one config's block in one
+    # pass cannot bias the ratio when the other pass supplies that
+    # config's clean measurement.
+    for cpus in ("2", "8", "32", "2", "8", "32"):
         env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
         p = subprocess.run([sys.executable, __file__, "--scaling-worker"],
                            env=env, capture_output=True, text=True,
                            timeout=3600)
         line = p.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        r = json.loads(line)
+        prev = results.get(cpus)
+        if prev is None:
+            results[cpus] = r
+        else:
+            for k_sec, k_thr, laps in (("suite_sec", "clips_per_sec",
+                                        "suite_laps"),
+                                       ("mh_sec", "docs_per_sec",
+                                        "mh_laps")):
+                prev[laps] = prev[laps] + r[laps]
+                if r[k_sec] < prev[k_sec]:
+                    prev[k_sec] = r[k_sec]
+                    prev[k_thr] = r[k_thr]
 
     def eff(metric, a, b):
         return round((results[b][metric] / results[a][metric]) / 4.0, 3)

@@ -319,3 +319,55 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("component"))
+
+
+# -------------------------------------------------------------------------
+# end-to-end corpus dedup: exact phase -> pair phase -> keep-one-per-group
+# -------------------------------------------------------------------------
+
+def keep_canonical(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop every document that is NOT its duplicate-group's canonical
+    (min-id) representative. ``pairs`` is any near-dup pair frame
+    (doc_a, doc_b); groups are closed via connected_components first, so
+    non-transitive pair output is handled correctly. The drop set is tiny
+    relative to the corpus (only near-dup members), so the left-anti join
+    broadcasts it in practice."""
+    comp = connected_components(pairs)
+    drop = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col)))
+    return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_corpus(docs: DataFrame, col: str = "text",
+                 id_col: str = "doc_id",
+                 jaccard_threshold: float = 0.7,
+                 pairs: DataFrame = None) -> DataFrame:
+    """One-call corpus deduplication, the standard two-phase recipe:
+
+    1. EXACT phase: md5 digest of the normalized text, keep the min-id doc
+       per digest (one window shuffle on the uniform digest key — removes
+       byte-identical copies before any expensive similarity work).
+    2. NEAR phase over the exact survivors: candidate pairs from
+       MinHash+LSH (the bucketed scale path) unless ``pairs`` overrides it
+       — either a pair frame, or a callable applied to the survivor frame
+       (e.g. exact all-pairs Jaccard as the small-scale correctness
+       oracle) — closed into groups by connected_components, keeping each
+       group's min-id doc.
+
+    Returns the surviving rows of ``docs`` with original columns.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy("_digest")
+         .orderBy(F.col(id_col)))
+    survivors = (docs
+                 .withColumn("_digest", F.md5(norm_text(col)))
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .drop("_digest", "_rn"))
+    if pairs is None:
+        pairs = minhash_near_duplicates(
+            survivors, col=col, threshold=jaccard_threshold)
+    elif callable(pairs):
+        pairs = pairs(survivors)
+    return keep_canonical(survivors, pairs, id_col=id_col)

@@ -1257,3 +1257,55 @@ def doc_source_cap(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return SA.group_cap(docs, "source", 20, "doc_id").select(
         "doc_id", "source")
+
+
+@register("doc_dedup_corpus", f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(nt)),
+sh AS (
+  SELECT doc_id, {_shingles_sql()} AS s FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM keep)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
+  FROM reach GROUP BY s)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN keep USING (doc_id)
+WHERE d.doc_id NOT IN
+      (SELECT doc_id FROM comp WHERE doc_id <> component)
+""")
+def doc_dedup_corpus(spark, sf_dir):
+    """One-call corpus dedup: exact md5 keep-min phase, then exact-Jaccard
+    >=0.7 pairs over the survivors closed into components, keeping each
+    group's min-id doc. The exact all-pairs pair phase here is the
+    oracle-scale correctness baseline; at corpus scale dedup_corpus swaps
+    it for the MinHash+LSH bucketed candidate join (same downstream
+    component closure + keep-one)."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def exact_pairs(survivors):
+        ids = survivors.select("doc_id")
+        cand = (ids.alias("a").crossJoin(ids.alias("b"))
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b")))
+        return (D.jaccard_pairs(survivors, cand)
+                .filter(F.col("jaccard") >= 0.7))
+
+    return (D.dedup_corpus(docs, pairs=exact_pairs)
+            .select("doc_id", "lang", "source"))

@@ -387,3 +387,45 @@ def test_group_cap(spark):
     assert {k: sorted(v) for k, v in by_g.items()} == {
         "a": [0, 1, 2], "b": [0, 1, 2], "c": [0]}
     assert set(df.columns) == set(got[0].asDict().keys())
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """Exact copies collapse to the min-id doc; near-dups (one word
+    changed) collapse via the pair phase; distinct docs survive."""
+    from pyspark.sql import functions as F
+    from drift_detection_pibic___framework_spark.operators import dedup
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (2, "the quick brown fox jumps over the lazy dog tonight ok"),
+        (3, "THE quick   brown fox jumps over the lazy dog tonight ok"),
+        (4, "the quick brown fox jumps over the lazy cat tonight ok"),
+        (5, "a completely different document about spark partitioning"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def exact_pairs(survivors):
+        ids = survivors.select("doc_id")
+        cand = (ids.alias("a").crossJoin(ids.alias("b"))
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b")))
+        return (dedup.jaccard_pairs(survivors, cand)
+                .filter(F.col("jaccard") >= 0.5))
+
+    got = sorted(r.doc_id for r in
+                 dedup.dedup_corpus(docs, pairs=exact_pairs).collect())
+    # 2 and 3 are exact dups of 1 (after normalization); 4 is a near-dup
+    # of 1 (9/11 shared 3-shingles fails only at the changed word);
+    # component {1,4} keeps 1.
+    assert got == [1, 5]
+
+
+def test_keep_canonical_preserves_columns(spark):
+    from drift_detection_pibic___framework_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b"), (3, "z", "c")],
+        ["doc_id", "text", "meta"])
+    pairs = spark.createDataFrame([(1, 3)], ["doc_a", "doc_b"])
+    out = dedup.keep_canonical(docs, pairs)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+    assert out.columns == docs.columns
