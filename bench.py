@@ -60,6 +60,12 @@ def build_spark(cpus: str):
                      "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g")
                      + " -XX:+AlwaysPreTouch -XX:+UseParallelGC")
              .config("spark.sql.files.maxPartitionBytes", "32m")
+             # bound the per-worker Arrow batch (and with it the python
+             # workers' scratch high-water: ~4k clips x ~4k samples x 8 B
+             # x a few buffers ~= 200-300 MB/worker): a smaller first-touch
+             # burst at lap 0 keeps the sandbox page throttle from
+             # dominating the audio-feature laps
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
              .config("spark.ui.enabled", "false")
              # keep large numpy buffers in the glibc arena (reused pages)
              # instead of per-allocation mmap/munmap: this sandbox throttles

@@ -84,72 +84,147 @@ def frame_sample(pcm: np.ndarray, frame_len: int = 160,
     return frames[::every_k]
 
 
+#: frames per rFFT sub-chunk.  The FFT output cannot be written into a
+#: caller buffer (np.fft has no ``out=``), so it allocates per call — a
+#: FIXED chunk size makes every allocation the same size, which the
+#: allocator's free list reuses across batches and laps.  This matters
+#: doubly in this sandbox, whose hypervisor throttles first-touch pages:
+#: varying-size per-batch temporaries fault fresh pages every lap, while
+#: constant-size + scratch-pool buffers are paid for once per worker.
+FFT_CHUNK_FRAMES = 16384
+
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, n: int, dtype, shape1: int = 0) -> np.ndarray:
+    """Per-worker growable scratch buffer: allocated once at the high-water
+    mark, reused for every subsequent Arrow batch (and job) in the worker
+    process. Returns a length-n (or (n, shape1)) view."""
+    key = (name, np.dtype(dtype).str, shape1)
+    buf = _SCRATCH.get(key)
+    rows = n * (shape1 or 1)
+    if buf is None or buf.size < rows:
+        cap = max(rows, int(1.5 * buf.size) if buf is not None else rows)
+        buf = np.empty(cap, dtype)
+        _SCRATCH[key] = buf
+    v = buf[:rows]
+    return v.reshape(n, shape1) if shape1 else v
+
+
+_LUT_F64: dict = {}
+
+
+def _decode_lut(codec: str) -> np.ndarray:
+    """256-entry byte -> float64 sample table for the G.711 codecs (decode
+    becomes a single np.take into the output view, zero temporaries)."""
+    t = _LUT_F64.get(codec)
+    if t is None:
+        allb = np.arange(256, dtype=np.uint8).tobytes()
+        t = audio.decode(allb, codec).astype(np.float64) / 32767.0
+        _LUT_F64[codec] = t
+    return t
+
+
 def audio_features(clips: DataFrame,
                    store_rate: int = STORE_RATE) -> DataFrame:
-    """Per-clip audio features via mapInPandas (Arrow batches; numpy per
-    clip; only the columns needed are read — bytes + codec + ids)."""
+    """Per-clip audio features via mapInPandas (Arrow batches; only the
+    columns needed are read — bytes + codec + ids).
+
+    Allocation discipline: every full-signal array (decoded samples,
+    squares, sign bits, frame gather/magnitude matrices) lives in the
+    per-worker scratch pool and is decoded/computed INTO a view — the
+    kernel's steady-state fresh-allocation rate is ~zero, so throughput is
+    bounded by FLOPs + Arrow transfer, not by page faults (this host
+    throttles first-touch pages; at 100 TB the same discipline is what
+    keeps the pipeline memory-bandwidth-bound instead of allocator-bound).
+    Per-clip python work is O(1) slicing; all math is batch-vectorized
+    (reduceat / chunked 2-D rFFT)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             n = len(b)
             if not n:
                 continue
-            # vectorized across the batch: concatenate payloads per codec,
-            # decode ONCE, then per-clip rms/zcr via add.reduceat over the
-            # flat signal and ONE 2-D rFFT over every frame in the batch
-            # for the centroid — zero per-clip Python in the hot loop.
             bufs = b["bytes"].to_numpy()
             codecs = b["codec"].to_numpy()
-            # decode per codec group into per-row views, then flatten
-            pcm_rows: list = [None] * n
-            for codec_val in np.unique(codecs):
-                idx = np.nonzero(codecs == codec_val)[0]
-                joined = b"".join(bufs[i] for i in idx)
+            ns = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                w = 1 if codecs[i] in ("mulaw", "alaw") else 2
+                ns[i] = max(len(bufs[i]) // w, 1)
+            total = int(ns.sum())
+            starts = np.empty(n, dtype=np.int64)
+            starts[0] = 0
+            np.cumsum(ns[:-1], out=starts[1:])
+            # decode straight into the flat scratch signal, one view per row
+            flat = _scratch("flat", total, np.float64)
+            for i in range(n):
+                v = flat[starts[i]:starts[i] + ns[i]]
+                buf, c = bufs[i], codecs[i]
                 try:
-                    dec = audio.int16_to_float(audio.decode(joined, codec_val))
+                    if c in ("mulaw", "alaw"):
+                        np.take(_decode_lut(c),
+                                np.frombuffer(buf, np.uint8, count=ns[i]),
+                                out=v)
+                    elif len(buf) >= 2 * ns[i]:
+                        np.divide(np.frombuffer(buf, "<i2", count=ns[i]),
+                                  32767.0, out=v)
+                    else:          # zero/odd-length payload
+                        v[:] = 0.0
                 except (ValueError, TypeError):
-                    dec = None
-                width = 1 if codec_val in ("mulaw", "alaw") else 2
-                off = 0
-                for i in idx:
-                    m = len(bufs[i]) // width
-                    if dec is None:
-                        pcm_rows[i] = np.zeros(1)
-                    else:
-                        pcm_rows[i] = dec[off:off + m]
-                    off += m
-            ns = np.array([len(p) for p in pcm_rows], dtype=np.int64)
-            flat = np.concatenate(pcm_rows) if n else np.empty(0)
-            starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
-            # rms: sum of squares per clip
-            sq = flat * flat
-            rms = np.sqrt(np.add.reduceat(sq, starts) / np.maximum(ns, 1))
+                    v[:] = 0.0
+            # rms: sum of squares per clip (squares into scratch)
+            sq = _scratch("sq", total, np.float64)
+            np.multiply(flat, flat, out=sq)
+            rms = np.sqrt(np.add.reduceat(sq, starts) / ns)
             # zcr: sign changes per clip, boundaries zeroed
-            sb = np.signbit(flat).astype(np.int8)
-            d = np.abs(np.diff(sb)).astype(np.float64)
+            sbb = _scratch("sbb", total, np.bool_)
+            np.signbit(flat, out=sbb)
+            # bool->f64 via staging buffer: not_equal into a bool scratch,
+            # then copy-assign into the f64 reduceat buffer
+            d = _scratch("d", total, np.float64)
+            db = _scratch("db", total, np.bool_)
+            np.not_equal(sbb[1:], sbb[:-1], out=db[:total - 1])
+            d[:total - 1] = db[:total - 1]
+            d[total - 1] = 0.0
             boundary = (starts - 1)[1:]
             d[boundary[boundary >= 0]] = 0.0
-            d = np.concatenate([d, [0.0]])
             zc = np.add.reduceat(d, starts)
             zcr = np.where(ns > 1, zc / np.maximum(ns - 1, 1), 0.0)
-            # framed spectral centroid: stack every frame of every clip
-            # into one (total_frames, L) matrix, single batched rFFT.
+            # framed spectral centroid: fixed-size rFFT sub-chunks over a
+            # scratch gather matrix; per-clip accumulation via bincount.
             L = CENTROID_FRAME_LEN
             nf = ns // L
-            total = int(nf.sum())
-            if total:
-                frames = np.concatenate(
-                    [flat[s:s + k * L]
-                     for s, k in zip(starts, nf) if k]).reshape(-1, L)
-                spec = np.abs(np.fft.rfft(frames, axis=1))
+            total_frames = int(nf.sum())
+            num = np.zeros(n)
+            den = np.zeros(n)
+            if total_frames:
                 freqs = np.fft.rfftfreq(L, d=1.0 / store_rate)
                 clip_of_frame = np.repeat(np.arange(n), nf)
-                num = np.bincount(clip_of_frame, weights=spec @ freqs,
-                                  minlength=n)
-                den = np.bincount(clip_of_frame, weights=spec.sum(axis=1),
-                                  minlength=n)
-            else:
-                num = np.zeros(n)
-                den = np.zeros(n)
+                # start offset of every frame: clip start + k*L within clip
+                cum_nf = np.empty(n, dtype=np.int64)
+                cum_nf[0] = 0
+                np.cumsum(nf[:-1], out=cum_nf[1:])
+                within = (np.arange(total_frames)
+                          - np.repeat(cum_nf, nf)) * L
+                frame_starts = np.repeat(starts, nf) + within
+                arange_l = np.arange(L)
+                for c0 in range(0, total_frames, FFT_CHUNK_FRAMES):
+                    k = min(FFT_CHUNK_FRAMES, total_frames - c0)
+                    idx = _scratch("fidx", FFT_CHUNK_FRAMES, np.int64,
+                                   L)[:k]
+                    np.add.outer(frame_starts[c0:c0 + k], arange_l,
+                                 out=idx)
+                    fb = _scratch("fbuf", FFT_CHUNK_FRAMES, np.float64,
+                                  L)[:k]
+                    np.take(flat, idx, out=fb)
+                    spec = np.fft.rfft(fb, axis=1)   # consistent alloc size
+                    mag = _scratch("fmag", FFT_CHUNK_FRAMES, np.float64,
+                                   L // 2 + 1)[:k]
+                    np.absolute(spec, out=mag)
+                    cof = clip_of_frame[c0:c0 + k]
+                    num += np.bincount(cof, weights=mag @ freqs,
+                                       minlength=n)
+                    den += np.bincount(cof, weights=mag.sum(axis=1),
+                                       minlength=n)
             cent = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
             yield pd.DataFrame({
                 "rid": b["rid"].to_numpy(),
