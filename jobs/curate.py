@@ -1,0 +1,116 @@
+"""Training-data curation job — ``spark-submit jobs/curate.py [options]``.
+
+The pipeline counterpart to jobs/validate.py: takes a documents table and
+produces a curated corpus the way a web-scale pretraining run does —
+
+  1. quality filter   (length / alpha-ratio / mean-word-length score)
+  2. deduplication    (exact md5 keep-min, then MinHash+LSH near-dup
+                       closure via connected components, keep-one-per-group)
+  3. per-source quota (row_number cap — one crawler trap can't dominate)
+  4. hash sample      (optional deterministic md5-threshold ablation slice)
+
+Every stage is a narrow filter or a key-partitioned shuffle (see
+operators/dedup.py, operators/sampling.py docstrings for the 100 TB
+shapes); stage row counts are printed so attrition is attributable.
+
+Usage:
+    spark-submit jobs/curate.py --data /root/testdata/sf0.001 \
+        [--out /tmp/curated] [--min-quality 0.5] [--jaccard 0.7] \
+        [--cap-per-source N] [--sample-256 N] [--master local[8]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/testdata/sf0.001",
+                    help="directory containing documents.parquet")
+    ap.add_argument("--out", default=None,
+                    help="write the curated corpus here (parquet)")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--jaccard", type=float, default=0.7,
+                    help="near-dup threshold for the LSH phase")
+    ap.add_argument("--cap-per-source", type=int, default=0,
+                    help="max docs per source (0 = no cap)")
+    ap.add_argument("--sample-256", type=int, default=0,
+                    help="keep ~N/256 of the corpus, md5-deterministic "
+                         "(0 = no sampling)")
+    ap.add_argument("--master",
+                    default=os.environ.get("SPARK_MASTER", "local[8]"))
+    ap.add_argument("--shuffle-partitions", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from drift_detection_pibic___framework_spark.operators import (
+        dedup, sampling, text)
+
+    doc_path = os.path.join(args.data, "documents.parquet")
+    if not os.path.exists(doc_path):
+        print(f"error: {doc_path} not found", file=sys.stderr)
+        return 2
+
+    t0 = time.time()
+    spark = (SparkSession.builder.master(args.master)
+             .appName("dpf-curate")
+             .config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(doc_path)
+    n_in = docs.count()
+
+    scored = text.with_quality(docs).select("doc_id", "quality_score")
+    kept = (docs.join(
+        scored.filter(scored.quality_score >= args.min_quality)
+        .select("doc_id"), "doc_id"))
+    n_quality = kept.count()
+
+    deduped = dedup.dedup_corpus(kept, jaccard_threshold=args.jaccard)
+    n_dedup = deduped.count()
+
+    if args.cap_per_source:
+        deduped = sampling.group_cap(
+            deduped, "source", args.cap_per_source, "doc_id")
+        n_capped = deduped.count()
+    else:
+        n_capped = n_dedup
+
+    if args.sample_256:
+        deduped = sampling.hash_sample(deduped, "doc_id", args.sample_256)
+        n_sampled = deduped.count()
+    else:
+        n_sampled = n_capped
+
+    if args.out:
+        deduped.write.mode("overwrite").parquet(args.out)
+
+    dt = time.time() - t0
+    print(f"input             {n_in:>10d}")
+    print(f"quality >= {args.min_quality:<6g} {n_quality:>10d}  "
+          f"(-{n_in - n_quality})")
+    print(f"deduped           {n_dedup:>10d}  (-{n_quality - n_dedup})")
+    if args.cap_per_source:
+        print(f"source cap {args.cap_per_source:<6d} {n_capped:>10d}  "
+              f"(-{n_dedup - n_capped})")
+    if args.sample_256:
+        print(f"sample {args.sample_256}/256     {n_sampled:>10d}")
+    print(f"\ncurated {n_sampled}/{n_in} docs in {dt:.1f}s"
+          + (f" -> {args.out}" if args.out else ""))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
