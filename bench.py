@@ -76,6 +76,11 @@ def build_spark(cpus: str):
              # better warm laps under an active episode)
              .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
              .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+             # pyarrow's default pool (mimalloc/jemalloc) mmaps its own
+             # fresh pages, bypassing the glibc arena-reuse settings above;
+             # the system pool routes Arrow batch buffers through glibc so
+             # python workers' input batches also reuse arena pages
+             .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     return spark

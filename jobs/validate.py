@@ -52,6 +52,7 @@ def main() -> int:
              # arena-reuse for python-worker numpy buffers (see bench.py)
              .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
              .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+             .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

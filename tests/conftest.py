@@ -22,6 +22,7 @@ def spark():
          # arena-reuse for python-worker numpy buffers (see bench.py note)
          .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
          .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
+         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
          .getOrCreate())
     s.sparkContext.setLogLevel("ERROR")
     yield s
