@@ -32,27 +32,92 @@ RESULT_SCHEMA = ("rid long, clip_id string, part int, snr_db double, "
                  "len_ok boolean, transcript_ok boolean, passed boolean")
 
 
+_LUT_RAW: dict = {}
+
+
+def _decode_lut_raw(codec: str) -> np.ndarray:
+    """256-entry byte -> raw int16 sample value (as float64) table for the
+    G.711 codecs — decode becomes one np.take into a scratch view."""
+    t = _LUT_RAW.get(codec)
+    if t is None:
+        allb = np.arange(256, dtype=np.uint8).tobytes()
+        t = audio.decode(allb, codec).astype(np.float64)
+        _LUT_RAW[codec] = t
+    return t
+
+
 def _batch_invariant(batch: pd.DataFrame, store_rate: int) -> pd.DataFrame:
+    """Vectorized decode + SNR over the whole Arrow batch: both sides are
+    decoded into per-worker scratch signal buffers (LUT take / int16 view
+    cast — see multimodal._scratch for the allocation discipline), then
+    signal and noise powers reduce per clip via add.reduceat. Per-row
+    Python is O(1) view slicing; undecodable / length-mismatched payloads
+    fail closed (snr=-inf, len_ok=False) exactly as before."""
+    from .multimodal import _scratch
     n = len(batch)
-    snr = np.empty(n, dtype=np.float64)
-    len_ok = np.zeros(n, dtype=bool)
-    t_ok = np.zeros(n, dtype=bool)
+    bufs = batch["bytes"].to_numpy()
+    rbufs = batch["ref_bytes"].to_numpy()
+    codecs = batch["codec"].to_numpy()
+    rcodecs = batch["ref_codec"].to_numpy()
+
+    ns = np.empty(n, dtype=np.int64)
+    rns = np.empty(n, dtype=np.int64)
+    ok = np.ones(n, dtype=bool)
     for i in range(n):
-        codec = batch["codec"].iat[i]
-        try:
-            dec = audio.decode(batch["bytes"].iat[i], codec)
-            ref = audio.decode(batch["ref_bytes"].iat[i],
-                               batch["ref_codec"].iat[i])
-            snr[i] = audio.snr_db(ref, dec)
-            len_ok[i] = len(dec) == round(
-                batch["dur_ms"].iat[i] * store_rate / 1000)
-        except (ValueError, TypeError):
-            # undecodable payload (truncated/odd-length buffer) is itself a
-            # violation — the check fails closed, never throws
-            snr[i] = float("-inf")
-            len_ok[i] = False
-        a, b = batch["transcript"].iat[i], batch["ref_transcript"].iat[i]
-        t_ok[i] = (a == b) and a is not None
+        w = 1 if codecs[i] in ("mulaw", "alaw") else 2
+        rw = 1 if rcodecs[i] in ("mulaw", "alaw") else 2
+        m, rm = len(bufs[i]) // w, len(rbufs[i]) // rw
+        # fail closed on truncated/odd-length pcm or mismatched lengths
+        if (w == 2 and len(bufs[i]) != 2 * m) or \
+           (rw == 2 and len(rbufs[i]) != 2 * rm) or m != rm or m == 0:
+            ok[i] = False
+            m = rm = 1
+        ns[i] = m
+        rns[i] = rm
+
+    total = int(ns.sum())
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(ns[:-1], out=starts[1:])
+    a = _scratch("inv_a", total, np.float64)   # test side, raw i16 values
+    b = _scratch("inv_b", total, np.float64)   # ref side
+    for i in range(n):
+        va = a[starts[i]:starts[i] + ns[i]]
+        vb = b[starts[i]:starts[i] + ns[i]]
+        if not ok[i]:
+            va[:] = 0.0
+            vb[:] = 0.0
+            continue
+        if codecs[i] in ("mulaw", "alaw"):
+            np.take(_decode_lut_raw(codecs[i]),
+                    np.frombuffer(bufs[i], np.uint8, count=ns[i]), out=va)
+        else:
+            va[:] = np.frombuffer(bufs[i], "<i2", count=ns[i])
+        if rcodecs[i] in ("mulaw", "alaw"):
+            np.take(_decode_lut_raw(rcodecs[i]),
+                    np.frombuffer(rbufs[i], np.uint8, count=ns[i]), out=vb)
+        else:
+            vb[:] = np.frombuffer(rbufs[i], "<i2", count=ns[i])
+
+    # noise = sum((ref-test)^2), signal = sum(ref^2), per clip
+    diff = _scratch("inv_d", total, np.float64)
+    np.subtract(b, a, out=diff)
+    np.multiply(diff, diff, out=diff)
+    noise = np.add.reduceat(diff, starts)
+    np.multiply(b, b, out=diff)
+    sig = np.add.reduceat(diff, starts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snr = 10.0 * np.log10(sig / noise)
+    snr[sig == 0.0] = float("-inf")     # silent reference
+    snr[noise == 0.0] = float("inf")    # bit-identical (wins over silent,
+    #                                     matching audio.snr_db's ordering)
+    snr[~ok] = float("-inf")            # mismatch/undecodable fails closed
+
+    expected = np.round(
+        batch["dur_ms"].to_numpy().astype(np.float64) * store_rate / 1000.0)
+    len_ok = ok & (ns == expected.astype(np.int64))
+    t = batch["transcript"]
+    t_ok = (t.eq(batch["ref_transcript"]) & t.notna()).to_numpy()
     out = pd.DataFrame({
         "rid": batch["rid"].to_numpy(),
         "clip_id": batch["clip_id"].to_numpy(),
