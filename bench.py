@@ -15,6 +15,7 @@ Headline queries (each is an end-to-end action, fresh from parquet):
   q_kll_salted     — salted two-phase KLL quantiles per codec (skew path)
   q_hll_global     — two-phase global HLL distinct
   q_minhash_lsh    — MinHash+LSH near-dup over documents
+  q_dedup_corpus   — end-to-end dedup: exact digest + LSH closure, keep-one
   q_knn            — brute-force cosine top-5 for 10 queries over embeddings
   q_audio_features — rms/zcr/spectral-centroid extraction over bytes
 
@@ -133,6 +134,9 @@ def bench_queries(spark, sf_dir: str) -> tuple:
         return dedup.minhash_near_duplicates(
             docs, threshold=0.2, num_hashes=16, bands=8).count()
 
+    def q_dedup_corpus():
+        return dedup.dedup_corpus(docs, jaccard_threshold=0.7).count()
+
     def q_knn():
         return similarity.brute_force_topk(
             emb, emb.filter("vec_id < 10"), k=5).count()
@@ -156,6 +160,7 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_kll_salted", q_kll_salted),
                   ("q_hll_global", q_hll_global),
                   ("q_minhash_lsh", q_minhash_lsh),
+                  ("q_dedup_corpus", q_dedup_corpus),
                   ("q_knn", q_knn)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
     # (2 warm laps so a single throttle blip cannot own the reported number)
