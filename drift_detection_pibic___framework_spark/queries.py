@@ -745,9 +745,64 @@ def emb_near_dups(spark, sf_dir):
                                        threshold=0.8)
 
 
-@register("emb_lsh_knn")  # approximate: rows-only driver check; recall
-def emb_lsh_knn(spark, sf_dir):  # asserted vs brute force in tests
+def _lsh_knn_sql(k: int = 5, n_planes: int = 4, n_tables: int = 8,
+                 seed: int = 42, dim: int = 64) -> str:
+    """Full multi-table hyperplane-LSH ANN in SQL: the planes are seeded
+    numpy literals (identical doubles via repr round-trip), so signature,
+    bucket join, exact-cosine scoring and top-k ranking are all
+    reproduced in ANSI SQL."""
+    from .operators.similarity import hyperplanes
+
+    def dot_sql(pl) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in pl) + "]"
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> v[j] * ({lit})[j]))")
+
+    cases = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        sig = " + ".join(
+            f"(CASE WHEN {dot_sql(pl)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, pl in enumerate(planes))
+        cases.append(f"WHEN {t} THEN {sig}")
+    case = "CASE t.tbl " + " ".join(cases) + " END"
+    r = f"range(1, {dim + 1})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v, t.tbl, CAST({case} AS INTEGER) AS bkt
+  FROM e, (SELECT unnest(range(0, {n_tables})) AS tbl) t),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         a.v AS qv, b.v AS nv
+  FROM sigs a JOIN sigs b USING (tbl, bkt)
+  WHERE a.vec_id <> b.vec_id),
+scored AS (
+  SELECT query_id, nbr_id,
+         ROUND(list_sum(list_transform({r}, j -> qv[j] * nv[j]))
+           / (sqrt(list_sum(list_transform({r}, j -> qv[j] * qv[j])))
+            * sqrt(list_sum(list_transform({r}, j -> nv[j] * nv[j])))),
+           4) AS cosine
+  FROM pairs),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("emb_lsh_knn")  # oracle attached below (needs helper)
+def emb_lsh_knn(spark, sf_dir):
+    """Multi-table hyperplane LSH ANN — fully oracle-checked: the seeded
+    literal planes make the whole approximate pipeline deterministic, so
+    DuckDB reproduces signatures, buckets, and ranked neighbors (recall
+    vs brute force is separately asserted in tests)."""
     return S.hyperplane_lsh_neighbors(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+ORACLES["emb_lsh_knn"] = _lsh_knn_sql(5)
 
 
 @register("emb_ivf_knn")  # approximate: rows-only driver check; recall
@@ -758,16 +813,87 @@ def emb_ivf_knn(spark, sf_dir):  # asserted vs brute force in tests
     return S.ivf_topk(emb, emb, k=5)
 
 
-@register("doc_minhash_lsh_dups")  # approximate: rows-only driver check
+@register("doc_minhash_lsh_dups", f"""
+WITH sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM documents),
+sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, 16), h ->
+           list_min(list_transform(s, x ->
+             CAST(('0x' || substr(md5('s' || h || ':' || x), 1, 15))
+                  AS BIGINT)))) AS mh
+  FROM sh),
+banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(list_transform(
+             list_slice(mh, band * 2 + 1, band * 2 + 2),
+             x -> CAST(x AS VARCHAR)), ',')) AS bh
+  FROM sig, (SELECT unnest(range(0, 8)) AS band) bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b USING (band, bh)
+  WHERE a.doc_id < b.doc_id),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.s, sb.s)) * 1.0 /
+         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+FROM j WHERE ROUND(jac, 6) >= 0.2
+""")
 def doc_minhash_lsh_dups(spark, sf_dir):
+    """FULL MinHash+LSH pipeline, cross-engine: the md5-derived signatures
+    are deterministic by design, so shingle -> 16 seeded min-hashes ->
+    8 banded buckets -> candidate equi-join -> exact-Jaccard verify is
+    reproduced verbatim in ANSI SQL — the approximate pipeline's entire
+    candidate set and final pair set are oracle-checked, not just
+    sampled components."""
     return D.minhash_near_duplicates(_t(spark, sf_dir, "documents"),
                                      threshold=0.2, num_hashes=16, bands=8)
 
 
-@register("doc_simhash_near_dups")  # rows-only driver check
+
+def _simhash_near_sql(max_hamming: int = 10) -> str:
+    """Full SimHash near-dup pipeline in SQL: per-doc 64-bit simhash,
+    the SAME radius-derived chunk pigeonhole bucketing as the Spark
+    operator (n_chunks = max_hamming + 1 guarantees a colliding chunk for
+    any pair within the radius), candidate equi-join, hamming verify."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    masks = [(1 << w) - 1 for w in widths]
+    sim = _simhash_sql().replace(" WHERE doc_id < 50", "")
+    off_lit = "[" + ", ".join(str(o) for o in offsets) + "]"
+    mask_lit = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH s AS ({sim}),
+ch AS (
+  SELECT doc_id, simhash, t.i AS chunk_idx,
+         (CAST(simhash AS UBIGINT) >> ({off_lit}[t.i + 1]))
+           & CAST({mask_lit}[t.i + 1] AS UBIGINT) AS chunk_val
+  FROM s, (SELECT unnest(range(0, {n_chunks})) AS i) t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM ch a JOIN ch b USING (chunk_idx, chunk_val)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@register("doc_simhash_near_dups")  # oracle attached below (needs helper)
 def doc_simhash_near_dups(spark, sf_dir):
+    """Full SimHash near-dup pipeline, cross-engine: simhash bit math,
+    radius-derived chunk buckets, candidate join and hamming verify are
+    reproduced in ANSI SQL (the chunk layout is generated from the same
+    widths/offsets formula)."""
     return D.simhash_near_duplicates(_t(spark, sf_dir, "documents"),
                                      max_hamming=10)
+
+
+ORACLES["doc_simhash_near_dups"] = _simhash_near_sql(10)
 
 
 # =========================================================================
