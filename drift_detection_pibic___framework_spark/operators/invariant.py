@@ -46,8 +46,42 @@ def _decode_lut_raw(codec: str) -> np.ndarray:
     return t
 
 
+# Rows per vectorized sub-chunk.  The kernel decodes the whole chunk into
+# per-worker scratch buffers (3 x float64 x total-samples); at 8,192-row Arrow
+# batches that was ~3 x 131 MB whose first-touch page faults dominated wall
+# time on fresh python workers (round-2 bench regression: q_invariant 90s warm
+# vs 8s).  1,024 rows bounds the scratch high-water to ~25-50 MB/worker while
+# keeping the reduceat vectorization win (kernel is ~4x faster than the
+# per-row loop once pages are warm).
+_CHUNK_ROWS = 1024
+
+
 def _batch_invariant(batch: pd.DataFrame, store_rate: int) -> pd.DataFrame:
-    """Vectorized decode + SNR over the whole Arrow batch: both sides are
+    """Vectorized decode + SNR over the Arrow batch, processed in bounded
+    sub-chunks of ``_CHUNK_ROWS`` rows so per-worker scratch memory stays
+    small (see ``_CHUNK_ROWS``).  Empty batches return an empty result frame
+    with the RESULT_SCHEMA columns."""
+    n = len(batch)
+    if n == 0:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32),
+            "snr_db": pd.Series(dtype=np.float64),
+            "len_ok": pd.Series(dtype=bool),
+            "transcript_ok": pd.Series(dtype=bool),
+            "passed": pd.Series(dtype=bool),
+        })
+    if n <= _CHUNK_ROWS:
+        return _chunk_invariant(batch, store_rate)
+    return pd.concat(
+        [_chunk_invariant(batch.iloc[lo:lo + _CHUNK_ROWS], store_rate)
+         for lo in range(0, n, _CHUNK_ROWS)],
+        ignore_index=True)
+
+
+def _chunk_invariant(batch: pd.DataFrame, store_rate: int) -> pd.DataFrame:
+    """Vectorized decode + SNR over one sub-chunk: both sides are
     decoded into per-worker scratch signal buffers (LUT take / int16 view
     cast — see multimodal._scratch for the allocation discipline), then
     signal and noise powers reduce per clip via add.reduceat. Per-row

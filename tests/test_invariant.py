@@ -81,3 +81,43 @@ def test_filepairs_equals_join_variant(spark, clips, clips_ref, fixture_dir):
             spark, f"{fixture_dir}/clips", f"{fixture_dir}/clips_ref")
          .orderBy("rid").collect())
     assert a == b
+
+
+def test_batch_invariant_empty_batch():
+    """Empty Arrow batch returns an empty frame with the result columns
+    (the kernel used to IndexError on starts[0] with n=0)."""
+    import pandas as pd
+    out = invariant._batch_invariant(pd.DataFrame({
+        "rid": [], "clip_id": [], "part": [], "bytes": [], "codec": [],
+        "dur_ms": [], "transcript": [], "ref_bytes": [], "ref_codec": [],
+        "ref_transcript": []}), 8000)
+    assert len(out) == 0
+    assert list(out.columns) == ["rid", "clip_id", "part", "snr_db",
+                                 "len_ok", "transcript_ok", "passed"]
+
+
+def test_batch_invariant_chunked_matches_single():
+    """A batch wider than _CHUNK_ROWS splits into bounded sub-chunks whose
+    concatenated result is identical to one unchunked kernel call."""
+    import numpy as np
+    import pandas as pd
+
+    from drift_detection_pibic___framework_spark.functions import audio
+
+    rng = np.random.default_rng(7)
+    rows = invariant._CHUNK_ROWS * 2 + 37
+    recs = []
+    for i in range(rows):
+        n = int(rng.integers(8, 64))
+        sig = (rng.standard_normal(n) * 3000).astype(np.int16)
+        codec = ["pcm16", "mulaw", "alaw"][i % 3]
+        enc = audio.encode(sig, codec)
+        recs.append((i, f"c{i}", i % 4, enc, codec,
+                     n * 1000.0 / 8000, f"t{i}", enc, codec, f"t{i}"))
+    batch = pd.DataFrame(recs, columns=[
+        "rid", "clip_id", "part", "bytes", "codec", "dur_ms", "transcript",
+        "ref_bytes", "ref_codec", "ref_transcript"])
+    single = invariant._chunk_invariant(batch, 8000)
+    chunked = invariant._batch_invariant(batch, 8000)
+    pd.testing.assert_frame_equal(
+        chunked, single.reset_index(drop=True), check_dtype=True)
