@@ -29,6 +29,11 @@ def hash_sample(df: DataFrame, key_col: str, threshold_256: int) -> DataFrame:
     runs, engines, partitionings, and cluster sizes; zero shuffle."""
     if not 0 <= threshold_256 <= 256:
         raise ValueError("threshold_256 must be in [0, 256]")
+    if threshold_256 == 256:
+        # keep-all short-circuit: format(256, "02x") is the 3-char literal
+        # "100", and a 2-char md5 prefix compared lexicographically against
+        # it would keep only prefixes starting "0" or exactly "10" (~6.6%)
+        return df
     hexlit = format(threshold_256, "02x")
     return df.filter(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 2) < hexlit)

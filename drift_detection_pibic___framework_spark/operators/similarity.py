@@ -54,15 +54,32 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # -------------------------------------------------------------------------
 
+def _fit_sample(emb: DataFrame, sample_rows: int, vec_col: str,
+                id_col: str):
+    """Deterministic uniform training sample: the ``sample_rows`` smallest
+    md5(id) rows across the WHOLE table (TakeOrderedAndProject — each
+    partition contributes its local minima, driver merges)."""
+    return (emb.select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                       id_col, vec_col)
+            .orderBy("_h").limit(sample_rows).toPandas())
+
+
 def ivf_fit_centroids(emb: DataFrame, n_centroids: int = 16,
                       sample_rows: int = 10000, n_iter: int = 10,
-                      seed: int = 42,
-                      vec_col: str = "embedding") -> np.ndarray:
+                      seed: int = 42, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> np.ndarray:
     """Coarse quantizer: seeded spherical k-means on a BOUNDED driver
     sample (standard IVF practice — training is O(sample * dim), the only
     driver-side step; assignment and search stay distributed).  Returns
-    unit-norm centroids (n_centroids, dim)."""
-    pdf = emb.select(vec_col).limit(sample_rows).toPandas()
+    unit-norm centroids (n_centroids, dim).
+
+    The training rows are the ``sample_rows`` smallest md5(id) values —
+    a deterministic UNIFORM sample over the whole table (every partition
+    contributes; TakeOrderedAndProject keeps only sample_rows rows per
+    partition before the driver merge).  A plain ``.limit()`` would take
+    the first file's rows, biasing centroids to one shard's
+    distribution."""
+    pdf = _fit_sample(emb, sample_rows, vec_col, id_col)
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -93,19 +110,36 @@ def with_ivf_cell(emb: DataFrame, centroids: np.ndarray,
     return emb.withColumn("ivf_cell", cell)
 
 
+def random_unit_centroids(dim: int, n_centroids: int = 16,
+                          seed: int = 42) -> np.ndarray:
+    """Seeded random unit-norm centroids — a data-independent coarse
+    quantizer (the cells still partition the sphere by nearest direction).
+    Because these are pure literals, an IVF search built on them is fully
+    reproducible in ANSI SQL, which lets the oracle gate check the whole
+    distributed search path (cell assignment, probing, equi-join, ranking);
+    the data-fitted quantizer from ``ivf_fit_centroids`` plugs into the
+    same search and is covered by the recall tests."""
+    C = np.random.default_rng(seed).normal(0.0, 1.0, (n_centroids, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              seed: int = 42, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: np.ndarray = None) -> DataFrame:
     """IVF approximate top-k: base vectors live in ONE cell each (inverted
     file); every query probes its ``n_probe`` highest-scoring cells; exact
-    cosine only within probed cells.
+    cosine only within probed cells.  ``centroids`` overrides the fitted
+    quantizer (e.g. ``random_unit_centroids`` for a literal, SQL-checkable
+    index).
 
     Scale shape: the index side is a single narrow column added in codegen
     (no shuffle); the search join is equi on ivf_cell, so candidate volume
     is ~ Q * n_probe * N / n_centroids instead of Q * N.  Recall is tuned
     by (n_centroids, n_probe) — measured vs brute force in tests."""
-    C = ivf_fit_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    C = centroids if centroids is not None else ivf_fit_centroids(
+        emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
     base = (with_ivf_cell(
         emb.select(F.col(id_col).alias("nbr_id"),
                    F.col(vec_col).alias("nv")), C, "nv"))

@@ -805,12 +805,72 @@ def emb_lsh_knn(spark, sf_dir):
 ORACLES["emb_lsh_knn"] = _lsh_knn_sql(5)
 
 
-@register("emb_ivf_knn")  # approximate: rows-only driver check; recall
-def emb_ivf_knn(spark, sf_dir):  # asserted vs brute force in tests
-    """IVF coarse-quantizer ANN (seeded spherical k-means cells, n_probe
-    probing) — the second scale path beside hyperplane LSH."""
+def _ivf_knn_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 5,
+                 seed: int = 42, dim: int = 64) -> str:
+    """Full IVF ANN search in SQL over literal centroids: cell assignment
+    (argmax dot — first occurrence on both engines), per-query top-n_probe
+    cell probing (score desc, cell desc tie-break = Spark's sort_array
+    desc over struct(score, cell)), candidate equi-join on the cell, exact
+    cosine scoring, ranked top-k."""
+    from .operators.similarity import random_unit_centroids
+
+    C = random_unit_centroids(dim, n_centroids, seed)
+
+    def dot_sql(c) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> v[j] * ({lit})[j]))")
+
+    scores = "list_value(" + ", ".join(dot_sql(c) for c in C) + ")"
+    r = f"range(1, {dim + 1})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, {scores} AS scores FROM e),
+base AS (
+  SELECT vec_id AS nbr_id, v AS nv,
+         CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+           AS ivf_cell
+  FROM sc),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         CAST(j.j - 1 AS INTEGER) AS ivf_cell, scores[j.j] AS score
+  FROM sc, (SELECT unnest(range(1, {n_centroids + 1})) AS j) j),
+probed AS (
+  SELECT query_id, qv, ivf_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, ivf_cell DESC) AS pr
+    FROM probes) t WHERE pr <= {n_probe}),
+scored AS (
+  SELECT query_id, nbr_id,
+         ROUND(list_sum(list_transform({r}, j -> qv[j] * nv[j]))
+           / (sqrt(list_sum(list_transform({r}, j -> qv[j] * qv[j])))
+            * sqrt(list_sum(list_transform({r}, j -> nv[j] * nv[j])))),
+           4) AS cosine
+  FROM probed JOIN base USING (ivf_cell)
+  WHERE nbr_id <> query_id),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("emb_ivf_knn")  # oracle attached below (needs helper)
+def emb_ivf_knn(spark, sf_dir):
+    """IVF coarse-quantizer ANN — fully oracle-checked: the seeded literal
+    unit centroids make cell assignment, probing, the equi-join and the
+    ranked top-k deterministic, so DuckDB reproduces the whole distributed
+    search path.  The data-FITTED quantizer (seeded spherical k-means on an
+    unbiased md5-ordered sample) plugs into the same search and its recall
+    vs brute force is asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb, k=5)
+    C = S.random_unit_centroids(64, 16, seed=42)
+    return S.ivf_topk(emb, emb, k=5, n_probe=5, centroids=C)
+
+
+ORACLES["emb_ivf_knn"] = _ivf_knn_sql(5)
 
 
 @register("doc_minhash_lsh_dups", f"""

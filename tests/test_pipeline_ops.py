@@ -185,7 +185,7 @@ def test_ivf_knn_recall_and_candidate_bound(spark, emb):
     set, and recall vs brute-force top-5 must still be >= 60%."""
     exact = similarity.brute_force_topk(emb, emb, k=5).toPandas()
     approx = similarity.ivf_topk(emb, emb, k=5,
-                                 n_centroids=16, n_probe=4).toPandas()
+                                 n_centroids=16, n_probe=5).toPandas()
     e = {(r.query_id, r.nbr_id) for r in exact.itertuples()}
     a = {(r.query_id, r.nbr_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
@@ -429,3 +429,36 @@ def test_keep_canonical_preserves_columns(spark):
     out = dedup.keep_canonical(docs, pairs)
     assert sorted(r.doc_id for r in out.collect()) == [1, 2]
     assert out.columns == docs.columns
+
+
+def test_hash_sample_boundary_thresholds(spark):
+    """threshold 256 keeps EVERY row (the 2-char-prefix lexicographic
+    compare against '100' kept ~6.6% before the short-circuit);
+    threshold 0 keeps none."""
+    from drift_detection_pibic___framework_spark.operators import sampling
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    assert sampling.hash_sample(df, "k", 256).count() == 500
+    assert sampling.hash_sample(df, "k", 0).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.hash_sample(df, "k", 257)
+
+
+def test_ivf_fit_sample_spans_partitions(spark):
+    """The centroid training sample must be drawn uniformly across ALL
+    partitions, not the first file's rows (first-rows bias)."""
+    import numpy as np
+    rows = [(i, [float(i)] * 4) for i in range(1000)]
+    emb4 = (spark.createDataFrame(rows, ["vec_id", "embedding"])
+            .repartitionByRange(4, "vec_id"))
+    pdf = similarity._fit_sample(emb4, 100, "embedding", "vec_id")
+    ids = np.sort(pdf["vec_id"].to_numpy())
+    assert len(ids) == 100
+    # every quarter of the id range (== one range partition) is represented
+    for lo in (0, 250, 500, 750):
+        assert ((ids >= lo) & (ids < lo + 250)).any(), lo
+    # deterministic across partitionings
+    pdf2 = similarity._fit_sample(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1),
+        100, "embedding", "vec_id")
+    assert sorted(pdf2["vec_id"]) == sorted(pdf["vec_id"])
