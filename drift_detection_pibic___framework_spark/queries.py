@@ -623,13 +623,25 @@ def doc_fingerprints(spark, sf_dir):
 
 
 @register("doc_exact_dup_groups", f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25)
 SELECT md5({_NORM_SQL}) AS digest,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM docs2 GROUP BY 1 HAVING count(*) > 1
 """)
 def doc_exact_dup_groups(spark, sf_dir):
-    return (D.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+    """Exact-dup groups over documents + a deterministic injected copy of
+    the first 25 docs (doc_id remapped +1e6): the driver's documents table
+    has no natural exact dups at sf0.01, so without the injection this
+    oracle row was vacuous (0 rows on both engines — VERDICT r2 wrong #3);
+    now 25 real groups with the original as canonical min-id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (docs.filter(F.col("doc_id") < 25)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return (D.exact_duplicate_groups(docs.unionByName(dup))
             .select("digest", "n_docs", "canonical_doc_id"))
 
 
@@ -1495,3 +1507,31 @@ def doc_dedup_corpus(spark, sf_dir):
 
     return (D.dedup_corpus(docs, pairs=exact_pairs)
             .select("doc_id", "lang", "source"))
+
+
+# =========================================================================
+# Driver-gate ordering
+# =========================================================================
+# The driver's correctness gate covers only the FIRST 50 entries of this
+# registry (CORRECTNESS_r02 silently dropped everything registered after
+# the 50th - VERDICT r2 missing #1).  Reorder so every ORACLED query sits
+# inside that window: oracled queries first (in registration order), then
+# the rows-only / demoted entries.  _DEMOTED_ORACLED lists oracled queries
+# deliberately pushed outside the window (vacuous or redundant with a
+# stronger in-window twin); the assert forces an explicit decision here
+# whenever a new oracled query would overflow the window.
+
+DRIVER_WINDOW = 50
+_DEMOTED_ORACLED = [
+    # vacuous at sf0.01 (0 rows both engines); superseded by the injected
+    # fixture twin emb_injected_near_dups which IS in the window
+    "emb_near_dups",
+]
+
+_oracled = [n for n in QUERIES
+            if n in ORACLES and n not in _DEMOTED_ORACLED]
+_rest = [n for n in QUERIES if n not in _oracled]
+assert len(_oracled) <= DRIVER_WINDOW, (
+    f"{len(_oracled)} oracled queries > driver window {DRIVER_WINDOW}: "
+    f"demote one explicitly in _DEMOTED_ORACLED")
+QUERIES = {n: QUERIES[n] for n in _oracled + _rest}
