@@ -303,6 +303,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     labels = (edges.select(F.col("s").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
+    changed = -1
     for _ in range(max_iter):
         prop = (edges.join(labels, edges.s == labels.node)
                 .select(F.col("d").alias("node"),
@@ -318,6 +319,15 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partially-propagated labels would make keep_canonical
+        # silently keep non-canonical duplicates — fail loud instead
+        # (a pathological corpus with component diameter > max_iter, e.g.
+        # a long near-dup chain, needs a bigger max_iter or the
+        # large-star/small-star algorithm)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter")
     return labels.select(F.col("node"), F.col("component"))
 
 

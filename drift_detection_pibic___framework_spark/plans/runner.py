@@ -131,6 +131,10 @@ class ValidationRunner:
             # O(1) per partition — no full-manifest rewrite
             self.io.commit_manifest_row(self.scope, part, row)
             (validated if all_passed else failed).append(part)
+        if not self.io.pending_partitions("clips", self.scope):
+            # run complete: fold the per-row commit log into one file so a
+            # resume scan is O(1) file opens, not O(partitions)
+            self.io.compact_manifest(self.scope)
         return {"validated": validated, "failed": failed, "skipped": False}
 
     # -- detector-state checkpointing ---------------------------------------

@@ -353,6 +353,21 @@ def test_connected_components_direction_independent(spark):
     assert got == {(1, 1), (2, 1), (5, 1)}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain whose min-label eccentricity exceeds max_iter must fail
+    LOUD (partial labels would let keep_canonical keep non-canonical
+    duplicates silently); the same chain converges with enough rounds."""
+    import pytest as _pt
+    from drift_detection_pibic___framework_spark.operators import dedup
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"])
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
+    got = {(r.node, r.component)
+           for r in dedup.connected_components(chain, max_iter=10).collect()}
+    assert got == {(i, 0) for i in range(9)}
+
+
 # -------------------------------------------------------------------------
 # deterministic sampling
 # -------------------------------------------------------------------------

@@ -133,3 +133,28 @@ def test_manifest_reads_legacy_single_file(tmp_path):
     assert m[0]["verdict"] == "pass"      # legacy-only row kept
     assert m[1]["verdict"] == "pass"      # per-row commit wins
     assert m[2]["verdict"] == "fail"
+
+
+def test_manifest_compaction_folds_row_files(tmp_path):
+    """On run completion the per-row commit log folds into ONE consolidated
+    file: 1,000 committed partitions compact to a single JSON, per-row
+    files are gone, read_manifest/pending_partitions are unchanged, and a
+    later per-row commit still overlays the compacted file."""
+    import os
+    io = ParquetTableIO(str(tmp_path))
+    for p in range(1000):
+        io.commit_manifest_row("big", p, {"status": "done",
+                                          "verdict": "pass"})
+    before = io.read_manifest("big")
+    assert io.compact_manifest("big") == 1000
+    d = os.path.join(str(tmp_path), "_manifest")
+    files = sorted(os.listdir(d))
+    assert files == ["big.json"]          # one file, row dir removed
+    assert io.read_manifest("big") == before
+    assert io.pending_partitions("clips", "big") == []
+    # a post-compaction per-row commit overlays the consolidated file
+    io.commit_manifest_row("big", 3, {"status": "done", "verdict": "fail"})
+    assert io.read_manifest("big")[3]["verdict"] == "fail"
+    # compaction is idempotent and folds the new row in
+    assert io.compact_manifest("big") == 1000
+    assert io.read_manifest("big")[3]["verdict"] == "fail"
