@@ -941,9 +941,15 @@ def _simhash_near_sql(max_hamming: int = 10) -> str:
     return f"""
 WITH s AS ({sim}),
 ch AS (
+  -- sign-safe chunk extraction: shift the SIGNED simhash then mask —
+  -- after the & mask this equals Spark's shiftrightunsigned+mask for any
+  -- 64-bit value (the old CAST(simhash AS UBIGINT) raised on negative
+  -- simhashes and only worked because md5-derived token hashes leave
+  -- bits 60-63 clear — ADVICE r2).  Masks are < 2^63 because
+  -- n_chunks >= 2 for any max_hamming >= 1.
   SELECT doc_id, simhash, t.i AS chunk_idx,
-         (CAST(simhash AS UBIGINT) >> ({off_lit}[t.i + 1]))
-           & CAST({mask_lit}[t.i + 1] AS UBIGINT) AS chunk_val
+         (simhash >> ({off_lit}[t.i + 1])) & {mask_lit}[t.i + 1]
+           AS chunk_val
   FROM s, (SELECT unnest(range(0, {n_chunks})) AS i) t),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1269,18 +1275,20 @@ WITH f AS (
 m AS (
   SELECT stream_id, seq,
          count(*) OVER w AS n_win,
-         sqrt(avg((value - pred) * (value - pred)) OVER w) AS rmse_,
-         avg(abs(value - pred)) OVER w AS mae_,
-         sum((value - pred) * (value - pred)) OVER w AS ss_res,
-         sum(value * value) OVER w
-           - count(*) OVER w * avg(value) OVER w * avg(value) OVER w
-           AS ss_tot
+         CAST(sum(CAST(round((value - pred) * (value - pred) * 1000000)
+                       AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS se,
+         CAST(sum(CAST(round(abs(value - pred) * 1000000)
+                       AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS ae,
+         CAST(sum(CAST(round(value * 1000000)
+                       AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS sv,
+         CAST(sum(CAST(round(value * value * 1000000)
+                       AS BIGINT)) OVER w AS DOUBLE) / 1000000.0 AS sv2
   FROM f WINDOW w AS (PARTITION BY stream_id ORDER BY seq
                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
 SELECT stream_id, seq,
-       ROUND(rmse_, 4) AS rmse,
-       ROUND(mae_, 4) AS mae,
-       ROUND(1 - ss_res / nullif(ss_tot, 0), 4) AS r2
+       ROUND(sqrt(se / n_win), 4) AS rmse,
+       ROUND(ae / n_win, 4) AS mae,
+       ROUND(1 - se / nullif(sv2 - sv * sv / n_win, 0), 4) AS r2
 FROM m WHERE seq % 50 = 49 AND n_win = 50
 """)
 def events_window_metrics(spark, sf_dir):
@@ -1288,7 +1296,11 @@ def events_window_metrics(spark, sf_dir):
     window — reference A2 (utils/StreamProcessor.py:143-157 evaluates
     rmse/mae/r2 on a 50-sample cadence). Prediction = lag-1 persistence;
     R2 = 1 - SS_res/SS_tot with SS_tot via the sum(v^2) - n*mean^2
-    identity (window-computable in one pass)."""
+    identity (window-computable in one pass).
+
+    All window sums run over micro-quantized BIGINT terms (round(x*1e6))
+    so cross-engine float summation order can't straddle the final 4-dp
+    rounding — same trick as events_window_mse_200 (ADVICE r2)."""
     G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
     s = spark.read.parquet(
         f"{G.fixture_dir(G.sf_label_from_dir(sf_dir))}/drift_streams.parquet")
@@ -1298,19 +1310,24 @@ def events_window_metrics(spark, sf_dir):
          .filter(F.col("pred").isNotNull()))
     w = (Window.partitionBy("stream_id").orderBy("seq")
          .rowsBetween(-49, 0))
-    err2 = (F.col("value") - F.col("pred")) * (F.col("value") - F.col("pred"))
+    Q = 1000000.0
+    err = F.col("value") - F.col("pred")
+    v = F.col("value")
+
+    def qsum(expr):
+        return (F.sum(F.round(expr * Q).cast("long")).over(w)
+                .cast("double") / F.lit(Q))
+
     n_win = F.count(F.lit(1)).over(w)
-    mean_v = F.avg("value").over(w)
-    ss_res = F.sum(err2).over(w)
-    ss_tot = (F.sum(F.col("value") * F.col("value")).over(w)
-              - n_win * mean_v * mean_v)
+    se, ae = qsum(err * err), qsum(F.abs(err))
+    sv, sv2 = qsum(v), qsum(v * v)
     m = f.select(
         "stream_id", "seq",
         n_win.alias("n_win"),
-        F.round(F.sqrt(F.avg(err2).over(w)), 4).alias("rmse"),
-        F.round(F.avg(F.abs(F.col("value") - F.col("pred"))).over(w), 4)
-        .alias("mae"),
-        F.round(1 - ss_res / F.nullif(ss_tot, F.lit(0)), 4).alias("r2"))
+        F.round(F.sqrt(se / n_win), 4).alias("rmse"),
+        F.round(ae / n_win, 4).alias("mae"),
+        F.round(1 - se / F.nullif(sv2 - sv * sv / n_win, F.lit(0.0)), 4)
+        .alias("r2"))
     return (m.filter((F.col("seq") % 50 == 49) & (F.col("n_win") == 50))
             .drop("n_win"))
 
