@@ -209,3 +209,47 @@ class IcebergTableIO:
     def append(self, df: DataFrame, name: str) -> str:
         df.writeTo(f"{self.namespace}.{name}").append()
         return "iceberg-snapshot"
+
+
+def compact_parquet_dir(spark: SparkSession, src_dir: str,
+                        target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction (the Iceberg ``rewrite_data_files`` /
+    OPTIMIZE analog): rewrite a parquet directory whose file count has
+    drifted from its data volume — e.g. a streaming sink that commits one
+    file per micro-batch — into ceil(bytes / target) files.
+
+    Scale notes: streaming sinks at 100 TB accrete millions of KB-files
+    whose per-file open/footer cost dominates scans; periodic compaction
+    to ~128 MB files restores scan efficiency.  The rewrite is one
+    narrow repartition job (no wide shuffle key — round-robin), and the
+    swap is staged: new files land in ``<src>.compact-tmp``, are counted,
+    and only then replace the source via two renames (crash before the
+    second rename leaves the original intact; crash between them leaves
+    ``<src>.bak`` to roll back from — documented, not silent).
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import shutil
+
+    files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    total = sum(os.path.getsize(os.path.join(src_dir, f)) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    rows_before = df.count()
+    tmp = src_dir.rstrip("/") + ".compact-tmp"
+    bak = src_dir.rstrip("/") + ".bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}")
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(src_dir, bak)
+    os.rename(tmp, src_dir)
+    shutil.rmtree(bak)
+    files_after = len([f for f in os.listdir(src_dir)
+                       if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": files_after,
+            "rows": rows_before}

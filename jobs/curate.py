@@ -40,6 +40,9 @@ def main() -> int:
                     help="near-dup threshold for the LSH phase")
     ap.add_argument("--cap-per-source", type=int, default=0,
                     help="max docs per source (0 = no cap)")
+    ap.add_argument("--target-file-mb", type=int, default=128,
+                    help="compact the output to ~this file size "
+                         "(0 = leave the shuffle's file count)")
     ap.add_argument("--sample-256", type=int, default=0,
                     help="keep ~N/256 of the corpus, md5-deterministic "
                          "(0 = no sampling)")
@@ -95,6 +98,15 @@ def main() -> int:
 
     if args.out:
         deduped.write.mode("overwrite").parquet(args.out)
+        if args.target_file_mb:
+            # the curated corpus is read many times downstream (training
+            # shards); size its files once at write time
+            from drift_detection_pibic___framework_spark.sources.tableio import (
+                compact_parquet_dir)
+            c = compact_parquet_dir(
+                spark, args.out,
+                target_file_bytes=args.target_file_mb * 1024 * 1024)
+            print(f"compacted {c['files_before']} -> {c['files_after']} files")
 
     dt = time.time() - t0
     print(f"input             {n_in:>10d}")

@@ -158,3 +158,29 @@ def test_manifest_compaction_folds_row_files(tmp_path):
     # compaction is idempotent and folds the new row in
     assert io.compact_manifest("big") == 1000
     assert io.read_manifest("big")[3]["verdict"] == "fail"
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """40 tiny files compact to the byte-targeted count with identical
+    rows; the staged swap leaves no .bak/.compact-tmp behind."""
+    import os
+
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        compact_parquet_dir)
+    d = str(tmp_path / "sink")
+    df = spark.range(0, 4000).selectExpr("id", "id * 2 as v")
+    df.repartition(40).write.parquet(d)
+    n_files = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert n_files == 40
+    total = sum(os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet"))
+    before = sorted((r.id, r.v) for r in spark.read.parquet(d).collect())
+
+    res = compact_parquet_dir(spark, d, target_file_bytes=total // 3 + 1)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert res["files_before"] == 40 and res["files_after"] == len(files)
+    assert len(files) <= 4
+    assert sorted((r.id, r.v)
+                  for r in spark.read.parquet(d).collect()) == before
+    assert not os.path.exists(d + ".bak")
+    assert not os.path.exists(d + ".compact-tmp")

@@ -168,3 +168,66 @@ def test_stream_detectors_resume_from_checkpoint(spark, fixture_dir,
     want = (kernels.detect(spark.createDataFrame(keep), ["ddm"])
             .orderBy("seq").collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# -------------------------------------------------------------------------
+# event-time windowed metrics with watermark (late-data handling)
+# -------------------------------------------------------------------------
+
+def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
+    """4 availableNow micro-batches: (1) rows in window 10:00; (2) 10:05
+    advancing the watermark to 10:03 (window 10:00 is finalized + evicted
+    at the end of this batch); (3) 10:09 advancing it to 10:07; (4) a LATE
+    10:00:30 row whose window state is gone — dropped by the watermark
+    (Spark contract: a late row is only guaranteed dropped once its
+    window's state is evicted; while state is live it may still merge).
+    The finalized 10:00 windows must count only batch-1 rows."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_metrics)
+
+    d = str(tmp_path / "in")
+    rows_by_file = [
+        [(datetime(2026, 1, 1, 10, 0, 10), "pcm16", 100, "a"),
+         (datetime(2026, 1, 1, 10, 0, 20), "pcm16", 300, None),
+         (datetime(2026, 1, 1, 10, 0, 40), "mulaw", 200, "b")],
+        [(datetime(2026, 1, 1, 10, 5, 0), "pcm16", 500, "c")],
+        [(datetime(2026, 1, 1, 10, 9, 0), "alaw", 400, "d")],
+        [(datetime(2026, 1, 1, 10, 0, 30), "pcm16", 900, "late-dropped")],
+    ]
+    os.makedirs(d, exist_ok=True)
+    for k, rows in enumerate(rows_by_file):
+        df = spark.createDataFrame(
+            rows, "ingest_ts timestamp, codec string, dur_ms int, "
+                  "transcript string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp")
+        shutil.move(glob.glob(f"{d}/tmp/part-*.parquet")[0],
+                    f"{d}/{k:02d}.parquet")
+        shutil.rmtree(f"{d}/tmp")
+        # deterministic source order: the file stream lists oldest-first
+        os.utime(f"{d}/{k:02d}.parquet", (1000000 + k * 100,) * 2)
+
+    q = stream_metrics.run_windowed_metrics(
+        spark, d, "ingest_ts timestamp, codec string, dur_ms int, "
+                  "transcript string",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for op in p.get("stateOperators", []))
+    got = {(r.window_start.strftime("%H:%M"), r.codec):
+           (r.n_clips, r.mean_dur_ms, r.null_transcript_rate)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert dropped == 1                     # the late 10:00:30 row
+    # the 10:00 windows finalized WITHOUT the late 900ms row
+    assert got[("10:00", "pcm16")] == (2, 200.0, 0.5)
+    assert got[("10:00", "mulaw")] == (1, 200.0, 0.0)
+    # 10:05 finalized too (end 10:06 <= final watermark 10:07); the 10:09
+    # window stays open past the drain and is NOT emitted in append mode
+    assert got[("10:05", "pcm16")] == (1, 500.0, 0.0)
+    assert ("10:09", "alaw") not in got
