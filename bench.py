@@ -243,7 +243,11 @@ def scaling_core(cpus: str) -> dict:
     over the 512M-row payload-free stats fixture (scan+aggregate bound;
     sized so compute dominates fixed job overhead — see generators note),
     (b) MinHash signatures over 600k transcripts (pure JVM CPU: ~60M
-    md5+conv per pass). Warm laps only (see the bench cold/warm note).
+    md5+conv per pass), (c) the per-row PCM-SNR invariant over the 600k-clip
+    filepairs path (the python-worker Arrow kernel path: decode + SNR over
+    ~1.2 GB of payload, zero shuffle — round 3 adds this leg so the fixed
+    sub-chunked kernel's N->4N scaling is evidenced, not assumed).
+    Warm laps only (see the bench cold/warm note).
 
     Two measurement rules, both load-bearing on this host:
     - The suite plan is REBUILT every lap (AQE caches materialized shuffle
@@ -285,13 +289,25 @@ def scaling_core(cpus: str) -> dict:
         return dedup.minhash_signatures(docs, num_hashes=8).agg(
             F.min(F.element_at("minhash", 1))).collect()[0][0]
 
-    suite_laps, mh_laps = [], []
+    from drift_detection_pibic___framework_spark.operators import invariant
+
+    def inv():
+        return invariant.invariant_results_filepairs(
+            spark, f"{d_clips}/clips", f"{d_clips}/clips_ref") \
+            .filter("not passed").count()
+
+    suite_laps, mh_laps, inv_laps = [], [], []
     for _ in range(9):       # low-core laps converge slowly (JIT + cache)
         suite_laps.append(suite())
     for _ in range(3):   # 2 warm laps: one throttle blip can't own the min
         t0 = time.time()
         minhash()
         mh_laps.append(time.time() - t0)
+    for _ in range(3):
+        t0 = time.time()
+        inv()
+        inv_laps.append(time.time() - t0)
+    spark_count_clips = spark.read.parquet(f"{d_clips}/clips").count()
     spark.stop()
     # min lap = peak capability: this sandbox's page-fault throttle fires
     # in multi-second episodes that can poison most of a lap block (a 62 s
@@ -299,12 +315,17 @@ def scaling_core(cpus: str) -> dict:
     # is the throttle-free measurement of what the plan can do.
     suite_sec = min(suite_laps)
     mh_sec = min(mh_laps)
+    inv_sec = min(inv_laps)
+    n_inv = spark_count_clips
     return {"cpus": int(cpus), "n_clips": n, "n_docs": n_docs,
             "suite_laps": [round(x, 2) for x in suite_laps],
             "mh_laps": [round(x, 2) for x in mh_laps],
+            "inv_laps": [round(x, 2) for x in inv_laps],
             "suite_sec": round(suite_sec, 3), "mh_sec": round(mh_sec, 3),
+            "inv_sec": round(inv_sec, 3),
             "clips_per_sec": round(n / suite_sec, 1),
-            "docs_per_sec": round(n_docs / mh_sec, 1)}
+            "docs_per_sec": round(n_docs / mh_sec, 1),
+            "inv_clips_per_sec": round(n_inv / inv_sec, 1)}
 
 
 def scaling_report() -> None:
@@ -332,7 +353,9 @@ def scaling_report() -> None:
             for k_sec, k_thr, laps in (("suite_sec", "clips_per_sec",
                                         "suite_laps"),
                                        ("mh_sec", "docs_per_sec",
-                                        "mh_laps")):
+                                        "mh_laps"),
+                                       ("inv_sec", "inv_clips_per_sec",
+                                        "inv_laps")):
                 prev[laps] = prev[laps] + r[laps]
                 if r[k_sec] < prev[k_sec]:
                     prev[k_sec] = r[k_sec]
@@ -355,23 +378,28 @@ def scaling_report() -> None:
                 "a true 4x capacity window; the 8->32 pair is reported for "
                 "transparency.\n\n")
         f.write("| cores | batch suite sec | clips/sec | minhash sec | "
-                "docs/sec |\n| --- | --- | --- | --- | --- |\n")
+                "docs/sec | invariant sec | inv clips/sec |\n"
+                "| --- | --- | --- | --- | --- | --- | --- |\n")
         for cpus in ("2", "8", "32"):
             r = results[cpus]
             f.write(f"| local[{cpus}] | {r['suite_sec']} | "
                     f"{r['clips_per_sec']} | {r['mh_sec']} | "
-                    f"{r['docs_per_sec']} |\n")
+                    f"{r['docs_per_sec']} | {r['inv_sec']} | "
+                    f"{r['inv_clips_per_sec']} |\n")
         f.write("\n**Efficiency local[2] -> local[8] (N -> 4N):** "
                 f"batch suite **{eff('clips_per_sec', '2', '8')}**, "
-                f"minhash CPU **{eff('docs_per_sec', '2', '8')}** "
+                f"minhash CPU **{eff('docs_per_sec', '2', '8')}**, "
+                f"invariant kernel **{eff('inv_clips_per_sec', '2', '8')}** "
                 "(gate: >= 0.8)\n\n")
         f.write("Efficiency local[8] -> local[32] (hypervisor-capped): "
                 f"batch suite {eff('clips_per_sec', '8', '32')}, "
-                f"minhash CPU {eff('docs_per_sec', '8', '32')}\n\n")
+                f"minhash CPU {eff('docs_per_sec', '8', '32')}, "
+                f"invariant {eff('inv_clips_per_sec', '8', '32')}\n\n")
         f.write(f"Raw: `{json.dumps(results)}`\n")
     print(json.dumps({
         "eff_2_to_8_suite": eff("clips_per_sec", "2", "8"),
         "eff_2_to_8_minhash": eff("docs_per_sec", "2", "8"),
+        "eff_2_to_8_invariant": eff("inv_clips_per_sec", "2", "8"),
         "eff_8_to_32_suite": eff("clips_per_sec", "8", "32"),
         "eff_8_to_32_minhash": eff("docs_per_sec", "8", "32"),
         "calibration": calib}))
