@@ -73,10 +73,16 @@ def detect_stream(samples, detectors=None, tamanho_batch: int = 50):
                 steppers[n] = PrequentialStepper(
                     n, tamanho_batch, kw["params"], kw["bin_threshold"])
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("seq")
+        # one micro-batch's rows for this group may arrive as SEVERAL
+        # Arrow chunks in shuffle (not seq) order — gather them all, then
+        # sort ONCE: ordering is only guaranteed across micro-batches (the
+        # source contract), never across chunks within one
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0]).sort_values("seq")
             seq = pdf["seq"].to_numpy()
-            if len(seq) and seq[0] <= last_seq:
+            if seq[0] <= last_seq:
                 raise RuntimeError(
                     f"out-of-order micro-batch for stream {sid}: seq "
                     f"{seq[0]} after {last_seq} — the source must deliver "
@@ -99,8 +105,7 @@ def detect_stream(samples, detectors=None, tamanho_batch: int = 50):
                         "detector": n, "flag": rows["flag"],
                         "warning": rows["warning"],
                         "state": rows["state"]}))
-            if len(seq):
-                last_seq = int(seq[-1])
+            last_seq = int(seq[-1])
             if out:
                 yield pd.concat(out, ignore_index=True)
 

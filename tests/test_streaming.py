@@ -231,3 +231,39 @@ def test_windowed_metrics_watermark_drops_late_rows(spark, tmp_path):
     # window stays open past the drain and is NOT emitted in append mode
     assert got[("10:05", "pcm16")] == (1, 500.0, 0.0)
     assert ("10:09", "alaw") not in got
+
+
+def test_stream_detectors_multichunk_group(spark, fixture_dir, tmp_path):
+    """A group whose micro-batch spans MANY Arrow chunks (tiny
+    maxRecordsPerBatch) must still process in seq order — the kernel
+    gathers all chunks and sorts once, instead of trusting chunk order."""
+    import pandas as pd
+    from drift_detection_pibic___framework_spark.operators.detectors import (
+        kernels)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_detect)
+
+    pdf = pd.read_parquet(f"{fixture_dir}/drift_streams.parquet")
+    keep = pdf[pdf["stream_id"] == sorted(pdf["stream_id"].unique())[0]]
+    d = str(tmp_path / "samples")
+    _chunk_files(spark, keep, d, chunks=1)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "64")
+    try:
+        q = stream_detect.run_detect_stream(
+            spark, d, SAMPLES_SCHEMA, str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), detectors=["ddm"])
+        q.awaitTermination(300)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .orderBy("seq").collect())
+    want = (kernels.detect(spark.createDataFrame(keep), ["ddm"])
+            .orderBy("seq").collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
