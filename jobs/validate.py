@@ -30,6 +30,13 @@ def main() -> int:
     ap.add_argument("--streams", action="store_true",
                     help="run the sequential drift-detector suite over "
                          "drift_streams.parquet instead of the clips checks")
+    ap.add_argument("--stream-detect", action="store_true",
+                    help="same detector suite but CONTINUOUSLY via "
+                         "Structured Streaming (applyInPandasWithState): "
+                         "replays drift_streams as ordered micro-batch "
+                         "files and drains them with availableNow")
+    ap.add_argument("--micro-batches", type=int, default=4,
+                    help="number of replay chunks (--stream-detect)")
     ap.add_argument("--grid", action="store_true",
                     help="run the stream x detector x repetition experiment "
                          "grid (ExperimentoDrift analogue) and print the "
@@ -78,6 +85,61 @@ def main() -> int:
                   f"{r['mean_false_alarms']:>8}")
         dt = time.time() - t0
         print(f"\n{len(summary)} grid cells (x{args.reps} reps) in {dt:.1f}s")
+        return 0
+
+    if args.stream_detect:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from drift_detection_pibic___framework_spark.streaming import (
+            stream_detect)
+        sp = os.path.join(args.data, "drift_streams.parquet")
+        if not os.path.exists(sp):
+            print(f"error: no drift_streams table at {sp}", file=sys.stderr)
+            return 2
+        streams = spark.read.parquet(sp)
+        n_rows = streams.count()
+        work = tempfile.mkdtemp(prefix="stream-detect-")
+        try:
+            # replay: split every stream into k seq-ordered chunk files
+            # (file k = each stream's k-th slice, the ordered-source
+            # contract stream_detect documents)
+            k = max(1, args.micro_batches)
+            chunked = streams.withColumn(
+                "_chunk", F.ntile(k).over(
+                    Window.partitionBy("stream_id").orderBy("seq")) - 1)
+            for c in range(k):
+                (chunked.filter(F.col("_chunk") == c).drop("_chunk")
+                 .coalesce(1).write.mode("overwrite")
+                 .parquet(f"{work}/stage-{c:02d}"))
+                part = [f for f in os.listdir(f"{work}/stage-{c:02d}")
+                        if f.endswith(".parquet")][0]
+                os.makedirs(f"{work}/in", exist_ok=True)
+                shutil.move(f"{work}/stage-{c:02d}/{part}",
+                            f"{work}/in/{c:02d}.parquet")
+                os.utime(f"{work}/in/{c:02d}.parquet",
+                         (1000000 + c * 100,) * 2)
+            q = stream_detect.run_detect_stream(
+                spark, f"{work}/in",
+                "stream_id string, seq long, value double, err double",
+                f"{work}/out", f"{work}/ckpt")
+            q.awaitTermination(600)
+            res = spark.read.parquet(f"{work}/out")
+            det = (res.filter("flag").select("stream_id", "detector", "seq")
+                   .orderBy("stream_id", "detector", "seq").collect())
+            by_key = {}
+            for r in det:
+                by_key.setdefault((r["detector"], r["stream_id"]),
+                                  []).append(r["seq"])
+            for (d, sid), seqs in sorted(by_key.items()):
+                print(f"{d:<13} {sid:<15} detections={seqs}")
+            dt = time.time() - t0
+            print(f"\n{len(det)} drift flags over {n_rows} samples in "
+                  f"{k} micro-batches in {dt:.1f}s")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
         return 0
 
     if args.streams:
