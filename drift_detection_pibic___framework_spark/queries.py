@@ -1600,6 +1600,72 @@ def orders_topk_revenue(spark, sf_dir):
             .orderBy(F.desc("revenue"), "orderkey").limit(10))
 
 
+@register("events_sessionized", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 300000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 3)
+         AS dur_sec
+FROM s GROUP BY 1, 2
+""")
+def events_sessionized(spark, sf_dir):
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 5 minutes (the classic lag -> flag ->
+    running-sum segmentation every behavioural/training pipeline needs).
+    Scale shape: ONE hash-partitioned window shuffle on user_id covers
+    the lag, the running session counter AND the per-session aggregation
+    (groupBy reuses the same key partitioning).  Gaps and durations
+    compare MICROSECOND integers (timestamps are microsecond-precision
+    on both engines), so no float/rounding hazard."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)")
+    g = (e.select("user_id", "ts", "event_id",
+                  F.lag("ts").over(w).alias("_lag_ts"))
+         .withColumn("new_session",
+                     F.when(F.col("_lag_ts").isNull()
+                            | (gap_us > 300000000), 1).otherwise(0)))
+    s = g.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(
+                     F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+                     / F.lit(1000000.0), 3).alias("dur_sec")))
+
+
+@register("doc_top_ngrams", f"""
+WITH sh AS (SELECT {_shingles_sql()} AS s FROM documents)
+SELECT g.g AS ngram, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh, unnest(sh.s) AS g(g)
+GROUP BY 1 ORDER BY n_docs DESC, ngram LIMIT 20
+""")
+def doc_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word 3-grams by DOCUMENT frequency (shingles
+    are distinct per doc) — the frequency analysis a curation pipeline
+    runs to spot boilerplate/template contamination.  Scale shape:
+    explode -> partial (map-side) count -> one shuffle on the ngram key
+    -> TakeOrderedAndProject top-20; no global sort."""
+    from .operators.dedup import word_shingles
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(word_shingles("text", 3)).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy(F.desc("n_docs"), "ngram").limit(20))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -1622,6 +1688,8 @@ _DEMOTED_ORACLED = [
     # not worth evicting a north-rule query from the driver gate for
     "events_time_buckets",
     "orders_topk_revenue",
+    "events_sessionized",
+    "doc_top_ngrams",
 ]
 
 _oracled = [n for n in QUERIES
