@@ -49,3 +49,29 @@ def group_cap(df: DataFrame, group_col: str, cap: int,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap)
             .drop("_rn"))
+
+
+def with_split(df: DataFrame, key_col: str, splits: dict) -> DataFrame:
+    """Deterministic dataset split assignment: md5(key)'s first 4 hex
+    digits (uniform in [0, 65536)) cut by cumulative split weights.
+    ``splits`` maps name -> weight (weights need not sum to 1; they are
+    normalized).  Adds a ``split`` column; stable across runs, engines,
+    partitionings and cluster sizes — the reproducible train/val/test
+    carve every training pipeline needs (a random split is neither
+    reproducible nor consistent when the corpus is re-sharded).
+    Zero shuffle: a pure projection."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = float(sum(splits.values()))
+    bucket = F.conv(F.substring(
+        F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10).cast("int")
+    acc = 0.0
+    expr = None
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = bucket < int(round(acc * 65536))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

@@ -1666,6 +1666,43 @@ def doc_top_ngrams(spark, sf_dir):
             .orderBy(F.desc("n_docs"), "ngram").limit(20))
 
 
+def _splits_sql(splits: dict) -> str:
+    """CASE expression mirroring sampling.with_split's cut points (computed
+    with the SAME python rounding so both engines use identical literals)."""
+    total = float(sum(splits.values()))
+    names = list(splits)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += splits[name] / total
+        whens.append(f"WHEN bucket < {int(round(acc * 65536))} "
+                     f"THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+@register("doc_splits", f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) AS bucket
+  FROM documents)
+SELECT {_splits_sql({"train": 0.8, "val": 0.1, "test": 0.1})} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM b GROUP BY 1
+""")
+def doc_splits(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test carve via md5-bucket cut
+    points (sampling.with_split) — reproducible across runs, engines and
+    re-sharding, zero shuffle.  The oracle rebuilds the same CASE from
+    the same python-rounded cut literals."""
+    docs = _t(spark, sf_dir, "documents")
+    return (SA.with_split(docs, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -1690,6 +1727,7 @@ _DEMOTED_ORACLED = [
     "orders_topk_revenue",
     "events_sessionized",
     "doc_top_ngrams",
+    "doc_splits",
 ]
 
 _oracled = [n for n in QUERIES

@@ -477,3 +477,30 @@ def test_ivf_fit_sample_spans_partitions(spark):
         spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1),
         100, "embedding", "vec_id")
     assert sorted(pdf2["vec_id"]) == sorted(pdf["vec_id"])
+
+
+def test_with_split_deterministic_proportions(spark):
+    """80/10/10 split: proportions land near the weights, the assignment
+    is identical under re-partitioning, every row gets exactly one split,
+    and a single-split map is the identity."""
+    from drift_detection_pibic___framework_spark.operators import sampling
+    df = spark.range(0, 8000).withColumnRenamed("id", "k")
+    sp = sampling.with_split(df, "k", {"train": 0.8, "val": 0.1,
+                                       "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 8000
+    assert 0.75 < counts["train"] / 8000 < 0.85
+    assert 0.07 < counts["val"] / 8000 < 0.13
+    a = sorted((r.k, r.split) for r in sp.collect())
+    b = sorted((r.k, r.split) for r in
+               sampling.with_split(df.repartition(13), "k",
+                                   {"train": 0.8, "val": 0.1,
+                                    "test": 0.1}).collect())
+    assert a == b
+    only = sampling.with_split(df, "k", {"all": 1.0})
+    assert only.filter("split = 'all'").count() == 8000
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sampling.with_split(df, "k", {})
