@@ -381,3 +381,82 @@ def dedup_corpus(docs: DataFrame, col: str = "text",
     elif callable(pairs):
         pairs = pairs(survivors)
     return keep_canonical(survivors, pairs, id_col=id_col)
+
+
+# -------------------------------------------------------------------------
+# incremental dedup: admit a new increment against an existing corpus
+# -------------------------------------------------------------------------
+
+def _banded_view(signatures: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) banding of a MinHash signature column —
+    the LSH index key. Shared by the self-join candidate generator and
+    the incremental cross-join path."""
+    sig_len = F.size(F.col("minhash"))
+    rows_per_band = (sig_len / bands).cast("int")
+    return (signatures.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("minhash"))
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1,
+                        rows_per_band), lambda x: x.cast("string"))))
+            .alias("band_hash")))
+
+
+def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
+                      col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.7, num_hashes: int = 16,
+                      bands: int = 8, k: int = 3) -> DataFrame:
+    """Admit only increment documents that duplicate NEITHER the existing
+    corpus NOR each other — the daily-crawl ingestion primitive (dedup the
+    increment against a 100 TB corpus WITHOUT re-processing the corpus).
+
+    doc_ids must be disjoint between the two frames (caller contract; at
+    production the increment carries fresh snapshot-scoped ids).
+
+    Phases (each one equi-keyed, no all-pairs anywhere):
+    1. exact — anti-join the increment's normalized-text digests against
+       the corpus digests (one narrow projection per side, one hash join);
+    2. near — banded MinHash-LSH join increment-vs-corpus on
+       (band, band_hash), exact-Jaccard verify >= threshold, drop the
+       increment side of every verified pair.  At production scale the
+       corpus side of phases 1-2 is a maintained INDEX table (digest and
+       band keys, incrementally appended), so an increment run never
+       rescans corpus text except for the verify join's candidates;
+    3. within-increment — ``dedup_corpus`` over the survivors (exact +
+       LSH closure + keep-min-id canonical).
+
+    Returns the admitted increment rows (original columns).
+    """
+    new_d = new_docs.select(F.col(id_col),
+                            F.md5(norm_text(col)).alias("digest"))
+    cor_d = corpus.select(F.md5(norm_text(col)).alias("digest")).distinct()
+    exact_dropped = new_d.join(cor_d, "digest").select(id_col)
+    survivors = new_docs.join(exact_dropped, id_col, "left_anti")
+
+    new_band = _banded_view(
+        minhash_signatures(survivors.select(F.col(id_col).alias("doc_id"),
+                                            F.col(col).alias("text")),
+                           "text", num_hashes, k), bands)
+    cor_band = _banded_view(
+        minhash_signatures(corpus.select(F.col(id_col).alias("doc_id"),
+                                         F.col(col).alias("text")),
+                           "text", num_hashes, k), bands)
+    cand = (new_band.alias("n")
+            .join(cor_band.alias("c"), ["band", "band_hash"])
+            .select(F.col("n.doc_id").alias("doc_a"),
+                    F.col("c.doc_id").alias("doc_b"))
+            .distinct())
+    both = (survivors.select(F.col(id_col).alias("doc_id"),
+                             F.col(col).alias("text"))
+            .unionByName(corpus.select(F.col(id_col).alias("doc_id"),
+                                       F.col(col).alias("text"))))
+    near_dropped = (jaccard_pairs(both, cand, "text", k)
+                    .filter(F.col("jaccard") >= threshold)
+                    .select(F.col("doc_a").alias(id_col)).distinct())
+    survivors = survivors.join(near_dropped, id_col, "left_anti")
+
+    return dedup_corpus(survivors, col=col, id_col=id_col,
+                        jaccard_threshold=threshold)

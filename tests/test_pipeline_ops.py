@@ -504,3 +504,30 @@ def test_with_split_deterministic_proportions(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sampling.with_split(df, "k", {})
+
+
+def test_dedup_incremental_against_corpus(spark):
+    """Daily-increment admission: exact corpus copies, near corpus dups,
+    and within-increment dups are all dropped; genuinely new docs are
+    admitted with the min-id canonical kept for increment-internal
+    groups."""
+    base = "the quick brown fox jumps over the lazy dog again today fine"
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different corpus text about mountains and rivers "
+             "flowing gently downhill")],
+        ["doc_id", "text"])
+    increment = spark.createDataFrame(
+        [(100, base),                                    # exact corpus copy
+         (101, base.replace("dog", "cat")),              # near corpus dup
+         (102, "fresh unseen document with plenty of novel words in it "
+               "for testing purposes"),
+         (103, "fresh unseen document with plenty of novel words in it "
+               "for testing purposes"),                  # increment dup
+         (104, "another entirely new and unrelated piece of text full of "
+               "original content")],
+        ["doc_id", "text"])
+    got = sorted(r.doc_id for r in
+                 dedup.dedup_incremental(increment, corpus,
+                                         threshold=0.5).collect())
+    assert got == [102, 104]
