@@ -95,18 +95,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     ``pins``: when given, the persisted intermediate is appended so the
     caller can ``unpersist()`` it after materializing — long-lived sessions
     must not accumulate pinned caches (VERDICT r1 wrong #5)."""
-    sig_len = F.size(F.col("minhash"))
-    rows_per_band = (sig_len / bands).cast("int")
-    banded = (signatures.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        F.col("minhash"))
-        .select(
-            "doc_id", "band",
-            F.md5(F.concat_ws(",", F.transform(
-                F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1,
-                        rows_per_band), lambda x: x.cast("string"))))
-            .alias("band_hash"))).persist()
+    banded = _banded_view(signatures, bands).persist()
     if pins is not None:
         pins.append(banded)
     a = banded.alias("a")
