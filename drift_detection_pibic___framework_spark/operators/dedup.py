@@ -341,7 +341,9 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame,
 def dedup_corpus(docs: DataFrame, col: str = "text",
                  id_col: str = "doc_id",
                  jaccard_threshold: float = 0.7,
-                 pairs: DataFrame = None) -> DataFrame:
+                 pairs: DataFrame = None,
+                 num_hashes: int = 16, bands: int = 4,
+                 k: int = 3) -> DataFrame:
     """One-call corpus deduplication, the standard two-phase recipe:
 
     1. EXACT phase: md5 digest of the normalized text, keep the min-id doc
@@ -366,7 +368,8 @@ def dedup_corpus(docs: DataFrame, col: str = "text",
                  .drop("_digest", "_rn"))
     if pairs is None:
         pairs = minhash_near_duplicates(
-            survivors, col=col, threshold=jaccard_threshold)
+            survivors, col=col, threshold=jaccard_threshold,
+            num_hashes=num_hashes, bands=bands, k=k)
     elif callable(pairs):
         pairs = pairs(survivors)
     return keep_canonical(survivors, pairs, id_col=id_col)
@@ -447,5 +450,9 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                     .select(F.col("doc_a").alias(id_col)).distinct())
     survivors = survivors.join(near_dropped, id_col, "left_anti")
 
+    # within-increment phase runs the SAME LSH configuration as the
+    # increment-vs-corpus phase (ADVICE r3: defaults here silently applied
+    # a different near-dup sensitivity for the same threshold)
     return dedup_corpus(survivors, col=col, id_col=id_col,
-                        jaccard_threshold=threshold)
+                        jaccard_threshold=threshold,
+                        num_hashes=num_hashes, bands=bands, k=k)

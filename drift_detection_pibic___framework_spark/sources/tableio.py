@@ -26,7 +26,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class ParquetTableIO:
@@ -151,8 +151,25 @@ class ParquetTableIO:
         file opens on every subsequent resume scan.  Crash-safe: the
         consolidated file is committed first (atomic rename) and per-row
         files overlay it on read, so a kill mid-cleanup leaves duplicate
-        but identical rows.  Returns the number of rows compacted."""
-        rows = self.read_manifest(scope)
+        but identical rows.  Concurrency-safe: the exact file names folded
+        into the consolidated snapshot are captured up front and ONLY those
+        are unlinked — a row committed by a concurrent writer after the
+        snapshot survives for the next compaction (ADVICE r3: the previous
+        unlink-everything loop deleted such rows without folding them).
+        Returns the number of rows compacted."""
+        d = self._manifest_dir(scope)
+        folded_files = []
+        if os.path.isdir(d):
+            folded_files = [f for f in os.listdir(d)
+                            if f.startswith("part-") and f.endswith(".json")]
+        rows: dict = {}
+        p = self._manifest_path(scope)
+        if os.path.exists(p):
+            with open(p) as f:
+                rows.update({int(k): v for k, v in json.load(f).items()})
+        for f_name in folded_files:
+            with open(os.path.join(d, f_name)) as f:
+                rows[int(f_name[len("part-"):-len(".json")])] = json.load(f)
         if not rows:
             return 0
         dest = self._manifest_path(scope)
@@ -161,11 +178,12 @@ class ParquetTableIO:
         with open(tmp, "w") as f:
             json.dump({str(k): v for k, v in rows.items()}, f, indent=1)
         os.replace(tmp, dest)
-        d = self._manifest_dir(scope)
+        for f_name in folded_files:
+            try:
+                os.unlink(os.path.join(d, f_name))
+            except FileNotFoundError:
+                pass  # another compactor got it first — row already folded
         if os.path.isdir(d):
-            for f_name in os.listdir(d):
-                if f_name.startswith("part-"):
-                    os.unlink(os.path.join(d, f_name))
             try:
                 os.rmdir(d)
             except OSError:
@@ -221,34 +239,62 @@ def compact_parquet_dir(spark: SparkSession, src_dir: str,
     Scale notes: streaming sinks at 100 TB accrete millions of KB-files
     whose per-file open/footer cost dominates scans; periodic compaction
     to ~128 MB files restores scan efficiency.  The rewrite is one
-    narrow repartition job (no wide shuffle key — round-robin), and the
-    swap is staged: new files land in ``<src>.compact-tmp``, are counted,
-    and only then replace the source via two renames (crash before the
-    second rename leaves the original intact; crash between them leaves
-    ``<src>.bak`` to roll back from — documented, not silent).
+    narrow repartition job (no wide shuffle key — round-robin).
+
+    Safety (ADVICE r3 hardening):
+    - the compacted copy is validated by row count AND an order-insensitive
+      row-content checksum (sum of crc32 over the JSON-encoded row) before
+      it ever replaces the source — a count-preserving corruption cannot
+      pass;
+    - the swap is staged: new files land in ``<src>.compact-tmp``, then two
+      renames (src -> .bak, tmp -> src); a crash between them is REPAIRED
+      on the next call (the validated tmp is promoted, else .bak is rolled
+      back) instead of leaving a missing src_dir;
+    - the previous generation's ``.bak`` is retained until the NEXT
+      successful compaction has re-read the current source (proof the swap
+      produced readable data), only then removed.
 
     Returns {"files_before", "files_after", "rows"}.
     """
     import shutil
 
+    tmp = src_dir.rstrip("/") + ".compact-tmp"
+    bak = src_dir.rstrip("/") + ".bak"
+    if not os.path.isdir(src_dir):
+        # crash between the two swap renames left no src: promote the
+        # already-validated tmp if present, else roll back from bak
+        if os.path.isdir(tmp):
+            os.rename(tmp, src_dir)
+        elif os.path.isdir(bak):
+            os.rename(bak, src_dir)
+        else:
+            raise FileNotFoundError(src_dir)
+
+    def _fingerprint(path: str):
+        df = spark.read.parquet(path)
+        row_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.crc32(row_json)).alias("checksum")).collect()[0]
+        return r["n"], r["checksum"]
+
     files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
     total = sum(os.path.getsize(os.path.join(src_dir, f)) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
-    df = spark.read.parquet(src_dir)
-    rows_before = df.count()
-    tmp = src_dir.rstrip("/") + ".compact-tmp"
-    bak = src_dir.rstrip("/") + ".bak"
+    rows_before, sum_before = _fingerprint(src_dir)
+    # the source was just read end-to-end: the PREVIOUS compaction's swap is
+    # proven good, so its rollback copy can finally go
+    shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
-    rows_after = spark.read.parquet(tmp).count()
-    if rows_after != rows_before:
+    (spark.read.parquet(src_dir).repartition(int(n_out))
+     .write.mode("overwrite").parquet(tmp))
+    rows_after, sum_after = _fingerprint(tmp)
+    if (rows_after, sum_after) != (rows_before, sum_before):
         shutil.rmtree(tmp)
         raise RuntimeError(
-            f"compaction row mismatch: {rows_before} -> {rows_after}")
-    shutil.rmtree(bak, ignore_errors=True)
+            f"compaction content mismatch: rows {rows_before} -> "
+            f"{rows_after}, checksum {sum_before} -> {sum_after}")
     os.rename(src_dir, bak)
     os.rename(tmp, src_dir)
-    shutil.rmtree(bak)
     files_after = len([f for f in os.listdir(src_dir)
                        if f.endswith(".parquet")])
     return {"files_before": len(files), "files_after": files_after,

@@ -125,7 +125,14 @@ def main() -> int:
                 spark, f"{work}/in",
                 "stream_id string, seq long, value double, err double",
                 f"{work}/out", f"{work}/ckpt")
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                # still running after the timeout: the sink is partial —
+                # reading it would print an incomplete flag count as if it
+                # were the full result (ADVICE r3). Fail loud instead.
+                q.stop()
+                print("error: detect stream did not drain within 600s; "
+                      "partial sink discarded", file=sys.stderr)
+                return 3
             res = spark.read.parquet(f"{work}/out")
             det = (res.filter("flag").select("stream_id", "detector", "seq")
                    .orderBy("stream_id", "detector", "seq").collect())

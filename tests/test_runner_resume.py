@@ -162,8 +162,11 @@ def test_manifest_compaction_folds_row_files(tmp_path):
 
 def test_compact_parquet_dir(spark, tmp_path):
     """40 tiny files compact to the byte-targeted count with identical
-    rows; the staged swap leaves no .bak/.compact-tmp behind."""
+    rows; the rollback .bak is RETAINED until the next successful
+    compaction has re-read the swapped data (ADVICE r3 contract), and a
+    crash between the two swap renames is repaired on the next call."""
     import os
+    import shutil
 
     from drift_detection_pibic___framework_spark.sources.tableio import (
         compact_parquet_dir)
@@ -182,5 +185,22 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert len(files) <= 4
     assert sorted((r.id, r.v)
                   for r in spark.read.parquet(d).collect()) == before
-    assert not os.path.exists(d + ".bak")
+    # rollback copy retained until the NEXT compaction proves the swap
+    assert os.path.exists(d + ".bak")
     assert not os.path.exists(d + ".compact-tmp")
+
+    # second compaction re-reads the source (validating generation 1),
+    # then drops generation 1's .bak and leaves its own
+    res2 = compact_parquet_dir(spark, d, target_file_bytes=total)
+    assert res2["rows"] == 4000
+    assert sorted((r.id, r.v)
+                  for r in spark.read.parquet(d).collect()) == before
+
+    # crash repair: simulate a kill between the two swap renames
+    # (src renamed away, validated tmp not yet promoted)
+    shutil.rmtree(d + ".bak", ignore_errors=True)
+    os.rename(d, d + ".compact-tmp")
+    res3 = compact_parquet_dir(spark, d, target_file_bytes=total)
+    assert res3["rows"] == 4000
+    assert sorted((r.id, r.v)
+                  for r in spark.read.parquet(d).collect()) == before
