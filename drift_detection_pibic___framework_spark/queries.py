@@ -1703,6 +1703,113 @@ def doc_splits(spark, sf_dir):
                  F.min("doc_id").alias("min_doc_id")))
 
 
+def _incremental_admit_sql(threshold: float = 0.2) -> str:
+    """Full incremental-admission pipeline in DuckDB SQL — every phase of
+    dedup_incremental reproduced verbatim (md5 digests, 16 seeded
+    min-hashes, 8 LSH bands, Jaccard verify, within-increment closure), so
+    the oracle checks the exact candidate sets, not just the survivors."""
+    sh = _shingles_sql()
+    sig = ("list_transform(range(0, 16), h -> list_min(list_transform(s, "
+           "x -> CAST(('0x' || substr(md5('s' || h || ':' || x), 1, 15)) "
+           "AS BIGINT))))")
+    band = ("SELECT doc_id, band, md5(array_to_string(list_transform("
+            "list_slice(mh, band * 2 + 1, band * 2 + 2), "
+            "x -> CAST(x AS VARCHAR)), ',')) AS bh "
+            "FROM {src}, (SELECT unnest(range(0, 8)) AS band) bands")
+    jac = ("len(list_intersect(a.s, b.s)) * 1.0 / "
+           "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))")
+    return f"""
+WITH RECURSIVE
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+inc AS (
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+  WHERE doc_id >= 100 AND doc_id < 110
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text || ' zz yy xx' AS text
+  FROM documents WHERE doc_id >= 110 AND doc_id < 120),
+cor_dig AS (SELECT DISTINCT md5({_NORM_SQL}) AS digest FROM corpus),
+s1 AS (
+  SELECT doc_id, text FROM inc
+  WHERE md5({_NORM_SQL}) NOT IN (SELECT digest FROM cor_dig)),
+sh1 AS (SELECT doc_id, {sh} AS s FROM s1),
+sig1 AS (SELECT doc_id, s, {sig} AS mh FROM sh1),
+b1 AS ({band.format(src='sig1')}),
+shc AS (SELECT doc_id, {sh} AS s FROM corpus),
+sigc AS (SELECT doc_id, s, {sig} AS mh FROM shc),
+bc AS ({band.format(src='sigc')}),
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b1 n JOIN bc c USING (band, bh)),
+drop2 AS (
+  SELECT DISTINCT c.doc_a FROM cand2 c
+  JOIN sh1 a ON a.doc_id = c.doc_a
+  JOIN shc b ON b.doc_id = c.doc_b
+  WHERE ROUND({jac}, 6) >= {threshold}),
+s2 AS (SELECT doc_id, text FROM s1
+       WHERE doc_id NOT IN (SELECT doc_a FROM drop2)),
+keep3 AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5({_NORM_SQL})),
+sh3 AS (SELECT doc_id, {sh} AS s FROM s2
+        WHERE doc_id IN (SELECT doc_id FROM keep3)),
+sig3 AS (SELECT doc_id, s, {sig} AS mh FROM sh3),
+b3 AS ({band.format(src='sig3')}),
+cand3 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM b3 a JOIN b3 b USING (band, bh) WHERE a.doc_id < b.doc_id),
+p3 AS (
+  SELECT c.doc_a, c.doc_b FROM cand3 c
+  JOIN sh3 a ON a.doc_id = c.doc_a
+  JOIN sh3 b ON b.doc_id = c.doc_b
+  WHERE ROUND({jac}, 6) >= {threshold}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM p3
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p3),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (
+  SELECT s AS doc_id, LEAST(s, MIN(d)) AS component
+  FROM reach GROUP BY s)
+SELECT doc_id FROM s2
+WHERE doc_id IN (SELECT doc_id FROM keep3)
+  AND doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+"""
+
+
+@register("doc_incremental_admit", _incremental_admit_sql())
+def doc_incremental_admit(spark, sf_dir):
+    """Incremental-ingestion admission against a PERSISTED dedup index
+    (VERDICT r3 top ask): corpus = docs 100+, increment = remapped docs
+    0-99 plus injected exact copies (of docs 100-109) and near-dup
+    variants (docs 110-119 with an appended token tail).  The Spark side
+    runs the INDEX code path — build_dedup_index key frames joined by
+    dedup_incremental, corpus text read only for verify-join candidates
+    (the one-scan plan is pinned in tests/test_pipeline_ops) — and the
+    oracle reproduces every phase in SQL, so exact drops, LSH candidate
+    sets, Jaccard verdicts, and the within-increment closure are all
+    hash-checked cross-engine."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    corpus = docs.filter(did >= 100)
+    inc = (docs.filter(did < 100)
+           .select((did + 2000000).alias("doc_id"), "text")
+           .unionByName(
+               docs.filter((did >= 100) & (did < 110))
+               .select((did + 3000000).alias("doc_id"), "text"))
+           .unionByName(
+               docs.filter((did >= 110) & (did < 120))
+               .select((did + 4000000).alias("doc_id"),
+                       F.concat(F.col("text"),
+                                F.lit(" zz yy xx")).alias("text"))))
+    index = D.build_dedup_index(corpus, num_hashes=16, bands=8)
+    return (D.dedup_incremental(inc, corpus, threshold=0.2,
+                                num_hashes=16, bands=8, index=index)
+            .select("doc_id"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -1716,18 +1823,28 @@ def doc_splits(spark, sf_dir):
 # whenever a new oracled query would overflow the window.
 
 DRIVER_WINDOW = 50
+# ROTATION (r4, per VERDICT r3 ask #3): the window certifies a different
+# slice each round so every oracled query eventually earns a driver row.
+# Rotated IN for r4: the five breadth queries demoted in r3
+# (events_time_buckets, orders_topk_revenue, events_sessionized,
+# doc_top_ngrams, doc_splits) plus this round's new oracled queries.
+# Rotated OUT: nine rows green in the driver gate since r1/r2 (their
+# oracles still run every round via scripts/check_entry.py — demotion
+# changes who certifies them, not whether they are checked).
 _DEMOTED_ORACLED = [
     # vacuous at sf0.01 (0 rows both engines); superseded by the injected
     # fixture twin emb_injected_near_dups which IS in the window
     "emb_near_dups",
-    # general-analytics breadth queries added AFTER the window filled with
-    # 50 green rows: still oracle-verified by scripts/check_entry.py, just
-    # not worth evicting a north-rule query from the driver gate for
-    "events_time_buckets",
-    "orders_topk_revenue",
-    "events_sessionized",
-    "doc_top_ngrams",
-    "doc_splits",
+    # driver-green r1-r3 (CORRECTNESS_r01..r03), rotated out for r4:
+    "events_znorm_params",
+    "events_znorm_rows",
+    "events_lag_features",
+    "events_trailing_ma_slope",
+    "events_topk_by_type",
+    "events_mean_gap_between_errors",
+    "events_temporal_holdout",
+    "ph_sql_monitor",
+    "ddm_sql_monitor",
 ]
 
 _oracled = [n for n in QUERIES
