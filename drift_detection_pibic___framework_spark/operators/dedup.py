@@ -262,6 +262,50 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
 
 
 # -------------------------------------------------------------------------
+# eval-set decontamination: drop corpus docs overlapping held-out eval text
+# -------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                  col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop every corpus document sharing ANY word ``n``-gram with the
+    held-out eval/benchmark set — the third dedup axis of a training-data
+    pipeline (alongside exact and near dedup): a doc that contains a
+    benchmark passage verbatim leaks the eval into training.  n=13 is the
+    published convention (GPT-3 appendix C / PaLM-style 13-gram overlap).
+
+    Scale shape: the eval side is small by nature (benchmarks), so its
+    distinct shingle set broadcasts; the corpus side is a NARROW explode
+    (no shuffle) into a broadcast-hash semi-join — corpus text is scanned
+    once, and the only shuffle is the distinct over the (tiny)
+    contaminated-id set feeding the final anti-join."""
+    ev = (eval_docs.select(F.explode(word_shingles(col, n)).alias("shingle"))
+          .distinct())
+    hits = (docs.select(id_col,
+                        F.explode(word_shingles(col, n)).alias("shingle"))
+            .join(F.broadcast(ev), "shingle")
+            .select(id_col).distinct())
+    return docs.join(hits, id_col, "left_anti")
+
+
+def contamination_report(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                         col: str = "text", id_col: str = "doc_id",
+                         eval_id_col: str = "eval_id") -> DataFrame:
+    """Per (corpus doc, eval doc) count of shared word n-gram shingles —
+    the audit artifact behind ``decontaminate``'s drop decisions (which
+    benchmark leaked into which doc, and how hard).  Shingles are distinct
+    per doc, so the join-match count IS the intersection size.  Same scale
+    shape as decontaminate: broadcast eval explode, narrow corpus explode,
+    one groupBy shuffle on the (small) contaminated pair set."""
+    ev = eval_docs.select(F.col(eval_id_col),
+                          F.explode(word_shingles(col, n)).alias("shingle"))
+    return (docs.select(id_col,
+                        F.explode(word_shingles(col, n)).alias("shingle"))
+            .join(F.broadcast(ev), "shingle")
+            .groupBy(id_col, eval_id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+# -------------------------------------------------------------------------
 # duplicate-group resolution: connected components over candidate pairs
 # -------------------------------------------------------------------------
 

@@ -82,6 +82,41 @@ def with_lang_scores(docs: DataFrame, col: str = "text") -> DataFrame:
     return scored.withColumn("predicted_lang", pred)
 
 
+# PII classes for the standard curation scrub.  Patterns are kept to the
+# regex subset with identical semantics in Java regex (Spark) and RE2
+# (DuckDB oracle): no backreferences, no lookaround — so the whole scrub is
+# cross-engine checkable.  Dict order = masking order (applied sequentially;
+# counts are always measured on the ORIGINAL text per class).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII scrub — the curation step run alongside quality scoring before
+    text enters a training mix: per-class hit counts on the original text
+    plus a masked copy with every match replaced by ``<CLASS>``.
+
+    All JVM-side built-ins (regexp_count / regexp_replace — whole-stage
+    codegen, zero Python): one narrow projection, no shuffle, safe to run
+    inline in any 100-TB scan.  Masking is sequential in PII_PATTERNS
+    order; ``ssn`` runs after ``phone`` so a phone-masked region cannot be
+    re-matched (the two patterns are mutually exclusive on raw text:
+    3-3-4 vs 3-2-4 digit groups)."""
+    out = docs
+    masked = F.col(col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(col), F.lit(pat)))
+        masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
+    return out.withColumn("masked_text", masked).withColumn(
+        "n_pii", sum(F.col(f"n_{n}") for n in PII_PATTERNS))
+
+
 def with_fingerprints(docs: DataFrame, col: str = "text") -> DataFrame:
     """Document fingerprints: (a) md5 of the normalized text (exact-dup
     key), (b) a rolling-hash min-fingerprint — the minimum 64-bit hash over

@@ -1703,6 +1703,142 @@ def doc_splits(spark, sf_dir):
                  F.min("doc_id").alias("min_doc_id")))
 
 
+def _shingles_sql_k(k: int) -> str:
+    """Word k-gram shingles of the normalized text (the k-parameterized
+    twin of _shingles_sql; slice truncation on sub-k-token docs matches
+    word_shingles exactly)."""
+    return (f"list_distinct(list_transform("
+            f"generate_series(0, greatest(len({_TOKS_SQL}) - {k}, 0)), "
+            f"i -> array_to_string(list_slice({_TOKS_SQL}, i + 1, i + {k}),"
+            f" ' ')))")
+
+
+_DECON_CTES = f"""
+ev AS (SELECT doc_id + 9000000 AS eval_id, text FROM documents
+       WHERE doc_id < 20),
+cor AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 20
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id,
+         'prelude words added before the benchmark passage ' || text AS text,
+         lang
+  FROM documents WHERE doc_id < 10),
+evsh AS (SELECT eval_id, {_shingles_sql_k(13)} AS s FROM ev),
+corsh AS (SELECT doc_id, {_shingles_sql_k(13)} AS s FROM cor)"""
+
+
+@register("doc_decontaminated", f"""
+WITH {_DECON_CTES},
+evset AS (SELECT DISTINCT g.g AS shingle FROM evsh, unnest(evsh.s) AS g(g)),
+hits AS (
+  SELECT DISTINCT c.doc_id FROM corsh c, unnest(c.s) AS g(g)
+  WHERE g.g IN (SELECT shingle FROM evset))
+SELECT doc_id, lang FROM cor
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+""")
+def doc_decontaminated(spark, sf_dir):
+    """Eval-set decontamination (VERDICT r3 ask #2): eval set = docs 0-19
+    (remapped ids), corpus = docs 20+ plus 10 POISONED docs (docs 0-9
+    verbatim behind a prelude — the way benchmark text actually leaks into
+    crawls).  Survivors = corpus docs sharing NO 13-gram with any eval
+    doc; every poisoned doc long enough to emit 13-gram windows is
+    dropped.  Spark side is the scale-shaped operator (broadcast eval
+    shingle set, narrow corpus explode, anti-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ev = (docs.filter(did < 20)
+          .select((did + 9000000).alias("doc_id"), "text"))
+    cor = (docs.filter(did >= 20).select("doc_id", "text", "lang")
+           .unionByName(
+               docs.filter(did < 10)
+               .select((did + 5000000).alias("doc_id"),
+                       F.concat(F.lit("prelude words added before the "
+                                      "benchmark passage "),
+                                F.col("text")).alias("text"),
+                       "lang")))
+    return D.decontaminate(cor, ev, n=13).select("doc_id", "lang")
+
+
+@register("doc_contamination_report", f"""
+WITH {_DECON_CTES}
+SELECT c.doc_id, e.eval_id,
+       CAST(len(list_intersect(c.s, e.s)) AS BIGINT) AS n_shared
+FROM corsh c, evsh e
+WHERE len(list_intersect(c.s, e.s)) > 0
+""")
+def doc_contamination_report(spark, sf_dir):
+    """The audit twin of doc_decontaminated: per (corpus doc, eval doc)
+    shared-13-gram count — which benchmark leaked into which doc and how
+    hard.  The oracle's all-pairs list_intersect is the O(n*m) baseline;
+    the Spark side is the bucketed scale path (join on the shingle key,
+    group-count = intersection size since shingles are distinct per
+    doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ev = (docs.filter(did < 20)
+          .select((did + 9000000).alias("eval_id"), "text"))
+    cor = (docs.filter(did >= 20).select("doc_id", "text")
+           .unionByName(
+               docs.filter(did < 10)
+               .select((did + 5000000).alias("doc_id"),
+                       F.concat(F.lit("prelude words added before the "
+                                      "benchmark passage "),
+                                F.col("text")).alias("text"))))
+    return D.contamination_report(cor, ev, n=13)
+
+
+_PII_TAIL = (" contact jane.doe@example.com or 555-123-4567 ssn 123-45-6789"
+             " host 10.0.0.1")
+
+
+def _pii_scrub_sql() -> str:
+    """Cross-engine PII scrub oracle: counts via regexp_extract_all on the
+    original text, mask via nested global regexp_replace in PII_PATTERNS
+    order (the exact masking sequence pii_scrub applies)."""
+    from .operators.text import PII_PATTERNS
+    count_cols, masked = [], "text"
+    for name, pat in PII_PATTERNS.items():
+        count_cols.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) "
+            f"AS n_{name}")
+        masked = (f"regexp_replace({masked}, '{pat}', "
+                  f"'<{name.upper()}>', 'g')")
+    n_pii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in PII_PATTERNS.values())
+    return f"""
+WITH cor AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 30 THEN text || '{_PII_TAIL}' ELSE text END
+           AS text
+  FROM documents)
+SELECT doc_id, {', '.join(count_cols)},
+       CAST({n_pii} AS INTEGER) AS n_pii,
+       md5({masked}) AS masked_md5
+FROM cor
+"""
+
+
+@register("doc_pii_scrub", _pii_scrub_sql())
+def doc_pii_scrub(spark, sf_dir):
+    """PII scrub over the corpus with injected PII (docs 0-29 carry an
+    appended email/phone/SSN/IPv4 tail; the rest are clean): per-class hit
+    counts plus the md5 of the masked text, so the oracle checks both the
+    detection counts and the exact byte-level masking across engines.
+    Scale shape: one narrow JVM-codegen projection, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    cor = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 30,
+               F.concat(F.col("text"), F.lit(_PII_TAIL)))
+        .otherwise(F.col("text")).alias("text"))
+    from .operators.text import PII_PATTERNS, pii_scrub
+    s = pii_scrub(cor)
+    return s.select("doc_id",
+                    *[F.col(f"n_{n}") for n in PII_PATTERNS],
+                    "n_pii",
+                    F.md5(F.col("masked_text")).alias("masked_md5"))
+
+
 def _incremental_admit_sql(threshold: float = 0.2) -> str:
     """Full incremental-admission pipeline in DuckDB SQL — every phase of
     dedup_incremental reproduced verbatim (md5 digests, 16 seeded

@@ -624,3 +624,49 @@ def test_dedup_index_commit_then_next_increment(spark, tmp_path):
     lookup = corpus.unionByName(adm1)
     adm2 = idx.admit(inc2, lookup, threshold=0.5)
     assert sorted(r.doc_id for r in adm2.collect()) == [202]
+
+
+def test_decontaminate_drops_poisoned_doc(spark):
+    """A corpus doc embedding a benchmark passage verbatim (mid-text) is
+    dropped; clean docs survive; the report pins exactly which eval doc
+    leaked and the shared-shingle count."""
+    bench_text = ("what is the capital of france the capital of france "
+                  "is paris which has been the seat of government")
+    eval_docs = spark.createDataFrame([(0, bench_text)],
+                                      ["eval_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "a scraped page saying " + bench_text + " and other things"),
+         (2, "an unrelated clean document about cooking pasta with fresh "
+             "tomatoes basil and olive oil on a sunday afternoon is nice"),
+         (3, "too short to shingle")],
+        ["doc_id", "text"])
+    survivors = sorted(r.doc_id for r in
+                       dedup.decontaminate(corpus, eval_docs, n=13)
+                       .collect())
+    assert survivors == [2, 3]
+    rep = dedup.contamination_report(corpus, eval_docs, n=13).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # 19-token passage fully contained -> 19-13+1 = 7 contiguous windows
+    assert (r.doc_id, r.eval_id, r.n_shared) == (1, 0, 7)
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """Every PII class is counted on the original text and byte-replaced
+    in the masked copy; clean text is untouched with zero counts."""
+    from drift_detection_pibic___framework_spark.operators.text import (
+        pii_scrub)
+    df = spark.createDataFrame(
+        [(1, "mail a@b.org and c.d@e.co.uk, call 555-123-4567, "
+             "ssn 078-05-1120, server 192.168.0.1 ok"),
+         (2, "a perfectly clean sentence with the number 1234 in it")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_phone, r1.n_ssn, r1.n_ipv4) == (2, 1, 1, 1)
+    assert r1.n_pii == 5
+    assert r1.masked_text == ("mail <EMAIL> and <EMAIL>, call <PHONE>, "
+                              "ssn <SSN>, server <IPV4> ok")
+    r2 = rows[2]
+    assert r2.n_pii == 0
+    assert r2.masked_text == r2.text
