@@ -124,12 +124,18 @@ class ValidationRunner:
                 "checks": {r["check_name"]: bool(r["passed"]) for r in checks},
                 "series_drift": bool(drift_flag),
                 "metrics_json": json.dumps(stat, default=str),
-                "detector_state": self._dump_steppers(steppers),
                 "snapshot_id": f"{self.scope}-{part}",
             }
             # commit point: manifest row (violations already on disk);
-            # O(1) per partition — no full-manifest rewrite
+            # O(1) per partition — no full-manifest rewrite.  The detector
+            # state goes to the O(state) sidecar, NOT into every row
+            # (manifest bytes stay independent of detector count); a kill
+            # between the two commits is repaired at load by replaying the
+            # missing rows' stored metrics.
             self.io.commit_manifest_row(self.scope, part, row)
+            self.io.commit_state(self.scope, {
+                "part": part,
+                "detector_state": self._dump_steppers(steppers)})
             (validated if all_passed else failed).append(part)
         if not self.io.pending_partitions("clips", self.scope):
             # run complete: fold the per-row commit log into one file so a
@@ -139,15 +145,36 @@ class ValidationRunner:
 
     # -- detector-state checkpointing ---------------------------------------
 
+    @staticmethod
+    def _steppers_from_blob(blob: str) -> dict:
+        raw = json.loads(blob)
+        return {k: PrequentialStepper.deserialize(
+            base64.b64decode(v)) for k, v in raw.items()}
+
     def _load_steppers(self) -> dict:
         manifest = self.io.read_manifest(self.scope)
-        done = [p for p, v in manifest.items() if v.get("status") == "done"]
+        done = sorted(p for p, v in manifest.items()
+                      if v.get("status") == "done")
+        st = self.io.read_state(self.scope)
+        if st is not None and done:
+            steppers = self._steppers_from_blob(st["detector_state"])
+            # a kill between a row commit and its sidecar write leaves the
+            # sidecar behind by those rows; replay them from the stored
+            # per-partition metrics (same z inputs -> byte-identical state)
+            behind = [p for p in done if p > st["part"]]
+            if behind:
+                base_mean, base_std = self._baseline_moments({})
+                for p in behind:
+                    stat = json.loads(manifest[p]["metrics_json"])
+                    z = abs((stat[f"{MONITOR_COL}_mean"] - base_mean) /
+                            (base_std or 1.0))
+                    self._advance_steppers(steppers, p, z)
+            return steppers
         if done:
+            # legacy manifests (pre-sidecar) carried the blob in every row
             blob = manifest[max(done)].get("detector_state")
             if blob:
-                raw = json.loads(blob)
-                return {k: PrequentialStepper.deserialize(
-                    base64.b64decode(v)) for k, v in raw.items()}
+                return self._steppers_from_blob(blob)
         return {
             name: PrequentialStepper(name, tamanho_batch=SERIES_SEED_PARTS,
                                      params=cfg["params"],

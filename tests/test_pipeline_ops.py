@@ -205,6 +205,26 @@ def test_ivf_wide_quantizer_analysis_bounded(spark, emb):
     assert 1 <= n_buckets <= 1 << 16
 
 
+def test_simhash_kernel_parity(spark, docs):
+    """The single-pass Arrow kernel must reproduce the 64-pass expression
+    form bit-for-bit over the whole fixture corpus plus adversarial rows
+    (empty text, whitespace runs, null, sign-bit-heavy tokens)."""
+    adversarial = spark.createDataFrame(
+        [(900001, ""), (900002, "   "), (900003, "a"),
+         (900004, "Tabs\tand\nnewlines  collapse THE same WAY"),
+         (900005, None),
+         (900006, "repeated repeated repeated token token")],
+        "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(adversarial)
+    expr = {r.doc_id: r.simhash for r in dedup.simhash(corpus).collect()}
+    kern = {r.doc_id: r.simhash
+            for r in dedup.simhash_kernel(corpus).collect()}
+    assert expr == kern
+    # expression-form quirk both sides must share: null text packs to 0
+    # (per-bit when(NULL > 0).otherwise(0) falls through), not NULL
+    assert expr[900005] == 0
+
+
 def test_simhash_candidate_join_is_equi(spark, docs):
     """SimHash near-dup candidates come from an equi join on
     (chunk_idx, chunk_val) — no cross join at any radius."""

@@ -82,6 +82,31 @@ def test_resume_outputs_identical_to_uninterrupted(spark, io):
     assert va == vb
 
 
+def test_detector_state_sidecar_and_replay(spark, io):
+    """Manifest rows no longer carry the detector-state blob (row size
+    independent of detector count); the O(state) sidecar holds it, and a
+    sidecar left behind by a kill between row-commit and sidecar-write is
+    repaired by replaying the missing rows' stored metrics to the exact
+    same state."""
+    r = ValidationRunner(io, scope="sidecar")
+    r.run(spark, limit_parts=6)
+    st6 = io.read_state("sidecar")
+    assert st6["part"] == 5 and st6["detector_state"]
+    r.run(spark, limit_parts=2)          # parts 6, 7
+    st8 = io.read_state("sidecar")
+    assert st8["part"] == 7
+    m = io.read_manifest("sidecar")
+    assert all("detector_state" not in v for v in m.values())
+
+    canon = ValidationRunner._dump_steppers(
+        ValidationRunner._steppers_from_blob(st8["detector_state"]))
+    # simulate the kill window: sidecar rolled back to part 5 while rows
+    # 6-7 are committed -> loader must replay 6-7 deterministically
+    io.commit_state("sidecar", st6)
+    replayed = ValidationRunner._dump_steppers(r._load_steppers())
+    assert replayed == canon
+
+
 def test_manifest_commit_is_o1_per_partition(tmp_path, monkeypatch):
     """Committing one partition's manifest row must not read or rewrite any
     other row (round-1 full-file rewrite was O(P^2) over a run): 400 rows
