@@ -244,7 +244,8 @@ def simhash_kernel(docs: DataFrame, col: str = "text",
 
 
 def simhash_near_duplicates(docs: DataFrame, col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            use_kernel: bool = False) -> DataFrame:
     """Near-dups by SimHash Hamming distance <= max_hamming, bucketed by
     bit chunks so the join is equi on (chunk_idx, chunk_val).
 
@@ -254,7 +255,12 @@ def simhash_near_duplicates(docs: DataFrame, col: str = "text",
     for the requested radius (ADVICE r1: 4 fixed 16-bit chunks only
     guaranteed <= 3).  Radii >= 64 would need a cross join and are
     rejected.  More chunks = wider buckets = more candidates — keep the
-    radius as tight as the use case allows."""
+    radius as tight as the use case allows.
+
+    ``use_kernel``: compute signatures with the single-pass Arrow kernel
+    (13x the expression form on transcripts — BENCH/BASELINE.md SimHash
+    A/B) instead of the SQL-oracle-checkable expression form; results are
+    identical (bit-for-bit parity is test-pinned)."""
     if not 0 <= max_hamming < 64:
         raise ValueError("max_hamming must be in [0, 64) for the "
                          "chunk-pigeonhole candidate join")
@@ -269,7 +275,7 @@ def simhash_near_duplicates(docs: DataFrame, col: str = "text",
             v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
         return v
 
-    sh = simhash(docs, col)
+    sh = (simhash_kernel(docs, col) if use_kernel else simhash(docs, col))
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -6,8 +6,11 @@ produces a curated corpus the way a web-scale pretraining run does —
   1. quality filter   (length / alpha-ratio / mean-word-length score)
   2. deduplication    (exact md5 keep-min, then MinHash+LSH near-dup
                        closure via connected components, keep-one-per-group)
-  3. per-source quota (row_number cap — one crawler trap can't dominate)
-  4. hash sample      (optional deterministic md5-threshold ablation slice)
+  3. decontamination  (optional: drop docs sharing any 13-gram with a
+                       held-out eval/benchmark table)
+  4. PII scrub        (optional: mask email/phone/SSN/IPv4, report hits)
+  5. per-source quota (row_number cap — one crawler trap can't dominate)
+  6. hash sample      (optional deterministic md5-threshold ablation slice)
 
 Every stage is a narrow filter or a key-partitioned shuffle (see
 operators/dedup.py, operators/sampling.py docstrings for the 100 TB
@@ -38,6 +41,12 @@ def main() -> int:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--jaccard", type=float, default=0.7,
                     help="near-dup threshold for the LSH phase")
+    ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
+                    help="parquet of held-out eval docs (doc_id, text); "
+                         "drop corpus docs sharing any n-gram with them")
+    ap.add_argument("--decon-ngram", type=int, default=13)
+    ap.add_argument("--pii-scrub", action="store_true",
+                    help="mask email/phone/SSN/IPv4 in the output text")
     ap.add_argument("--cap-per-source", type=int, default=0,
                     help="max docs per source (0 = no cap)")
     ap.add_argument("--target-file-mb", type=int, default=128,
@@ -83,12 +92,29 @@ def main() -> int:
     deduped = dedup.dedup_corpus(kept, jaccard_threshold=args.jaccard)
     n_dedup = deduped.count()
 
+    n_decon = n_dedup
+    if args.decontaminate:
+        from pyspark.sql import functions as F
+        ev = (spark.read.parquet(args.decontaminate)
+              .select(F.col("doc_id").alias("eval_id"), "text"))
+        deduped = dedup.decontaminate(deduped, ev, n=args.decon_ngram)
+        n_decon = deduped.count()
+
+    n_pii_docs = 0
+    if args.pii_scrub:
+        from pyspark.sql import functions as F
+        s = text.pii_scrub(deduped)
+        n_pii_docs = s.filter("n_pii > 0").count()
+        deduped = (s.withColumn("text", F.col("masked_text"))
+                   .drop("masked_text", "n_pii",
+                         *[f"n_{k}" for k in text.PII_PATTERNS]))
+
     if args.cap_per_source:
         deduped = sampling.group_cap(
             deduped, "source", args.cap_per_source, "doc_id")
         n_capped = deduped.count()
     else:
-        n_capped = n_dedup
+        n_capped = n_decon
 
     if args.sample_256:
         deduped = sampling.hash_sample(deduped, "doc_id", args.sample_256)
@@ -113,6 +139,10 @@ def main() -> int:
     print(f"quality >= {args.min_quality:<6g} {n_quality:>10d}  "
           f"(-{n_in - n_quality})")
     print(f"deduped           {n_dedup:>10d}  (-{n_quality - n_dedup})")
+    if args.decontaminate:
+        print(f"decontaminated    {n_decon:>10d}  (-{n_dedup - n_decon})")
+    if args.pii_scrub:
+        print(f"pii-scrubbed docs {n_pii_docs:>10d}  (masked in output)")
     if args.cap_per_source:
         print(f"source cap {args.cap_per_source:<6d} {n_capped:>10d}  "
               f"(-{n_dedup - n_capped})")

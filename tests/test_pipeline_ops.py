@@ -223,6 +223,13 @@ def test_simhash_kernel_parity(spark, docs):
     # expression-form quirk both sides must share: null text packs to 0
     # (per-bit when(NULL > 0).otherwise(0) falls through), not NULL
     assert expr[900005] == 0
+    # the hot-path switch yields identical near-dup pairs
+    sub = docs.limit(60)
+    pairs_e = {(r.doc_a, r.doc_b) for r in dedup.simhash_near_duplicates(
+        sub, max_hamming=10).collect()}
+    pairs_k = {(r.doc_a, r.doc_b) for r in dedup.simhash_near_duplicates(
+        sub, max_hamming=10, use_kernel=True).collect()}
+    assert pairs_e == pairs_k
 
 
 def test_simhash_candidate_join_is_equi(spark, docs):
