@@ -107,6 +107,41 @@ def test_detector_state_sidecar_and_replay(spark, io):
     assert replayed == canon
 
 
+def test_compact_manifest_spares_concurrent_rows(tmp_path, monkeypatch):
+    """A row committed after compact_manifest snapshots the directory must
+    SURVIVE the cleanup (ADVICE r3: the old unlink-everything loop deleted
+    it without folding).  Simulated by hiding the concurrent row from the
+    snapshot listing while it exists on disk."""
+    import os as _os
+
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    io = ParquetTableIO(str(tmp_path))
+    for p in range(4):
+        io.commit_manifest_row("scope", p, {"status": "done", "v": p})
+    d = io._manifest_dir("scope")
+    real_listdir = _os.listdir
+
+    def snapshot_without_row3(path):
+        out = real_listdir(path)
+        if _os.path.abspath(str(path)) == _os.path.abspath(d):
+            return [f for f in out if f != "part-3.json"]
+        return out
+
+    monkeypatch.setattr(_os, "listdir", snapshot_without_row3)
+    n = io.compact_manifest("scope")
+    monkeypatch.undo()
+    assert n == 3                      # folded the snapshot only
+    # the concurrently-committed row is still on disk and still read
+    assert _os.path.exists(_os.path.join(d, "part-3.json"))
+    m = io.read_manifest("scope")
+    assert set(m) == {0, 1, 2, 3}
+    assert m[3]["v"] == 3
+    # the next compaction folds it
+    assert io.compact_manifest("scope") == 4
+    assert not _os.path.exists(_os.path.join(d, "part-3.json"))
+
+
 def test_manifest_commit_is_o1_per_partition(tmp_path, monkeypatch):
     """Committing one partition's manifest row must not read or rewrite any
     other row (round-1 full-file rewrite was O(P^2) over a run): 400 rows
