@@ -132,3 +132,72 @@ def with_fingerprints(docs: DataFrame, col: str = "text") -> DataFrame:
         "doc_id",
         F.md5(norm).alias("md5_fingerprint"),
         min_rolling.alias("min_shingle_hash"))
+
+
+def word_ngrams(col: str = "text", k: int = 1):
+    """ALL word k-grams of the normalized text, duplicates KEPT (the
+    repetition metrics need multiplicities; dedup.word_shingles is the
+    distinct twin).  Sub-k-token docs yield one truncated gram, matching
+    word_shingles' slice behaviour."""
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+
+
+# (k, metric) pairs for repetition_metrics; the published repetition
+# filters (Gopher's quality rules) use the most-common-n-gram char
+# fraction for small n and the duplicate-n-gram char fraction for large n.
+REPETITION_KS = (1, 2, 5)
+
+
+def repetition_metrics(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document — the standard
+    filter for template/boilerplate/spam text in a training-data mix:
+
+    - ``top_word_frac``: occurrences of the most frequent token / tokens.
+    - ``top_2gram_char_frac``: characters covered by the most frequent
+      word 2-gram / total 2-gram characters, where a gram "covers"
+      count * length(gram) characters.  Ties on count break toward the
+      larger coverage (max over the (count, chars) pair — deterministic
+      and engine-portable, no arbitrary arg_max tie).
+    - ``dup_5gram_char_frac``: characters in 5-grams occurring more than
+      once / total 5-gram characters.
+
+    Scale shape: ONE explode over a k-tagged union of the gram arrays,
+    then two hash aggregations keyed on (doc_id, k, gram) and
+    (doc_id, k) — fine-grained keys, map-side partial aggregation, no
+    window, no skew hazard (a single doc's grams land in one task only
+    during the second, already-reduced aggregation).  All built-ins."""
+    def _tag(k):
+        # ONE-arg lambda: a 2-arg lambda to F.transform would receive
+        # (element, index) and silently tag grams with their position
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(word_ngrams(col, k), _tag(k))
+                        for k in REPETITION_KS])
+    grams = docs.select("doc_id", F.explode(tagged).alias("g")) \
+                .select("doc_id", F.col("g.k").alias("k"),
+                        F.col("g.gram").alias("gram"))
+    cnt = (grams.groupBy("doc_id", "k", "gram")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .withColumn("chars", F.col("cnt") * F.length("gram")))
+    per_k = cnt.groupBy("doc_id", "k").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.max(F.struct(F.col("cnt").alias("c"),
+                       F.col("chars").alias("h")))["h"].alias("top_chars"),
+        F.sum("cnt").alias("tot_cnt"),
+        F.sum("chars").alias("tot_chars"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("chars"))
+              .otherwise(F.lit(0))).alias("dup_chars"))
+
+    def pick(k, expr):
+        return F.max(F.when(F.col("k") == k, expr))
+
+    return per_k.groupBy("doc_id").agg(
+        F.round(pick(1, F.col("top_cnt") / F.col("tot_cnt")),
+                6).alias("top_word_frac"),
+        F.round(pick(2, F.col("top_chars") / F.col("tot_chars")),
+                6).alias("top_2gram_char_frac"),
+        F.round(pick(5, F.col("dup_chars") / F.col("tot_chars")),
+                6).alias("dup_5gram_char_frac"))

@@ -1946,6 +1946,55 @@ def doc_incremental_admit(spark, sf_dir):
             .select("doc_id"))
 
 
+def _ngrams_sql_k(k: int) -> str:
+    """ALL word k-grams, duplicates kept (non-distinct twin of
+    _shingles_sql_k; mirrors text.word_ngrams incl. sub-k truncation)."""
+    return (f"list_transform("
+            f"generate_series(0, greatest(len({_TOKS_SQL}) - {k}, 0)), "
+            f"i -> array_to_string(list_slice({_TOKS_SQL}, i + 1, i + {k}),"
+            f" ' '))")
+
+
+@register("doc_repetition", f"""
+WITH g AS (
+  SELECT doc_id, 1 AS k, unnest({_ngrams_sql_k(1)}) AS gram FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS k, unnest({_ngrams_sql_k(2)}) AS gram FROM documents
+  UNION ALL
+  SELECT doc_id, 5 AS k, unnest({_ngrams_sql_k(5)}) AS gram FROM documents),
+c AS (SELECT doc_id, k, gram, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(*) * length(gram) AS BIGINT) AS chars
+      FROM g GROUP BY 1, 2, 3),
+p AS (SELECT doc_id, k, max(cnt) AS top_cnt,
+             (max({{'c': cnt, 'h': chars}})).h AS top_chars,
+             sum(cnt) AS tot_cnt, sum(chars) AS tot_chars,
+             sum(CASE WHEN cnt > 1 THEN chars ELSE 0 END) AS dup_chars
+      FROM c GROUP BY 1, 2)
+SELECT doc_id,
+  round(max(CASE WHEN k = 1
+            THEN CAST(top_cnt AS DOUBLE) / tot_cnt END), 6)
+      AS top_word_frac,
+  round(max(CASE WHEN k = 2
+            THEN CAST(top_chars AS DOUBLE) / tot_chars END), 6)
+      AS top_2gram_char_frac,
+  round(max(CASE WHEN k = 5
+            THEN CAST(dup_chars AS DOUBLE) / tot_chars END), 6)
+      AS dup_5gram_char_frac
+FROM p GROUP BY 1
+""")
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document (most-common
+    token fraction, most-common-2-gram char coverage, duplicate-5-gram
+    char fraction) — the standard boilerplate/template/spam filter in a
+    training-data mix.  Scale shape: one explode over a k-tagged gram
+    union, two hash aggregations on fine-grained keys (map-side partials,
+    no window, no skew hazard); ties on the top-2-gram count break toward
+    larger char coverage via a (count, chars) struct max — deterministic
+    in BOTH engines (struct comparison is field-order lexicographic in
+    Spark and DuckDB alike)."""
+    return T.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -1981,6 +2030,13 @@ _DEMOTED_ORACLED = [
     "events_temporal_holdout",
     "ph_sql_monitor",
     "ddm_sql_monitor",
+    # driver-green r1-r3, rotated out mid-r4 to admit the new curation
+    # breadth queries (doc_repetition, doc_mixture_sample,
+    # doc_pack_sequences, q5_region_revenue):
+    "events_trend_adjust",
+    "events_props_json",
+    "events_window_mse_200",
+    "events_inverse_error_topk",
 ]
 
 _oracled = [n for n in QUERIES

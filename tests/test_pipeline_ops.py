@@ -281,6 +281,27 @@ def test_lang_scores_pick_stopword_language(spark):
     assert out[1] == "en" and out[2] == "es"
 
 
+def test_repetition_metrics_hand_counted(spark):
+    """Hand-counted Gopher-style repetition fractions, including the
+    (count, chars) tie-break on the top 2-gram and a fully self-repeating
+    doc whose duplicate-5-gram fraction must be exactly 1."""
+    d = spark.createDataFrame([
+        # tokens [aa bb aa bb aa cc]: top word aa 3/6; 2-grams
+        # {aa bb:2, bb aa:2, aa cc:1} -> top coverage 2*5/25; both
+        # 5-grams unique -> dup frac 0
+        Row(doc_id=1, text="aa bb aa bb aa cc"),
+        # [xx yy]*4: top word 4/8; 2-grams {xx yy:4, yy xx:3} ->
+        # 20/35; all four 5-grams occur twice -> dup frac 1
+        Row(doc_id=2, text="xx yy xx yy xx yy xx yy")])
+    out = {r.doc_id: r for r in text.repetition_metrics(d).collect()}
+    assert out[1].top_word_frac == 0.5
+    assert out[1].top_2gram_char_frac == 0.4
+    assert out[1].dup_5gram_char_frac == 0.0
+    assert out[2].top_word_frac == 0.5
+    assert out[2].top_2gram_char_frac == round(20 / 35, 6)
+    assert out[2].dup_5gram_char_frac == 1.0
+
+
 def test_fingerprint_stable_under_whitespace(spark):
     d = spark.createDataFrame([
         Row(doc_id=1, text="alpha  beta\tgamma delta"),
