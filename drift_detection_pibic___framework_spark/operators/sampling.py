@@ -75,3 +75,34 @@ def with_split(df: DataFrame, key_col: str, splits: dict) -> DataFrame:
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
     return df.withColumn("split", expr)
+
+
+def mixture_sample(df: DataFrame, source_col: str, rates: dict,
+                   key_col: str, default_rate: float = 1.0) -> DataFrame:
+    """Deterministic per-source downsampling to hit a target data MIXTURE —
+    the step that turns raw per-source volumes into the sampling weights a
+    training run actually consumes (e.g. keep 100% of books, 10% of crawl).
+
+    Keep a row iff md5('mix:' || key)'s first 4 hex digits (uniform in
+    [0, 65536)) fall below round(rate * 65536) for its source; sources not
+    in ``rates`` use ``default_rate``.  The 'mix:' salt decorrelates this
+    carve from with_split/hash_sample on the same key.  Reproducible
+    across runs, engines, partitionings and cluster sizes; zero shuffle —
+    a pure narrow filter that composes with column pruning and runs
+    inline in any 100-TB scan."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col(key_col).cast("string"))),
+        1, 4), 16, 10).cast("int")
+    cut = None
+    for s in sorted(rates):
+        lim = F.lit(int(round(rates[s] * 65536)))
+        cut = (F.when(F.col(source_col) == s, lim) if cut is None
+               else cut.when(F.col(source_col) == s, lim))
+    lim_default = F.lit(int(round(default_rate * 65536)))
+    cut = lim_default if cut is None else cut.otherwise(lim_default)
+    return df.filter(bucket < cut)

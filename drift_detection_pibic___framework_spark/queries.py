@@ -1995,6 +1995,136 @@ def doc_repetition(spark, sf_dir):
     return T.repetition_metrics(_t(spark, sf_dir, "documents"))
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.1
+
+
+def _mixture_cut_sql(rates: dict, default_rate: float) -> str:
+    """CASE mirroring sampling.mixture_sample's per-source cut points
+    (same python rounding, so both engines compare identical literals)."""
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {int(round(rates[s] * 65536))}"
+        for s in sorted(rates))
+    return f"CASE {whens} ELSE {int(round(default_rate * 65536))} END"
+
+
+@register("doc_mixture_sample", f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS INTEGER) AS bucket
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM b
+WHERE bucket < {_mixture_cut_sql(_MIX_RATES, _MIX_DEFAULT)}
+GROUP BY 1
+""")
+def doc_mixture_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling (keep 100% of src0, 50%
+    of src1, 25% of src2, drop src3, 10% elsewhere) summarized per source
+    — the carve that turns raw source volumes into a training mix.  Zero
+    shuffle on the sample itself (pure salted-md5 narrow filter); one
+    aggregation shuffle on the ~20 source keys for the certificate."""
+    kept = SA.mixture_sample(_t(spark, sf_dir, "documents"), "source",
+                             _MIX_RATES, "doc_id",
+                             default_rate=_MIX_DEFAULT)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+@register("doc_pack_sequences", f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS sk
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY sk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(start // 1000 AS BIGINT) AS seq_id,
+       CAST(start % 1000 AS BIGINT) AS offset_in_seq,
+       CAST((start + n_tokens - 1) // 1000 - start // 1000 + 1 AS BIGINT)
+           AS n_seqs_spanned
+FROM c
+""")
+def doc_pack_sequences(spark, sf_dir):
+    """GPT-style pack-and-split sequence assignment at a 1,000-token
+    budget: every document's training-sequence id, intra-sequence offset
+    and boundary-straddle count under a deterministic md5 pack order.
+    The Spark side runs the TWO-PHASE distributed prefix sum
+    (operators/packing.py: hash-slice shards -> shard-local window cumsum
+    -> broadcast shard offsets; ONE data shuffle) while the oracle uses
+    DuckDB's single-node global window — same numbers, scale-safe plan."""
+    from .operators.packing import pack_sequences
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(norm, " ")).cast("long").alias("n_tokens"))
+    return pack_sequences(d, 1000, num_shards=8).select(
+        "doc_id", "n_tokens", "seq_id", "offset_in_seq", "n_seqs_spanned")
+
+
+@register("q5_region_revenue", """
+SELECT n.n_name AS nation,
+       ROUND(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY revenue DESC, nation
+""")
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier-volume query: 6-table join
+    (region->nation->customer->orders->lineitem->supplier with the
+    same-nation supplier constraint) + per-nation revenue.  Plan shape at
+    scale: region/nation/supplier are broadcast dims (no shuffle),
+    customer->orders->lineitem chain joins equi on their keys with the
+    date filter pushed to the orders scan, revenue aggregates map-side
+    onto ~25 nation keys.  Cent-quantized revenue as in
+    orders_topk_revenue; NTZ wall-clock date bounds."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    r = (_t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+         .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("long")
+    return (c.join(F.broadcast(n.join(F.broadcast(r),
+                                      n.n_regionkey == r.r_regionkey)),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(o, F.col("o_custkey") == F.col("c_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(s),
+                  (F.col("s_suppkey") == F.col("l_suppkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(cents).cast("double") / F.lit(100.0), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), "nation"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================

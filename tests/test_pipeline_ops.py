@@ -751,3 +751,59 @@ def test_pii_scrub_masks_and_counts(spark):
     r2 = rows[2]
     assert r2.n_pii == 0
     assert r2.masked_text == r2.text
+
+
+# -- mixture sampling & sequence packing ----------------------------------
+
+def test_mixture_sample_rates_and_stability(spark, docs):
+    from drift_detection_pibic___framework_spark.operators import sampling
+    rates = {"src0": 1.0, "src1": 0.0}
+    kept = sampling.mixture_sample(docs, "source", rates, "doc_id",
+                                   default_rate=0.25)
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["src0"] == totals["src0"]          # rate 1.0 keeps all
+    assert "src1" not in per                      # rate 0.0 drops all
+    others = sum(v for s, v in per.items() if s not in rates)
+    tot_others = sum(v for s, v in totals.items() if s not in rates)
+    assert 0 < others < tot_others                # default rate is partial
+    # deterministic under re-sharding
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sampling.mixture_sample(docs.repartition(13), "source",
+                                          rates, "doc_id", 0.25)
+                  .select("doc_id").collect())
+    assert ids == ids2
+
+
+def test_pack_sequences_invariants_and_shard_invariance(spark, docs):
+    """The two-phase distributed prefix sum must equal the single-node
+    reference packing for ANY shard count, and every offset must sit
+    inside the budget."""
+    import hashlib
+    from drift_detection_pibic___framework_spark.operators.packing import (
+        pack_sequences)
+    budget = 500
+    d = docs.select("doc_id", F.size(F.split(F.lower(F.trim(
+        F.regexp_replace("text", r"\s+", " "))), " "))
+        .cast("long").alias("n_tokens"))
+    out1 = {r["doc_id"]: r for r in
+            pack_sequences(d, budget, num_shards=1).collect()}
+    out7 = {r["doc_id"]: r for r in
+            pack_sequences(d, budget, num_shards=7).collect()}
+    # single-node reference: sort by md5('pack:'||id), running offset
+    rows = sorted(
+        ((hashlib.md5(f"pack:{k}".encode()).hexdigest(), k,
+          out1[k]["n_tokens"]) for k in out1))
+    start = 0
+    for _, k, ntok in rows:
+        for out in (out1, out7):
+            r = out[k]
+            assert r["seq_id"] == start // budget
+            assert r["offset_in_seq"] == start % budget
+            assert 0 <= r["offset_in_seq"] < budget
+            assert (r["n_seqs_spanned"]
+                    == (start + ntok - 1) // budget - start // budget + 1)
+        start += ntok
