@@ -157,17 +157,11 @@ def audio_features(clips: DataFrame,
 _AUDIO_CHUNK_ROWS = 1024
 
 
-def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
+def _decode_rows(b: pd.DataFrame):
+    """Decode a chunk's payloads INTO the flat scratch signal (one view per
+    row, zero temporaries).  Returns (flat, starts, ns, total); the flat
+    buffer is a scratch view valid until the next _scratch('flat', ...)."""
     n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "n_samples": pd.Series(dtype=np.int32),
-            "rms": pd.Series(dtype=np.float64),
-            "zcr": pd.Series(dtype=np.float64),
-            "spectral_centroid_hz": pd.Series(dtype=np.float64)})
     bufs = b["bytes"].to_numpy()
     codecs = b["codec"].to_numpy()
     ns = np.empty(n, dtype=np.int64)
@@ -178,7 +172,6 @@ def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
     starts = np.empty(n, dtype=np.int64)
     starts[0] = 0
     np.cumsum(ns[:-1], out=starts[1:])
-    # decode straight into the flat scratch signal, one view per row
     flat = _scratch("flat", total, np.float64)
     for i in range(n):
         v = flat[starts[i]:starts[i] + ns[i]]
@@ -195,6 +188,21 @@ def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
                 v[:] = 0.0
         except (ValueError, TypeError):
             v[:] = 0.0
+    return flat, starts, ns, total
+
+
+def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32),
+            "n_samples": pd.Series(dtype=np.int32),
+            "rms": pd.Series(dtype=np.float64),
+            "zcr": pd.Series(dtype=np.float64),
+            "spectral_centroid_hz": pd.Series(dtype=np.float64)})
+    flat, starts, ns, total = _decode_rows(b)
     # rms: sum of squares per clip (squares into scratch)
     sq = _scratch("sq", total, np.float64)
     np.multiply(flat, flat, out=sq)
@@ -257,3 +265,94 @@ def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
         "n_samples": ns.astype(np.int32), "rms": np.round(rms, 6),
         "zcr": np.round(zcr, 6),
         "spectral_centroid_hz": np.round(cent, 3)})
+
+
+AUDIO_QUALITY_SCHEMA = ("rid long, clip_id string, part int, "
+                        "n_samples int, peak double, rms_dbfs double, "
+                        "silence_ratio double, clip_ratio double")
+
+#: |sample| below this (full scale = 1.0) counts as silence; at/above
+#: CLIP_THRESHOLD counts as (near-)clipped.  0.97 catches both linear
+#: full-scale (1.0) and the G.711 mu-law decode ceiling (32124/32767
+#: ~ 0.980) without tripping on loud-but-clean material.
+SILENCE_THRESHOLD = 0.01
+CLIP_THRESHOLD = 0.97
+#: dBFS floor reported for digitally silent clips (rms == 0).
+DBFS_FLOOR = -120.0
+
+
+def audio_quality_reference(pcm: np.ndarray) -> tuple:
+    """Per-row reference (peak, rms_dbfs, silence_ratio, clip_ratio) —
+    parity target for the batched kernel."""
+    a = np.abs(pcm)
+    peak = float(a.max()) if len(a) else 0.0
+    rms = float(np.sqrt(np.mean(pcm * pcm))) if len(pcm) else 0.0
+    dbfs = 20.0 * np.log10(rms) if rms > 0 else DBFS_FLOOR
+    return (peak, max(float(dbfs), DBFS_FLOOR),
+            float(np.mean(a < SILENCE_THRESHOLD)),
+            float(np.mean(a >= CLIP_THRESHOLD)))
+
+
+def audio_quality(clips: DataFrame) -> DataFrame:
+    """Per-clip audio QUALITY screens — the audio analog of the text
+    quality filters: peak level, RMS loudness (dBFS), silence ratio and
+    (near-)clipping ratio.  A curation pipeline drops clips that are
+    mostly silence, digitally clipped, or mastered far below the corpus
+    loudness target before they enter a training mix.
+
+    Same execution shape as audio_features: mapInPandas over pruned
+    columns, 1,024-row sub-chunks, every full-signal array in the
+    per-worker scratch pool (see audio_features for why that discipline
+    is what keeps the kernel memory-bandwidth-bound at 100 TB)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_quality(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+
+    cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
+    return cols.mapInPandas(gen, AUDIO_QUALITY_SCHEMA)
+
+
+def _chunk_audio_quality(b: pd.DataFrame) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32),
+            "n_samples": pd.Series(dtype=np.int32),
+            "peak": pd.Series(dtype=np.float64),
+            "rms_dbfs": pd.Series(dtype=np.float64),
+            "silence_ratio": pd.Series(dtype=np.float64),
+            "clip_ratio": pd.Series(dtype=np.float64)})
+    flat, starts, ns, total = _decode_rows(b)
+    ab = _scratch("qabs", total, np.float64)
+    np.absolute(flat, out=ab)
+    peak = np.maximum.reduceat(ab, starts)
+    sq = _scratch("qsq", total, np.float64)
+    np.multiply(flat, flat, out=sq)
+    rms = np.sqrt(np.add.reduceat(sq, starts) / ns)
+    dbfs = np.full(n, DBFS_FLOOR)
+    nz = rms > 0
+    np.maximum(20.0 * np.log10(rms, where=nz, out=dbfs), DBFS_FLOOR,
+               out=dbfs, where=nz)
+    # threshold flags stage through a bool scratch, then copy-widen into
+    # the f64 reduceat buffer (reduceat needs a numeric dtype)
+    flags = _scratch("qflag", total, np.float64)
+    fb = _scratch("qfb", total, np.bool_)
+    np.less(ab, SILENCE_THRESHOLD, out=fb)
+    flags[:] = fb
+    silence = np.add.reduceat(flags, starts) / ns
+    np.greater_equal(ab, CLIP_THRESHOLD, out=fb)
+    flags[:] = fb
+    clipr = np.add.reduceat(flags, starts) / ns
+    return pd.DataFrame({
+        "rid": b["rid"].to_numpy(),
+        "clip_id": b["clip_id"].to_numpy(),
+        "part": b["part"].to_numpy(),
+        "n_samples": ns.astype(np.int32),
+        "peak": np.round(peak, 6),
+        "rms_dbfs": np.round(dbfs, 4),
+        "silence_ratio": np.round(silence, 6),
+        "clip_ratio": np.round(clipr, 6)})

@@ -1052,6 +1052,23 @@ def clips_audio_features(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+@register("clips_audio_quality")  # audio decode: no SQL equivalent
+def clips_audio_quality(spark, sf_dir):
+    """Audio quality screens (peak / RMS dBFS / silence / clipping) over
+    the binary audio column, aggregated per partition — the audio analog
+    of the text quality filters (correctness pinned by the per-row parity
+    test in tests/test_audio.py)."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir)
+    q = multimodal.audio_quality(c)
+    return q.groupBy("part").agg(
+        F.round(F.avg("peak"), 6).alias("peak_mean"),
+        F.round(F.avg("rms_dbfs"), 4).alias("dbfs_mean"),
+        F.round(F.avg("silence_ratio"), 6).alias("silence_mean"),
+        F.round(F.avg("clip_ratio"), 6).alias("clip_mean"),
+        F.count(F.lit(1)).alias("n"))
+
+
 @register("clips_validation_verdicts")  # composite runner output: rows-only
 def clips_validation_verdicts(spark, sf_dir):
     """The flagship composite: full check-suite verdict matrix."""

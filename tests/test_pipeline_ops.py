@@ -404,6 +404,36 @@ def test_audio_features_match_per_row_reference(spark, clips):
         assert abs(g["spectral_centroid_hz"] - cent) < 1e-6
 
 
+def test_audio_quality_matches_per_row_reference(spark, clips):
+    """The batched quality kernel (peak / dBFS / silence / clipping) must
+    match the per-row reference exactly (same rounding), including the
+    -120 dBFS floor on a digitally silent payload."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 2").limit(80)
+    got = multimodal.audio_quality(sub).toPandas().set_index("rid")
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        peak, dbfs, sil, clp = multimodal.audio_quality_reference(pcm)
+        g = got.loc[r["rid"]]
+        assert abs(g["peak"] - round(peak, 6)) < 1e-9
+        assert abs(g["rms_dbfs"] - round(dbfs, 4)) < 1e-9
+        assert abs(g["silence_ratio"] - round(sil, 6)) < 1e-9
+        assert abs(g["clip_ratio"] - round(clp, 6)) < 1e-9
+
+
+def test_audio_quality_silent_clip_floor(spark):
+    """All-zero PCM payload -> peak 0, dBFS at the floor, silence 1."""
+    df = spark.createDataFrame(
+        [Row(rid=1, clip_id="s", part=0,
+             bytes=bytearray(b"\x00" * 640), codec="pcm_s16le")])
+    g = multimodal.audio_quality(df).collect()[0]
+    assert g["peak"] == 0.0
+    assert g["rms_dbfs"] == multimodal.DBFS_FLOOR
+    assert g["silence_ratio"] == 1.0 and g["clip_ratio"] == 0.0
+
+
 # -------------------------------------------------------------------------
 # connected components (duplicate-group resolution)
 # -------------------------------------------------------------------------
