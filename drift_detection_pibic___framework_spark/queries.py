@@ -2142,6 +2142,102 @@ def q5_region_revenue(spark, sf_dir):
             .orderBy(F.desc("revenue"), "nation"))
 
 
+@register("events_error_blast_radius", """
+WITH err AS (
+  SELECT event_id AS error_id, user_id, ts AS err_ts
+  FROM events WHERE event_type = 'error')
+SELECT e.error_id, p.event_id, p.event_type,
+       CAST(date_diff('microsecond', e.err_ts, p.ts) AS BIGINT) AS gap_us
+FROM events p JOIN err e
+  ON p.user_id = e.user_id
+ AND p.ts BETWEEN e.err_ts - INTERVAL 60 MINUTE
+              AND e.err_ts + INTERVAL 60 MINUTE
+ AND p.event_id <> e.error_id
+""")
+def events_error_blast_radius(spark, sf_dir):
+    """Blast radius of every error event: the same user's OTHER events
+    within +/-60 minutes, with the signed microsecond gap — the temporal
+    neighbourhood query behind incident correlation and post-drift
+    sample collection (reference collects a fixed window AFTER each
+    drift; this generalizes to arbitrary interval containment).
+
+    Scale shape: operators/rangejoin.py bucket decomposition — intervals
+    explode into 1-hour buckets (each +/-60min window covers <= 3), the
+    points map to exactly one bucket, and the containment predicate runs
+    after an EQUI-join on (user_id, bucket).  The naive formulation (the
+    oracle's literal BETWEEN) is a broadcast-nested-loop O(P*I) — the
+    plan test pins that the operator never produces one.  Gap compares
+    MICROSECOND integers (no float hazard)."""
+    from .operators.rangejoin import range_join
+    e = _t(spark, sf_dir, "events")
+    err = (e.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("error_id"), "user_id",
+                   F.col("ts").alias("err_ts"),
+                   (F.col("ts") - F.expr("INTERVAL 60 MINUTE"))
+                   .alias("w_start"),
+                   (F.col("ts") + F.expr("INTERVAL 60 MINUTE"))
+                   .alias("w_end")))
+    pts = e.select("event_id", "user_id", "ts", "event_type")
+    joined = range_join(pts, err, on=["user_id"], point_ts="ts",
+                        start_ts="w_start", end_ts="w_end",
+                        bucket_width_sec=3600)
+    return (joined.filter(F.col("event_id") != F.col("error_id"))
+            .select("error_id", "event_id", "event_type",
+                    F.expr("timestampdiff(MICROSECOND, err_ts, ts)")
+                    .cast("long").alias("gap_us")))
+
+
+@register("events_asof_hourly_baseline", """
+WITH cp AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS cp_ts,
+         CAST(count(*) AS BIGINT) AS cp_cnt,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+           AS cp_sum_micro
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, e.event_type,
+       strftime(cp.cp_ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+       cp.cp_cnt, cp.cp_sum_micro,
+       CAST(round(e.value * 1e6) AS BIGINT) * cp.cp_cnt - cp.cp_sum_micro
+         AS dev_scaled
+FROM events e ASOF LEFT JOIN cp
+  ON e.event_type = cp.event_type AND e.ts >= cp.cp_ts
+""")
+def events_asof_hourly_baseline(spark, sf_dir):
+    """As-of join each event to the most recent COMPLETED hourly baseline
+    of its event_type (checkpoint for hour H becomes visible at H+1h —
+    causal, no same-hour leakage), then score the deviation from the
+    baseline mean.  This is the reference's re-baseline-after-drift
+    lookup (each sample scored against the latest fitted model) as a
+    distributed operator: operators/asof.py union-tag + ONE keyed window
+    shuffle — no non-equi join, no broadcast-nested-loop.
+
+    All-integer math: dev_scaled = value_micro * cp_cnt - cp_sum_micro
+    (= (value - baseline_mean) * cp_cnt * 1e6 exactly), so the hash
+    cannot be flipped by float summation order.  Events before the first
+    checkpoint keep nulls (ASOF LEFT).  Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from .operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    cp = (e.groupBy(
+              "event_type",
+              (F.date_trunc("hour", F.col("ts"))
+               + F.expr("INTERVAL 1 HOUR")).alias("cp_ts"))
+          .agg(F.count(F.lit(1)).alias("cp_cnt"),
+               F.sum(micro).alias("cp_sum_micro")))
+    joined = asof_join(
+        e.select("event_id", "event_type", "ts", "value"),
+        cp, on=["event_type"], left_ts="ts", right_ts="cp_ts",
+        values=["cp_cnt", "cp_sum_micro"], how="left")
+    return joined.select(
+        "event_id", "event_type",
+        F.date_format("cp_ts", "yyyy-MM-dd HH:mm:ss").alias("cp_ts"),
+        "cp_cnt", "cp_sum_micro",
+        (micro * F.col("cp_cnt") - F.col("cp_sum_micro"))
+        .alias("dev_scaled"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -2184,6 +2280,11 @@ _DEMOTED_ORACLED = [
     "events_props_json",
     "events_window_mse_200",
     "events_inverse_error_topk",
+    # driver-green r3 (certified once), rotated out late-r4 to admit the
+    # temporal-join queries (events_asof_hourly_baseline,
+    # events_error_blast_radius):
+    "events_last30_window",
+    "events_sorted_type_summary",
 ]
 
 _oracled = [n for n in QUERIES

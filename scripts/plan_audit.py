@@ -81,6 +81,22 @@ def main() -> int:
             "events_sessionized (one window shuffle reused by the agg)",
             QQ.QUERIES["events_sessionized"](spark, "/root/testdata/sf0.001"),
             {"no_cartesian": True, "single_exchange": True}))
+        # two-phase prefix sum: the ONLY data shuffle is the per-shard
+        # window; shard offsets ride a BroadcastExchange (not counted by
+        # the shuffle-exchange check)
+        cases.append((
+            "doc_pack_sequences (two-phase prefix sum: one data shuffle)",
+            QQ.QUERIES["doc_pack_sequences"](spark, "/root/testdata/sf0.001"),
+            {"no_cartesian": True, "single_exchange": True,
+             "broadcast": True}))
+        cases.append((
+            "q5_region_revenue (6-table join: dims broadcast, facts keyed)",
+            QQ.QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001"),
+            {"no_cartesian": True, "broadcast": True, "hash_join": True}))
+        cases.append((
+            "doc_repetition (k-tagged explode + keyed hash aggregations)",
+            QQ.QUERIES["doc_repetition"](spark, "/root/testdata/sf0.001"),
+            {"no_cartesian": True, "codegen": True}))
     emb = None
     sf_dir = "/root/testdata/sf0.001"
     if os.path.exists(f"{sf_dir}/embeddings.parquet"):
