@@ -82,7 +82,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = l_tagged.unionByName(r_tagged)
     for c in carry:
-        out = out.withColumn(c, F.last(c, ignoreNulls=True).over(w))
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     out = out.filter(F.col("_asof_tag") == 1).drop("_asof_t", "_asof_tag")
     if how == "inner":
         out = out.filter(F.col(right_ts).isNotNull())

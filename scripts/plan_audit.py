@@ -93,10 +93,27 @@ def main() -> int:
             "q5_region_revenue (6-table join: dims broadcast, facts keyed)",
             QQ.QUERIES["q5_region_revenue"](spark, "/root/testdata/sf0.001"),
             {"no_cartesian": True, "broadcast": True, "hash_join": True}))
+        # codegen is NOT asserted: the argmax step is max(struct(cnt, ...)),
+        # and struct-typed max lowers to SortAggregate (outside whole-stage
+        # codegen by design); the load-bearing properties are no cartesian
+        # and keyed (non-global) aggregation.
         cases.append((
-            "doc_repetition (k-tagged explode + keyed hash aggregations)",
+            "doc_repetition (k-tagged explode + keyed aggregations)",
             QQ.QUERIES["doc_repetition"](spark, "/root/testdata/sf0.001"),
-            {"no_cartesian": True, "codegen": True}))
+            {"no_cartesian": True}))
+        # as-of join: union-tag form = ONE keyed shuffle, never the
+        # broadcast-nested-loop a naive non-equi formulation plans
+        cases.append((
+            "events_asof_hourly_baseline (union-tag as-of: keyed window)",
+            QQ.QUERIES["events_asof_hourly_baseline"](
+                spark, "/root/testdata/sf0.001"),
+            {"no_cartesian": True}))
+        # range join: interval containment via bucket-decomposed EQUI-join
+        cases.append((
+            "events_error_blast_radius (bucketed range join, no BNLJ)",
+            QQ.QUERIES["events_error_blast_radius"](
+                spark, "/root/testdata/sf0.001"),
+            {"no_cartesian": True, "hash_join": True}))
     emb = None
     sf_dir = "/root/testdata/sf0.001"
     if os.path.exists(f"{sf_dir}/embeddings.parquet"):

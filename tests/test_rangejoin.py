@@ -17,7 +17,8 @@ def _ts(d, h, m=0):
 def frames(spark):
     points = spark.createDataFrame(
         [(i, ["u1", "u2"][i % 2], _ts(1 + i % 3, (5 * i) % 24, (13 * i) % 60))
-         for i in range(60)],
+         for i in range(60)]
+        + [(997, "u1", _ts(1, 8, 30))],   # inside BOTH 100 and 104
         "pid long, k string, ts timestamp_ntz")
     intervals = spark.createDataFrame(
         [(100, "u1", _ts(1, 2), _ts(1, 9)),
