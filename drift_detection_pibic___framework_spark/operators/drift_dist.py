@@ -39,6 +39,69 @@ def histogram(clips: DataFrame, col: str, width: float = 100.0,
             .groupBy("part", "bin").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _proportions_grid(clips: DataFrame, col: str, width: float, n_bins: int,
+                      baseline_parts, baseline: DataFrame) -> DataFrame:
+    """Dense (part, bin) grid with partition proportion ``p``, baseline
+    proportion ``b`` and partition row count ``tot`` — the shared input of
+    every binned divergence.  Zero bins participate identically regardless
+    of which partitions are being validated (single-partition runs must
+    score the same as full-table runs)."""
+    hist = histogram(clips, col, width, n_bins)
+    base_src = (histogram(baseline, col, width, n_bins)
+                if baseline is not None else hist)
+    base = (base_src.filter(F.col("part").isin(list(baseline_parts)))
+            .groupBy("bin").agg(F.sum("cnt").alias("bcnt")))
+    totals = hist.groupBy("part").agg(F.sum("cnt").alias("tot"))
+    btot = base.agg(F.sum("bcnt").alias("btot"))
+    parts = hist.select("part").distinct()
+    bins = (clips.sparkSession.range(n_bins)
+            .select(F.col("id").cast("int").alias("bin")))
+    grid = parts.crossJoin(F.broadcast(bins))
+    return (grid
+            .join(hist, ["part", "bin"], "left")
+            .join(F.broadcast(base), ["bin"], "left")
+            .join(F.broadcast(totals), ["part"])
+            .crossJoin(F.broadcast(btot))
+            .select(
+                "part", "bin", "tot",
+                (F.coalesce(F.col("cnt"), F.lit(0)) / F.col("tot"))
+                .alias("p"),
+                (F.coalesce(F.col("bcnt"), F.lit(0)) / F.col("btot"))
+                .alias("b")))
+
+
+def divergence_scores(clips: DataFrame, col: str = "dur_ms",
+                      width: float = 100.0, n_bins: int = 40,
+                      baseline_parts=DEFAULT_BASELINE_PARTS,
+                      baseline: DataFrame = None,
+                      round_to: int = 6) -> DataFrame:
+    """Per-partition Jensen-Shannon divergence and chi-squared statistic vs
+    the baseline window — the two standard companions to PSI/KS (JSD is
+    bounded [0, ln 2] and symmetric, so it ranks drifted partitions even
+    where PSI saturates; chi-squared carries the sample size, so it feeds a
+    significance test rather than an effect size).
+
+    JSD  = 0.5*KL(p||m) + 0.5*KL(b||m), m = (p+b)/2, natural log,
+           EPS-smoothed proportions (same smoothing as PSI).
+    chi2 = sum over bins of (observed - expected)^2 / expected with
+           expected = smoothed-baseline-proportion * partition row count.
+
+    Same O(parts x bins) shape as drift_scores: counts shuffle once,
+    everything else is broadcast — scale-safe at 10^12 rows."""
+    g = _proportions_grid(clips, col, width, n_bins, baseline_parts, baseline)
+    pe = F.col("p") + F.lit(EPS)
+    be = F.col("b") + F.lit(EPS)
+    me = (pe + be) / F.lit(2.0)
+    jsd_term = (pe * F.log(pe / me) + be * F.log(be / me)) / F.lit(2.0)
+    expected = be * F.col("tot")
+    chi2_term = F.pow(F.col("p") * F.col("tot") - expected, 2) / expected
+    return (g.select("part", jsd_term.alias("jsd_term"),
+                     chi2_term.alias("chi2_term"))
+            .groupBy("part")
+            .agg(F.round(F.sum("jsd_term"), round_to).alias("jsd"),
+                 F.round(F.sum("chi2_term"), round_to).alias("chi2")))
+
+
 def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
                  n_bins: int = 40,
                  baseline_parts=DEFAULT_BASELINE_PARTS,

@@ -201,3 +201,34 @@ def repetition_metrics(docs: DataFrame, col: str = "text") -> DataFrame:
                 6).alias("top_2gram_char_frac"),
         F.round(pick(5, F.col("dup_chars") / F.col("tot_chars")),
                 6).alias("dup_5gram_char_frac"))
+
+
+def charset_quality(docs: DataFrame, col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Encoding-health screen — the mojibake/binary-junk filter a curation
+    pipeline runs before language-ID (broken decoding poisons every
+    downstream heuristic): per-doc counts of non-ASCII characters, U+FFFD
+    replacement characters (the tell of a wrong-charset decode) and C0
+    control characters (tab/newline/CR excluded), plus the non-ASCII
+    ratio.
+
+    Counts are length-difference over regexp_replace (JVM codegen, narrow,
+    zero shuffle).  Character classes are shared RE2/Java syntax so the
+    same patterns drive the DuckDB oracle."""
+    text = F.col(col)
+    n = F.length(text)
+
+    def n_matching(pat):
+        return n - F.length(F.regexp_replace(text, pat, ""))
+
+    non_ascii = n_matching(r"[^\x00-\x7F]")
+    repl = n_matching("�")
+    ctl = n_matching(r"[\x01-\x08\x0B\x0C\x0E-\x1F]")
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        non_ascii.alias("n_non_ascii"),
+        repl.alias("n_replacement"),
+        ctl.alias("n_control"),
+        F.round(non_ascii / F.greatest(n, F.lit(1)), 4)
+        .alias("non_ascii_ratio"))

@@ -216,6 +216,44 @@ def clips_psi_drift(spark, sf_dir):
             .select("part", "psi"))
 
 
+@register("clips_jsd_chi2_drift", f"""
+WITH hist AS (
+  SELECT part,
+         CAST(least(greatest(floor(dur_ms / 100.0), 0), 39) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY 1, 2),
+bins AS (SELECT unnest(generate_series(0, 39)) AS bin),
+parts AS (SELECT DISTINCT part FROM hist),
+base AS (SELECT bin, sum(cnt) AS bcnt FROM hist WHERE part IN (0,1,2,3) GROUP BY bin),
+btot AS (SELECT sum(bcnt) AS btot FROM base),
+tot AS (SELECT part, sum(cnt) AS tot FROM hist GROUP BY part),
+grid AS (
+  SELECT p.part, b.bin, t.tot,
+         COALESCE(h.cnt, 0) * 1.0 / t.tot   AS p,
+         COALESCE(ba.bcnt, 0) * 1.0 / bt.btot AS b
+  FROM parts p CROSS JOIN bins b
+  LEFT JOIN hist h ON h.part = p.part AND h.bin = b.bin
+  LEFT JOIN base ba ON ba.bin = b.bin
+  JOIN tot t ON t.part = p.part
+  CROSS JOIN btot bt)
+SELECT part,
+       ROUND(sum(((p + 1e-6) * ln((p + 1e-6) / (((p + 1e-6) + (b + 1e-6)) / 2.0))
+                + (b + 1e-6) * ln((b + 1e-6) / (((p + 1e-6) + (b + 1e-6)) / 2.0))) / 2.0), 3)
+           AS jsd,
+       ROUND(sum(pow(p * tot - (b + 1e-6) * tot, 2) / ((b + 1e-6) * tot)), 3)
+           AS chi2
+FROM grid GROUP BY part
+""")
+def clips_jsd_chi2_drift(spark, sf_dir):
+    """Jensen-Shannon + chi-squared drift vs baseline p0-p3 — the
+    symmetric/bounded and significance-bearing companions to PSI/KS
+    (operators/drift_dist.py divergence_scores; same O(parts x bins)
+    broadcast-grid plan as clips_psi_drift)."""
+    from .operators import drift_dist
+    c = clips_df(spark, sf_dir)
+    return drift_dist.divergence_scores(c, "dur_ms", round_to=3)
+
+
 @register("clips_dur_quantiles", f"""
 SELECT part,
        ROUND(quantile_cont(dur_ms, 0.25), 6) AS p25,
@@ -2142,6 +2180,49 @@ def q5_region_revenue(spark, sf_dir):
             .orderBy(F.desc("revenue"), "nation"))
 
 
+_MOJIBAKE_DOCS = [
+    (2000000, "café résumé naïve touché"),
+    (2000001, "data �� corrupt � tail"),
+    (2000002, "ctl\x01\x0bchars\tok"),
+    (2000003, "中文文本质量测试"),
+]
+
+
+@register("doc_charset_quality", f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT {_MOJIBAKE_DOCS[0][0]}, '{_MOJIBAKE_DOCS[0][1]}'
+  UNION ALL SELECT {_MOJIBAKE_DOCS[1][0]}, '{_MOJIBAKE_DOCS[1][1]}'
+  UNION ALL SELECT {_MOJIBAKE_DOCS[2][0]},
+    'ctl' || chr(1) || chr(11) || 'chars' || chr(9) || 'ok'
+  UNION ALL SELECT {_MOJIBAKE_DOCS[3][0]}, '{_MOJIBAKE_DOCS[3][1]}')
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))
+            AS BIGINT) AS n_non_ascii,
+       CAST(length(text) - length(regexp_replace(text, '�', '', 'g'))
+            AS BIGINT) AS n_replacement,
+       CAST(length(text)
+            - length(regexp_replace(text, '[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))
+            AS BIGINT) AS n_control,
+       ROUND((length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')))
+             * 1.0 / greatest(length(text), 1), 4) AS non_ascii_ratio
+FROM docs2
+""")
+def doc_charset_quality(spark, sf_dir):
+    """Encoding-health screen (operators/text.py charset_quality) over
+    documents plus four injected mojibake rows (accented latin, U+FFFD
+    replacement chars, C0 control chars, CJK) — the driver corpus is pure
+    ASCII, so without injection every count would be vacuously zero.
+    Counts per doc: non-ASCII, replacement, control characters + the
+    non-ASCII ratio; narrow codegen projection, zero shuffle."""
+    from .operators.text import charset_quality
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    inj = spark.createDataFrame(_MOJIBAKE_DOCS, "doc_id long, text string")
+    return (charset_quality(docs.unionByName(inj))
+            .withColumn("doc_id", F.col("doc_id").cast("long")))
+
+
 @register("events_error_blast_radius", """
 WITH err AS (
   SELECT event_id AS error_id, user_id, ts AS err_ts
@@ -2285,6 +2366,12 @@ _DEMOTED_ORACLED = [
     # events_error_blast_radius):
     "events_last30_window",
     "events_sorted_type_summary",
+    # driver-green r1-r3 component-level checks whose full-pipeline twins
+    # stay in-window (doc_minhash_lsh_dups / doc_simhash_near_dups);
+    # rotated out late-r4 to admit clips_jsd_chi2_drift +
+    # doc_charset_quality:
+    "doc_minhash_h0",
+    "doc_simhash_sample",
 ]
 
 _oracled = [n for n in QUERIES

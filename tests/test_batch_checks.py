@@ -115,6 +115,48 @@ def test_psi_ks_against_numpy_oracle(spark, clips, duck):
         assert abs(got.loc[part, "ks"] - ks) < 1e-4, part
 
 
+def test_jsd_chi2_against_numpy_oracle(spark, clips, duck):
+    got = (drift_dist.divergence_scores(clips).toPandas()
+           .set_index("part").sort_index())
+    pdf = duck.sql("select part, dur_ms from clips").df()
+    width, n_bins = 100.0, 40
+    edges = np.arange(0, (n_bins + 1) * width, width)
+    base = pdf[pdf["part"].isin([0, 1, 2, 3])]["dur_ms"].to_numpy()
+    bh, _ = np.histogram(np.clip(base, 0, edges[-1] - 1), bins=edges)
+    b = bh / bh.sum()
+    eps = 1e-6
+    for part, grp in pdf.groupby("part"):
+        vals = grp["dur_ms"].to_numpy()
+        ph, _ = np.histogram(np.clip(vals, 0, edges[-1] - 1), bins=edges)
+        p = ph / ph.sum()
+        pe, be = p + eps, b + eps
+        m = (pe + be) / 2.0
+        jsd = 0.5 * np.sum(pe * np.log(pe / m) + be * np.log(be / m))
+        tot = len(vals)
+        chi2 = np.sum((p * tot - be * tot) ** 2 / (be * tot))
+        assert abs(got.loc[part, "jsd"] - jsd) < 1e-4, part
+        assert abs(got.loc[part, "chi2"] - chi2) < 1e-2, part
+    # JSD is bounded by ln 2 and near-zero on the baseline's own partitions
+    assert (got["jsd"] <= np.log(2) + 1e-9).all()
+    assert got.loc[0, "jsd"] < 0.05 < got.loc[10, "jsd"]
+
+
+def test_charset_quality_counts(spark):
+    from drift_detection_pibic___framework_spark.operators.text import (
+        charset_quality)
+    docs = spark.createDataFrame(
+        [(0, "plain ascii."), (1, "café naïve"),
+         (2, "x��y"), (3, "a\x01b\x0bc\td\ne"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in charset_quality(docs).collect()}
+    assert (got[0]["n_non_ascii"], got[0]["n_control"]) == (0, 0)
+    assert got[1]["n_non_ascii"] == 2 and got[1]["n_replacement"] == 0
+    assert got[2]["n_replacement"] == 2 and got[2]["n_non_ascii"] == 2
+    # tab and newline are NOT control junk; \x01 and \x0b are
+    assert got[3]["n_control"] == 2
+    assert got[4]["n_chars"] == 0 and got[4]["non_ascii_ratio"] == 0.0
+
+
 def test_check_suite_registry_is_single_source(spark, clips, allowed_codecs):
     """plans/suite.py is the ONE definition of the check suite: the full
     verdict union covers every registered check, the streaming subset is
