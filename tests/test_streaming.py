@@ -267,3 +267,94 @@ def test_stream_detectors_multichunk_group(spark, fixture_dir, tmp_path):
     want = (kernels.detect(spark.createDataFrame(keep), ["ddm"])
             .orderBy("seq").collect())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Retry/replay dedup: (1) c1,c2 admitted; (2) a retry duplicate of c1
+    within the horizon is dropped while c3 (fresh, advances the watermark)
+    is admitted; (3) after the watermark passes c1's eviction horizon, a
+    REPLAYED c1 re-admits (bounded state: the key was evicted, long-term
+    identity belongs to the batch digest index).  Same-id rows inside one
+    batch dedupe too."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_dedup)
+
+    d = str(tmp_path / "in")
+    rows_by_file = [
+        [(datetime(2026, 1, 1, 10, 0, 0), "c1", "pcm16"),
+         (datetime(2026, 1, 1, 10, 0, 1), "c1", "pcm16"),   # in-batch dup
+         (datetime(2026, 1, 1, 10, 0, 5), "c2", "mulaw")],
+        [(datetime(2026, 1, 1, 10, 1, 0), "c1", "pcm16"),   # retry dup
+         (datetime(2026, 1, 1, 10, 3, 0), "c3", "alaw")],
+        # watermark after batch 2 = 10:01 (10:03 - 2min); c1's state
+        # (event 10:00 + 2min horizon) evicts once a batch RUNS with
+        # watermark > 10:02 — eviction applies the batch-START watermark,
+        # so c4 advances it and c5's batch performs the eviction
+        [(datetime(2026, 1, 1, 10, 30, 0), "c4", "pcm16")],
+        [(datetime(2026, 1, 1, 10, 31, 0), "c5", "alaw")],
+        [(datetime(2026, 1, 1, 10, 32, 0), "c1", "pcm16")],  # replay: re-admits
+    ]
+    os.makedirs(d, exist_ok=True)
+    for k, rows in enumerate(rows_by_file):
+        df = spark.createDataFrame(
+            rows, "ingest_ts timestamp, clip_id string, codec string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/tmp")
+        shutil.move(glob.glob(f"{d}/tmp/part-*.parquet")[0],
+                    f"{d}/{k:02d}.parquet")
+        shutil.rmtree(f"{d}/tmp")
+        os.utime(f"{d}/{k:02d}.parquet", (1000000 + k * 100,) * 2)
+
+    q = stream_dedup.run_dedup_stream(
+        spark, d, "ingest_ts timestamp, clip_id string, codec string",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    admitted = sorted((r.clip_id, r.ingest_ts.strftime("%H:%M:%S"))
+                      for r in out)
+    assert admitted == [("c1", "10:00:00"), ("c1", "10:32:00"),
+                        ("c2", "10:00:05"), ("c3", "10:03:00"),
+                        ("c4", "10:30:00"), ("c5", "10:31:00")]
+
+
+def test_stream_dedup_by_content(spark, tmp_path):
+    """Content-identity dedup: same payload under a fresh clip_id within
+    the horizon is dropped; different payload with the same clip_id is
+    admitted (content digest, not transport id, is the key)."""
+    from datetime import datetime
+
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_dedup)
+
+    rows = [
+        (datetime(2026, 1, 1, 10, 0, 0), "a1", "pcm16", 16000, 100, "hi"),
+        (datetime(2026, 1, 1, 10, 0, 5), "a2", "pcm16", 16000, 100, "hi"),
+        (datetime(2026, 1, 1, 10, 0, 9), "a1", "mulaw", 8000, 100, "hi"),
+        (datetime(2026, 1, 1, 10, 0, 7), "a3", "pcm16", 16000, 100, None),
+        (datetime(2026, 1, 1, 10, 0, 8), "a4", "pcm16", 16000, 100, None),
+    ]
+    src = spark.createDataFrame(
+        rows, "ingest_ts timestamp, clip_id string, codec string, "
+              "sr_hz int, dur_ms int, transcript string")
+    d = str(tmp_path / "in")
+    src.coalesce(1).write.parquet(d)
+    stream = (spark.readStream
+              .schema("ingest_ts timestamp, clip_id string, codec string, "
+                      "sr_hz int, dur_ms int, transcript string")
+              .parquet(d))
+    q = (stream_dedup.dedup_by_content(stream)
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .format("parquet").option("path", str(tmp_path / "out"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    got = sorted(r.clip_id
+                 for r in spark.read.parquet(str(tmp_path / "out")).collect())
+    # a2 is a content dup of a1@pcm16; a4 of a3 (null-tagged digest);
+    # a1@mulaw is DIFFERENT content under a seen clip_id -> admitted
+    assert got == ["a1", "a1", "a3"]
