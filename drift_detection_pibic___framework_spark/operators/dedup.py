@@ -638,12 +638,15 @@ class DedupIndex:
         self.col = col
         self.id_col = id_col
 
-    def build(self, corpus: DataFrame) -> None:
+    def build(self, corpus: DataFrame) -> dict:
+        """Index the corpus (or an increment); returns the commit token
+        {"digests": snap, "bands": snap} — keep it to rollback() a bad
+        ingestion later."""
         digests, band_keys = build_dedup_index(
             corpus, col=self.col, id_col=self.id_col,
             num_hashes=self.num_hashes, bands=self.bands, k=self.k)
-        self.io.append(digests, self.DIGESTS)
-        self.io.append(band_keys, self.BANDS)
+        return {"digests": self.io.append(digests, self.DIGESTS),
+                "bands": self.io.append(band_keys, self.BANDS)}
 
     def load(self, spark) -> tuple:
         return (self.io.read_appended(spark, self.DIGESTS),
@@ -657,8 +660,18 @@ class DedupIndex:
             threshold=threshold, num_hashes=self.num_hashes,
             bands=self.bands, k=self.k, index=self.load(spark))
 
-    def commit(self, admitted: DataFrame) -> None:
+    def commit(self, admitted: DataFrame) -> dict:
         """Append the admitted docs' keys so the NEXT increment dedups
         against them too. Caller materializes/persists ``admitted`` first
-        (it is both the returned data and the index delta)."""
-        self.build(admitted)
+        (it is both the returned data and the index delta).  Returns the
+        commit token (see build)."""
+        return self.build(admitted)
+
+    def rollback(self, token: dict) -> None:
+        """Undo every index commit made AFTER ``token`` (a poisoned
+        increment admitted by mistake): the rolled-back docs' keys vanish
+        from the index, so their doc_ids re-admit on the next increment.
+        Data dirs linger invisibly until ``io.vacuum()`` (TableIO snapshot
+        rollback semantics)."""
+        self.io.rollback(self.DIGESTS, token["digests"])
+        self.io.rollback(self.BANDS, token["bands"])

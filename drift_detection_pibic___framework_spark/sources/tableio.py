@@ -72,20 +72,138 @@ class ParquetTableIO:
 
     # -- writes -------------------------------------------------------------
 
+    # -- append tables: snapshot log, time travel, rollback ------------------
+    #
+    # Iceberg's metadata model at file granularity: every append commits a
+    # snapshot-log entry (atomic rename) AFTER its data directory is fully
+    # written, so the log is the source of truth for table membership — a
+    # crash mid-append leaves an unlogged data dir that readers never see
+    # and vacuum() collects.  Entries order by (ts_ns, snap id); rollback
+    # retires entries by renaming .json -> .orphan (per-file atomic), which
+    # keeps rolled-back data distinguishable from live data until vacuum()
+    # deletes it.  Tables written before the log existed bootstrap entries
+    # from directory mtimes on the next append.
+
+    def _snaplog_dir(self, name: str) -> str:
+        return os.path.join(self.root, name, "_snaplog")
+
+    def _commit_snaplog(self, name: str, snap: str, ts_ns: int) -> None:
+        d = self._snaplog_dir(name)
+        os.makedirs(d, exist_ok=True)
+        dest = os.path.join(d, f"{ts_ns:020d}-{snap}.json")
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snap": snap, "ts_ns": ts_ns,
+                       "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
+        os.replace(tmp, dest)
+
+    def _bootstrap_snaplog(self, name: str) -> None:
+        """Adopt pre-log snap dirs into the log (ordered by dir mtime)."""
+        d = os.path.join(self.root, name)
+        if not os.path.isdir(d) or os.path.isdir(self._snaplog_dir(name)):
+            return
+        for f_name in sorted(os.listdir(d)):
+            if f_name.startswith("snap-"):
+                mtime_ns = int(os.stat(os.path.join(d, f_name)).st_mtime * 1e9)
+                self._commit_snaplog(name, f_name[len("snap-"):], mtime_ns)
+
+    def snapshots(self, name: str, include_orphaned: bool = False) -> list:
+        """Commit-ordered snapshot log entries: [{snap, ts_ns, ...}]."""
+        d = self._snaplog_dir(name)
+        if not os.path.isdir(d):
+            return []
+        suffixes = (".json", ".orphan") if include_orphaned else (".json",)
+        out = []
+        for f_name in sorted(os.listdir(d)):
+            if f_name.endswith(suffixes):
+                with open(os.path.join(d, f_name)) as f:
+                    e = json.load(f)
+                e["orphaned"] = f_name.endswith(".orphan")
+                out.append(e)
+        return sorted(out, key=lambda e: (e["ts_ns"], e["snap"]))
+
     def append(self, df: DataFrame, name: str) -> str:
-        """Append a snapshot directory; returns snapshot id."""
+        """Append a snapshot directory; returns snapshot id.  The data dir
+        is fully written BEFORE the log entry commits (the rename is the
+        commit point — Iceberg's write-then-swap-metadata order)."""
+        self._bootstrap_snaplog(name)
         snap = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, name, f"snap-{snap}")
         df.write.mode("overwrite").parquet(out)
+        self._commit_snaplog(name, snap, time.time_ns())
         return snap
 
-    def read_appended(self, spark: SparkSession, name: str) -> DataFrame:
+    def read_appended(self, spark: SparkSession, name: str,
+                      as_of: str = None) -> DataFrame:
+        """Read the appended table; ``as_of`` = snapshot id time-travels to
+        the table as of that commit (that snapshot and every earlier one).
+        Log-tracked tables read exactly the logged membership, so an
+        uncommitted (crashed) or rolled-back data dir is invisible; pre-log
+        tables fall back to the directory glob."""
         d = os.path.join(self.root, name)
-        return spark.read.parquet(os.path.join(d, "snap-*"))
+        snaps = self.snapshots(name)
+        if not snaps:
+            if os.path.isdir(self._snaplog_dir(name)):
+                # log-tracked table with zero live commits (crashed first
+                # append): the unlogged dir must stay invisible
+                raise ValueError(
+                    f"table {name} has no committed snapshot (vacuum() "
+                    f"collects the uncommitted data)")
+            if as_of is not None:
+                raise ValueError(f"table {name} has no snapshot log")
+            return spark.read.parquet(os.path.join(d, "snap-*"))
+        if as_of is not None:
+            ids = [e["snap"] for e in snaps]
+            if as_of not in ids:
+                raise ValueError(f"unknown snapshot {as_of} for {name}")
+            snaps = snaps[:ids.index(as_of) + 1]
+        paths = [os.path.join(d, f"snap-{e['snap']}") for e in snaps]
+        return spark.read.parquet(*paths)
 
     def has_appended(self, name: str) -> bool:
+        if self.snapshots(name):
+            return True
         d = os.path.join(self.root, name)
         return os.path.isdir(d) and any(f.startswith("snap-") for f in os.listdir(d))
+
+    def rollback(self, name: str, snapshot_id: str) -> int:
+        """Retire every snapshot committed AFTER ``snapshot_id`` (undo a bad
+        append — e.g. a poisoned dedup-index increment).  Entries flip to
+        .orphan markers (per-file atomic rename); their data dirs survive,
+        invisible to readers, until vacuum().  Returns #rolled back."""
+        self._bootstrap_snaplog(name)
+        snaps = self.snapshots(name)
+        ids = [e["snap"] for e in snaps]
+        if snapshot_id not in ids:
+            raise ValueError(f"unknown snapshot {snapshot_id} for {name}")
+        d = self._snaplog_dir(name)
+        victims = snaps[ids.index(snapshot_id) + 1:]
+        for e in victims:
+            p = os.path.join(d, f"{e['ts_ns']:020d}-{e['snap']}.json")
+            os.replace(p, p[:-len(".json")] + ".orphan")
+        return len(victims)
+
+    def vacuum(self, name: str) -> int:
+        """Delete data dirs not referenced by a live log entry (rolled-back
+        or crash-orphaned appends) and their .orphan markers.  Only safe
+        with no concurrent writer on ``name`` (an in-flight append's dir
+        predates its log entry).  Returns #dirs deleted."""
+        import shutil
+
+        d = os.path.join(self.root, name)
+        if not os.path.isdir(d) or not os.path.isdir(self._snaplog_dir(name)):
+            return 0
+        live = {e["snap"] for e in self.snapshots(name)}
+        n = 0
+        for f_name in list(os.listdir(d)):
+            if f_name.startswith("snap-") and f_name[len("snap-"):] not in live:
+                shutil.rmtree(os.path.join(d, f_name))
+                n += 1
+        log_d = self._snaplog_dir(name)
+        for f_name in list(os.listdir(log_d)):
+            if f_name.endswith(".orphan"):
+                os.unlink(os.path.join(log_d, f_name))
+        return n
 
     # -- manifest (atomic per-row commit; driver-side) ----------------------
     #

@@ -737,6 +737,45 @@ def test_dedup_index_commit_then_next_increment(spark, tmp_path):
     assert sorted(r.doc_id for r in adm2.collect()) == [202]
 
 
+def test_dedup_index_rollback_reopens_rolled_back_ids(spark, tmp_path):
+    """A poisoned increment is committed, then rolled back via its commit
+    token: its keys vanish from the index, so re-admitting the same text
+    succeeds again — and the clean corpus baseline still dedups."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(_INC_CORPUS, ["doc_id", "text"]) \
+        .write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    idx = dedup.DedupIndex(ParquetTableIO(str(tmp_path / "idx")))
+    base_token = idx.build(corpus)
+
+    poisoned = spark.createDataFrame(
+        [(300, "a poisoned spammy document that slipped through review "
+               "and must be unwound from the admission index")],
+        ["doc_id", "text"])
+    adm_path = str(tmp_path / "adm")
+    idx.admit(poisoned, corpus, threshold=0.5).write.parquet(adm_path)
+    adm = spark.read.parquet(adm_path)
+    assert adm.count() == 1
+    idx.commit(adm)
+
+    # while committed, a copy of the poisoned doc is rejected
+    copy = spark.createDataFrame([(301, poisoned.collect()[0].text)],
+                                 ["doc_id", "text"])
+    assert idx.admit(copy, corpus.unionByName(adm),
+                     threshold=0.5).count() == 0
+
+    idx.rollback(base_token)
+    # after rollback the same text re-admits; corpus dedup still holds
+    assert idx.admit(copy, corpus, threshold=0.5).count() == 1
+    exact_copy = spark.createDataFrame([(302, _INC_CORPUS[0][1])],
+                                       ["doc_id", "text"])
+    assert idx.admit(exact_copy, corpus, threshold=0.5).count() == 0
+
+
 def test_decontaminate_drops_poisoned_doc(spark):
     """A corpus doc embedding a benchmark passage verbatim (mid-text) is
     dropped; clean docs survive; the report pins exactly which eval doc

@@ -1,0 +1,78 @@
+"""Snapshot log, time travel, rollback and vacuum on TableIO append tables
+(the Iceberg metadata model at file granularity)."""
+
+import os
+import shutil
+
+import pytest
+
+from drift_detection_pibic___framework_spark.sources.tableio import (
+    ParquetTableIO)
+
+
+@pytest.fixture()
+def io(tmp_path):
+    return ParquetTableIO(str(tmp_path))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 AS v")
+
+
+def test_time_travel_reads_prefix(spark, io):
+    s1 = io.append(_df(spark, 0, 3), "t")
+    s2 = io.append(_df(spark, 3, 5), "t")
+    s3 = io.append(_df(spark, 5, 9), "t")
+    assert [e["snap"] for e in io.snapshots("t")] == [s1, s2, s3]
+    assert io.read_appended(spark, "t").count() == 9
+    assert sorted(r.id for r in io.read_appended(spark, "t", as_of=s2)
+                  .collect()) == list(range(5))
+    assert io.read_appended(spark, "t", as_of=s1).count() == 3
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        io.read_appended(spark, "t", as_of="nope")
+
+
+def test_rollback_hides_then_vacuum_deletes(spark, io):
+    s1 = io.append(_df(spark, 0, 3), "t")
+    s2 = io.append(_df(spark, 3, 5), "t")
+    io.append(_df(spark, 5, 9), "t")
+    assert io.rollback("t", s2) == 1
+    # rolled-back data invisible to current reads AND as-of reads
+    assert io.read_appended(spark, "t").count() == 5
+    assert [e["snap"] for e in io.snapshots("t")] == [s1, s2]
+    # orphan entry still listed for forensics until vacuum
+    assert [e["snap"] for e in io.snapshots("t", include_orphaned=True)
+            if e["orphaned"]] != []
+    n_dirs_before = sum(f.startswith("snap-")
+                        for f in os.listdir(f"{io.root}/t"))
+    assert n_dirs_before == 3
+    assert io.vacuum("t") == 1
+    assert sum(f.startswith("snap-")
+               for f in os.listdir(f"{io.root}/t")) == 2
+    assert io.read_appended(spark, "t").count() == 5
+    assert io.snapshots("t", include_orphaned=True) == io.snapshots("t")
+
+
+def test_crashed_append_is_invisible(spark, io):
+    s1 = io.append(_df(spark, 0, 3), "t")
+    # simulate a crash mid-append: data dir written, log entry never
+    # committed (the commit point is the log rename)
+    src = f"{io.root}/t/snap-{s1}"
+    shutil.copytree(src, f"{io.root}/t/snap-deadbeefdeadbeef")
+    assert io.read_appended(spark, "t").count() == 3
+    assert io.vacuum("t") == 1
+    assert not os.path.isdir(f"{io.root}/t/snap-deadbeefdeadbeef")
+
+
+def test_pre_log_table_bootstraps_on_append(spark, io):
+    # build a legacy table: snap dirs, no _snaplog
+    _df(spark, 0, 4).write.parquet(f"{io.root}/t/snap-aaaa")
+    _df(spark, 4, 6).write.parquet(f"{io.root}/t/snap-bbbb")
+    os.utime(f"{io.root}/t/snap-aaaa", (1000, 1000))
+    os.utime(f"{io.root}/t/snap-bbbb", (2000, 2000))
+    assert io.read_appended(spark, "t").count() == 6   # glob fallback
+    s3 = io.append(_df(spark, 6, 7), "t")
+    snaps = [e["snap"] for e in io.snapshots("t")]
+    assert snaps == ["aaaa", "bbbb", s3]               # mtime order
+    assert io.read_appended(spark, "t", as_of="aaaa").count() == 4
+    assert io.read_appended(spark, "t").count() == 7
