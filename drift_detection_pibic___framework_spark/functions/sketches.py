@@ -164,3 +164,74 @@ class KLL:
 
 def kll_from_values(values: np.ndarray, k: int = _DEF_K) -> KLL:
     return KLL(k).update(values)
+
+
+class MisraGries:
+    """Mergeable frequent-items (heavy hitters) summary with ``k`` counters
+    (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+    Summaries", PODS 2012: pointwise-add counters, then subtract the
+    (k+1)-th largest count and drop non-positives).
+
+    Guarantees, with ``err`` the accumulated decrement total:
+    - every estimate undercounts: est(x) <= true(x) <= est(x) + err;
+    - err <= n / (k + 1), so any item with true(x) > n / (k + 1) is
+      guaranteed retained (the classic heavy-hitter bound);
+    - merge is associative and commutative (error bounds add).
+
+    Batch update aggregates the input with a Counter first (one pass,
+    C-speed) and then merges — identical bounds, no per-item Python loop
+    over already-counted data.
+    """
+
+    def __init__(self, k: int = 16):
+        self.k = int(k)
+        self.counters: dict = {}
+        self.n = 0          # total items observed
+        self.err = 0        # max undercount of any estimate
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        t = sorted(self.counters.values(), reverse=True)[self.k]
+        self.counters = {x: c - t for x, c in self.counters.items()
+                         if c > t}
+        self.err += t
+
+    def update(self, items) -> "MisraGries":
+        from collections import Counter
+        batch = Counter(items)
+        self.n += sum(batch.values())
+        for x, c in batch.items():
+            self.counters[x] = self.counters.get(x, 0) + c
+        self._shrink()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        assert self.k == other.k, "merge requires equal k"
+        for x, c in other.counters.items():
+            self.counters[x] = self.counters.get(x, 0) + c
+        self.n += other.n
+        self.err += other.err
+        self._shrink()
+        return self
+
+    def topk(self, limit: int = None) -> list:
+        """[(item, est, est + err)] sorted by estimate desc, item asc —
+        the (lower, upper) bracket of each item's true count."""
+        rows = sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(x, c, c + self.err) for x, c in rows[:limit or self.k]]
+
+    def serialize(self) -> bytes:
+        import json
+        return json.dumps(
+            {"k": self.k, "n": self.n, "err": self.err,
+             "counters": self.counters}).encode()
+
+    @staticmethod
+    def deserialize(data: bytes) -> "MisraGries":
+        import json
+        d = json.loads(data.decode())
+        sk = MisraGries(d["k"])
+        sk.n, sk.err = d["n"], d["err"]
+        sk.counters = dict(d["counters"])
+        return sk

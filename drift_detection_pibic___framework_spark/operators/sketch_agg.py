@@ -105,3 +105,60 @@ def group_quantiles(df: DataFrame, key_col: str, value_col: str,
                      **{f"p{int(x * 100)}": float(v)
                         for x, v in zip(quantiles, q)}})
     return pd.DataFrame(rows)
+
+
+def tree_aggregate_topk(df: DataFrame, col: str, k: int = 16,
+                        depth: int = 2) -> "MisraGries":
+    """Global heavy hitters over a (possibly very skewed) column: one
+    Misra-Gries partial per input split (Counter over the whole partition
+    column — no per-row Python), merged via treeReduce(depth=2).  Shuffle
+    volume: KB summaries, never rows — the same two-phase shape as
+    tree_aggregate_kll, completing the mergeable-summary trio
+    (KLL quantiles / HLL uniqueness / MG frequent items) the north rule's
+    skew handling calls for."""
+    from ..functions.sketches import MisraGries
+
+    def build(rows):
+        sk = MisraGries(k)
+        sk.update(r[0] for r in rows if r[0] is not None)
+        yield sk
+
+    rdd = df.select(F.col(col).cast("string")).rdd.mapPartitions(build)
+    return rdd.treeReduce(lambda a, b: a.merge(b), depth=depth)
+
+
+def salted_group_topk(df: DataFrame, key_col: str, item_col: str,
+                      n_salts: int = 8, k: int = 16) -> dict:
+    """Per-key heavy hitters with the same salted two-phase shape as
+    salted_group_kll: stage 1 builds MG partials per (key, salt) — the hot
+    key fans out — stage 2 merges <= n_salts blobs per key executor-side.
+    Returns {key: MisraGries}."""
+    from ..functions.sketches import MisraGries
+
+    salted = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(item_col).cast("string").alias("v"),
+        (F.crc32(F.col("rid").cast("string") if "rid" in df.columns
+                 else F.monotonically_increasing_id().cast("string"))
+         % n_salts).alias("salt"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = MisraGries(k).update(pdf["v"].dropna())
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]],
+                             "sketch": [sk.serialize()]})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = None
+        for blob in pdf["sketch"]:
+            s = MisraGries.deserialize(bytes(blob))
+            sk = s if sk is None else sk.merge(s)
+        return pd.DataFrame({"key": [pdf["key"].iloc[0]],
+                             "sketch": [sk.serialize()]})
+
+    final = (salted.groupBy("key", "salt")
+             .applyInPandas(build, PARTIAL_SCHEMA)
+             .groupBy("key")
+             .applyInPandas(merge, PARTIAL_SCHEMA)
+             .collect())
+    return {row["key"]: MisraGries.deserialize(bytes(row["sketch"]))
+            for row in final}

@@ -1050,6 +1050,21 @@ def clips_kll_quantiles(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@register("clips_codec_heavy_hitters")  # approximate sketch: rows-only check
+def clips_codec_heavy_hitters(spark, sf_dir):
+    """Global codec heavy hitters from the salted two-phase Misra-Gries
+    tree aggregation (operators/sketch_agg.py tree_aggregate_topk) — the
+    frequent-items member of the mergeable-summary trio (KLL quantiles /
+    HLL uniqueness / MG heavy hitters).  Output brackets each item's true
+    count: est <= true <= est_upper; bound proofs in test_sketches."""
+    from .operators import sketch_agg
+    sk = sketch_agg.tree_aggregate_topk(clips_df(spark, sf_dir),
+                                        "codec", k=8)
+    return spark.createDataFrame(
+        [(item, int(est), int(upper)) for item, est, upper in sk.topk()],
+        "codec string, est_count long, est_upper long")
+
+
 @register("clips_hll_uniqueness")  # approximate sketch: rows-only check
 def clips_hll_uniqueness(spark, sf_dir):
     """Per-partition HLL estimate + global two-phase union (datasketches

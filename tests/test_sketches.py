@@ -84,3 +84,86 @@ def test_property_quantile_within_value_range(xs, cut):
     sk = kll_from_values(v[: max(1, min(len(v), cut + 1))])
     q = sk.quantile(0.5)
     assert v.min() <= q <= v.max()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items
+# ---------------------------------------------------------------------------
+
+def _zipf_items(n=20000, n_keys=500, seed=7):
+    rng = np.random.default_rng(seed)
+    # zipf-ish: item i with probability ~ 1/(i+1)
+    w = 1.0 / np.arange(1, n_keys + 1)
+    return [f"k{i}" for i in rng.choice(n_keys, size=n, p=w / w.sum())]
+
+
+def test_mg_bounds_and_heavy_hitter_retention():
+    from collections import Counter
+
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        MisraGries)
+    items = _zipf_items()
+    true = Counter(items)
+    sk = MisraGries(k=16).update(items)
+    assert sk.n == len(items)
+    assert sk.err <= sk.n / (16 + 1)
+    for item, est, upper in sk.topk():
+        assert est <= true[item] <= upper
+    kept = {x for x, _, _ in sk.topk()}
+    for x, c in true.items():
+        if c > sk.n / (16 + 1):
+            assert x in kept, (x, c)
+
+
+def test_mg_merge_matches_bounds_and_order():
+    from collections import Counter
+
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        MisraGries)
+    items = _zipf_items(n=30000)
+    true = Counter(items)
+    chunks = [items[i::5] for i in range(5)]
+    merged = MisraGries(k=16)
+    for ch in chunks:
+        merged.merge(MisraGries(k=16).update(ch))
+    assert merged.n == len(items)
+    assert merged.err <= merged.n / 17
+    for item, est, upper in merged.topk():
+        assert est <= true[item] <= upper
+    # the unambiguous top-2 of a zipf stream must surface
+    top_true = [x for x, _ in true.most_common(2)]
+    kept = [x for x, _, _ in merged.topk()]
+    assert set(top_true) <= set(kept)
+
+
+def test_mg_serde_roundtrip():
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        MisraGries)
+    sk = MisraGries(k=8).update(_zipf_items(n=5000))
+    rt = MisraGries.deserialize(sk.serialize())
+    assert (rt.k, rt.n, rt.err, rt.counters) == (
+        sk.k, sk.n, sk.err, sk.counters)
+
+
+def test_mg_spark_paths_match_exact_top(spark, clips):
+    from drift_detection_pibic___framework_spark.operators import sketch_agg
+    exact = {r["codec"]: r["cnt"]
+             for r in clips.groupBy("codec").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    # global tree-aggregate path: 80%-hot codec must be retained with
+    # bracketing bounds
+    sk = sketch_agg.tree_aggregate_topk(clips, "codec", k=8)
+    top = sk.topk()
+    hot = max(exact, key=exact.get)
+    assert top[0][0] == hot
+    for item, est, upper in top:
+        if item in exact:
+            assert est <= exact[item] <= upper
+    # salted grouped path: per-part summaries observe each part's rows
+    per_part = sketch_agg.salted_group_topk(clips, "part", "codec",
+                                            n_salts=4, k=8)
+    n_rows = {r["part"]: r["cnt"] for r in clips.groupBy("part").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert set(per_part) == {str(p) for p in n_rows}
+    for p, s in per_part.items():
+        assert s.n == n_rows[int(p)]
