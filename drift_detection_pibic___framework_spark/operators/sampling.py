@@ -106,3 +106,46 @@ def mixture_sample(df: DataFrame, source_col: str, rates: dict,
     lim_default = F.lit(int(round(default_rate * 65536)))
     cut = lim_default if cut is None else cut.otherwise(lim_default)
     return df.filter(bucket < cut)
+
+
+def temperature_mix(df: DataFrame, source_col: str, key_col: str,
+                    target_rows: int, sqrt_temperature: bool = True
+                    ) -> DataFrame:
+    """Temperature-smoothed source mixing: derive per-source keep-rates
+    from the corpus' OWN source counts so the kept mixture follows
+    p_s ∝ n_s^0.5 (alpha = 0.5, the multilingual-LM upsampling temperature
+    from the XLM-R / mBERT lineage) scaled to ~``target_rows`` total, then
+    apply the same md5-bucket carve as ``mixture_sample``.
+
+    Unlike ``mixture_sample`` (static caller-supplied rates), the rates are
+    DATA-DERIVED in one tiny aggregation (O(sources) rows — computed inside
+    the plan, no driver round-trip), joined back broadcast, and the filter
+    stays a narrow hash compare.  Smoothing is fixed to sqrt rather than an
+    arbitrary pow(x, alpha) so both engines hit their correctly-rounded
+    IEEE sqrt and the carve is bit-reproducible cross-engine.
+
+    Scale: ONE partial-agg shuffle over (source) + a broadcast join — the
+    corpus is scanned once, and at 100 TB the scan prunes to (source, key)
+    columns only."""
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    if not sqrt_temperature:
+        raise NotImplementedError("only alpha=0.5 (sqrt) is supported")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    # p_s = sqrt(n_s) / Σ sqrt(n_t); keep-rate r_s = min(1, target·p_s/n_s)
+    rates = (counts
+             .withColumn("_w", F.sqrt(F.col("_n")))
+             .withColumn("_wsum", F.sum("_w").over(Window.partitionBy()))
+             .withColumn("keep_rate",
+                         F.least(F.lit(1.0),
+                                 F.lit(float(target_rows)) * F.col("_w")
+                                 / F.col("_wsum") / F.col("_n")))
+             .select(source_col, "keep_rate"))
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit("mix:"), F.col(key_col).cast("string"))),
+        1, 4), 16, 10).cast("int")
+    return (df.join(F.broadcast(rates), source_col)
+            .filter(bucket < F.floor(F.col("keep_rate") * 65536.0)
+                    .cast("int"))
+            .drop("keep_rate"))

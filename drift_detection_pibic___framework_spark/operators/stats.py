@@ -22,7 +22,7 @@ count/null-rate/min/max/quantiles per the north_rule.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # columns the stats pass profiles, per north_rule
 NUMERIC_COLS = ("sr_hz", "dur_ms")
@@ -116,3 +116,140 @@ def range_violations(clips: DataFrame, col: str, lo: float, hi: float) -> DataFr
         F.col(col).cast("string").alias("observed"),
         F.lit(f"[{lo}, {hi}]").alias("expected"),
         F.col("part"))
+
+
+# -------------------------------------------------------------------------
+# Mergeable moment summaries (incremental stats maintenance)
+# -------------------------------------------------------------------------
+# A 100-TB table's global stats are never recomputed from raw rows on every
+# snapshot: each ingest commit aggregates its OWN partitions into a tiny
+# (count, sum, sumsq, min, max) summary row, and table-level mean/stddev
+# fold out of the summary table alone.  Moments are exactly mergeable —
+# unlike stddev itself — so the fold is a plain SUM/MIN/MAX over O(parts)
+# rows, no rescan.  On integer columns the sums stay exact (BIGINT) at any
+# partition size below 2^63, so the folded stats are bit-identical to a
+# from-scratch pass; the oracle exploits that (same formula in DuckDB over
+# raw rows must hash-match the two-phase Spark fold).
+
+MOMENT_COLS = ("sr_hz", "dur_ms")
+
+
+def moment_summaries(df: DataFrame, group_col: str = "part",
+                     cols=MOMENT_COLS) -> DataFrame:
+    """Per-group mergeable moment summary: n/sum/sumsq/min/max per column.
+    ONE aggregation pass (map-side partials); result is O(groups) rows that
+    a snapshot commit can persist beside the manifest."""
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("bigint")
+        aggs += [
+            F.count(c).alias(f"{c}_n"),
+            F.sum(v).alias(f"{c}_sum"),
+            F.sum(v * v).alias(f"{c}_sumsq"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def merge_moments(summaries: DataFrame, cols=MOMENT_COLS,
+                  round_to: int = 6) -> DataFrame:
+    """Fold per-group moment summaries into ONE table-level stats row
+    (n/mean/stddev_samp/min/max per column) without touching raw data.
+    stddev uses the moment identity var = (sumsq - sum²/n)/(n-1); on
+    integer inputs sum and sumsq are exact, so the result is identical to
+    a direct stddev_samp over the raw rows."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(f"{c}_n").alias(f"{c}_n"),
+            F.sum(f"{c}_sum").alias(f"{c}_sum"),
+            F.sum(f"{c}_sumsq").alias(f"{c}_sumsq"),
+            F.min(f"{c}_min").alias(f"{c}_min"),
+            F.max(f"{c}_max").alias(f"{c}_max"),
+        ]
+    merged = summaries.agg(*aggs)
+    out = []
+    for c in cols:
+        n = F.col(f"{c}_n").cast("double")
+        s = F.col(f"{c}_sum").cast("double")
+        ss = F.col(f"{c}_sumsq").cast("double")
+        out += [
+            F.col(f"{c}_n"),
+            F.round(s / n, round_to).alias(f"{c}_mean"),
+            F.round(F.sqrt((ss - s * s / n) / (n - F.lit(1.0))),
+                    round_to).alias(f"{c}_stddev"),
+            F.col(f"{c}_min"),
+            F.col(f"{c}_max"),
+        ]
+    return merged.select(*out)
+
+
+# -------------------------------------------------------------------------
+# Exact distributed median / MAD over bounded-domain integer columns
+# -------------------------------------------------------------------------
+# Spark's exact `percentile` buffers every value per group on one executor —
+# infeasible at 10^8 rows/partition.  For a bounded integer domain (sr_hz,
+# dur_ms ≤ ~10^5 distinct values) the exact median is computable at ANY row
+# scale via a value histogram: groupBy(group, value) collapses 10^12 rows to
+# ≤ groups×domain histogram cells (map-side combine does most of it), a
+# per-group cumulative window ranks the cells, and the two middle ranks are
+# picked with conditional MINs.  Interpolation matches ANSI
+# percentile_cont(0.5): odd n → middle value, even n → mean of the two.
+
+
+def exact_median(df: DataFrame, group_col: str, value_col: str,
+                 out_col: str = "median") -> DataFrame:
+    """Exact per-group median of an integer column via value-histogram +
+    cumulative window.  Scale-safe for bounded domains: the window runs
+    over histogram CELLS (≤ domain size per group), never raw rows.
+    Nulls are ignored (SQL aggregate semantics)."""
+    hist = (df.filter(F.col(value_col).isNotNull())
+            .groupBy(group_col, value_col)
+            .agg(F.count(F.lit(1)).alias("_cnt")))
+    w = (Window.partitionBy(group_col).orderBy(value_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist
+           .withColumn("_cum", F.sum("_cnt").over(w))
+           .withColumn("_n", F.sum("_cnt").over(Window.partitionBy(group_col))))
+    # ranks of the two middle order statistics (1-based): for odd n both
+    # collapse to (n+1)/2; for even n they are n/2 and n/2+1
+    lo_rank = F.floor((F.col("_n") + 1) / 2)
+    hi_rank = F.ceil((F.col("_n") + 1) / 2)
+    # value at rank k = min value whose cumulative count reaches k
+    picked = cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col(value_col)))
+        .alias("_lo"),
+        F.min(F.when(F.col("_cum") >= hi_rank, F.col(value_col)))
+        .alias("_hi"))
+    return picked.select(
+        group_col,
+        ((F.col("_lo") + F.col("_hi")) / 2.0).alias(out_col))
+
+
+def mad_outlier_screen(df: DataFrame, group_col: str, value_col: str,
+                       k: float = 6.0, round_to: int = 6) -> DataFrame:
+    """Robust per-group outlier screen: median + MAD (median absolute
+    deviation) per group, plus the count of rows with |x - median| > k·MAD.
+    Both medians use the exact histogram path above; deviations are doubled
+    to stay integer (median is integer or half-integer), so the second
+    histogram is exact too.  Three keyed shuffles total, all over histogram
+    cells or O(groups) rows — no raw-row buffering anywhere."""
+    med = exact_median(df, group_col, value_col, "med")
+    rows = (df.filter(F.col(value_col).isNotNull())
+            .join(F.broadcast(med), group_col)
+            .withColumn("_dev2",
+                        F.abs(2 * F.col(value_col).cast("bigint")
+                              - (2.0 * F.col("med")).cast("bigint"))))
+    mad2 = exact_median(rows, group_col, "_dev2", "mad2")
+    flagged = (rows.join(F.broadcast(mad2), group_col)
+               .groupBy(group_col)
+               .agg(F.sum((F.col("_dev2") > F.lit(k) * F.col("mad2"))
+                          .cast("int")).alias("outliers"),
+                    F.count(F.lit(1)).alias("n")))
+    return (flagged.join(med, group_col).join(mad2, group_col)
+            .select(group_col,
+                    F.col("n"),
+                    F.round(F.col("med"), round_to).alias("median"),
+                    F.round(F.col("mad2") / 2.0, round_to).alias("mad"),
+                    F.col("outliers")))

@@ -2334,6 +2334,118 @@ def events_asof_hourly_baseline(spark, sf_dir):
         .alias("dev_scaled"))
 
 
+@register("clips_moments_rollup", f"""
+SELECT CAST(count(sr_hz) AS BIGINT) AS sr_hz_n,
+       round(CAST(sum(sr_hz) AS DOUBLE) / CAST(count(sr_hz) AS DOUBLE), 6)
+           AS sr_hz_mean,
+       round(sqrt((CAST(sum(CAST(sr_hz AS BIGINT) * sr_hz) AS DOUBLE)
+                   - CAST(sum(sr_hz) AS DOUBLE) * CAST(sum(sr_hz) AS DOUBLE)
+                     / CAST(count(sr_hz) AS DOUBLE))
+                  / (CAST(count(sr_hz) AS DOUBLE) - 1.0)), 6)
+           AS sr_hz_stddev,
+       min(sr_hz) AS sr_hz_min, max(sr_hz) AS sr_hz_max,
+       CAST(count(dur_ms) AS BIGINT) AS dur_ms_n,
+       round(CAST(sum(dur_ms) AS DOUBLE) / CAST(count(dur_ms) AS DOUBLE), 6)
+           AS dur_ms_mean,
+       round(sqrt((CAST(sum(CAST(dur_ms AS BIGINT) * dur_ms) AS DOUBLE)
+                   - CAST(sum(dur_ms) AS DOUBLE) * CAST(sum(dur_ms) AS DOUBLE)
+                     / CAST(count(dur_ms) AS DOUBLE))
+                  / (CAST(count(dur_ms) AS DOUBLE) - 1.0)), 6)
+           AS dur_ms_stddev,
+       min(dur_ms) AS dur_ms_min, max(dur_ms) AS dur_ms_max
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+""")
+def clips_moments_rollup(spark, sf_dir):
+    """Incremental table-stats maintenance: per-partition mergeable moment
+    summaries (n/sum/sumsq/min/max — the rows a snapshot commit would
+    persist beside its manifest) folded into ONE table-level stats row
+    WITHOUT rescanning raw data.  On integer columns the moments are exact
+    (BIGINT sums), so the two-phase Spark fold must hash-match the oracle's
+    single-pass moment formula over raw rows — the mergeability proof.
+    Scale: phase 1 is one map-side-combined agg per ingest commit; the
+    lifetime fold reads O(partitions) summary rows, never the table.
+    (Re-expresses the reference's recomputed-per-window summary stats,
+    /root/reference/utils/StreamProcessor.py:143-157, as incremental
+    maintenance.)"""
+    from .operators import stats as STT
+    summaries = STT.moment_summaries(clips_df(spark, sf_dir))
+    return STT.merge_moments(summaries)
+
+
+@register("clips_mad_outliers", f"""
+WITH base AS (
+  SELECT part, dur_ms FROM read_parquet('{CLIPS_SF001_GLOB}')
+  WHERE dur_ms IS NOT NULL),
+med AS (SELECT part, median(dur_ms) AS med FROM base GROUP BY part),
+dev AS (
+  SELECT b.part,
+         ABS(2 * CAST(b.dur_ms AS BIGINT) - CAST(2.0 * m.med AS BIGINT))
+           AS dev2
+  FROM base b JOIN med m USING (part)),
+mad AS (SELECT part, median(dev2) AS mad2 FROM dev GROUP BY part)
+SELECT d.part, CAST(count(*) AS BIGINT) AS n,
+       round(m.med, 6) AS median,
+       round(a.mad2 / 2.0, 6) AS mad,
+       CAST(sum(CASE WHEN d.dev2 > 6.0 * a.mad2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS outliers
+FROM dev d JOIN med m USING (part) JOIN mad a USING (part)
+GROUP BY d.part, m.med, a.mad2
+""")
+def clips_mad_outliers(spark, sf_dir):
+    """Robust per-partition outlier screen: exact median + MAD of dur_ms
+    and the count of rows beyond 6·MAD.  Spark's exact `percentile`
+    buffers every raw value per group — infeasible at 10^8 rows/partition —
+    so operators/stats.py computes the EXACT median at any row scale via a
+    value-histogram + cumulative window over ≤ domain-size cells
+    (map-side combine collapses the raw rows), matching ANSI
+    percentile_cont(0.5) interpolation; deviations are doubled to stay
+    integer for the second (MAD) histogram.  Oracle: DuckDB median()."""
+    from .operators.stats import mad_outlier_screen
+    return mad_outlier_screen(clips_df(spark, sf_dir), "part", "dur_ms",
+                              k=6.0)
+
+
+_TEMPER_TARGET = 300
+
+
+@register("doc_temperature_mix", f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source),
+rates AS (
+  SELECT source,
+         least(1.0, {_TEMPER_TARGET}.0 * sqrt(n)
+                    / (SELECT sum(sqrt(n)) FROM counts) / n) AS keep_rate
+  FROM counts),
+b AS (
+  SELECT d.doc_id, d.source, r.keep_rate,
+         CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                              1, 4)) AS INTEGER) AS bucket
+  FROM documents d JOIN rates r USING (source))
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM b
+WHERE bucket < CAST(floor(keep_rate * 65536.0) AS INTEGER)
+GROUP BY 1
+""")
+def doc_temperature_mix(spark, sf_dir):
+    """Temperature-smoothed source mixing (alpha = 0.5): per-source
+    keep-rates derived from the corpus' own counts so the kept mixture
+    follows p_s ∝ √n_s scaled to ~{_TEMPER_TARGET} rows — the standard
+    low-resource upsampling mix (XLM-R / mBERT lineage).  Rates are
+    computed in one O(sources) aggregation inside the plan, joined back
+    broadcast; the carve itself is the salted-md5 narrow filter.  sqrt is
+    IEEE-correctly-rounded in both engines, so the carve is
+    bit-reproducible cross-engine."""
+    kept = SA.temperature_mix(_t(spark, sf_dir, "documents"), "source",
+                              "doc_id", _TEMPER_TARGET)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -2387,6 +2499,11 @@ _DEMOTED_ORACLED = [
     # doc_charset_quality:
     "doc_minhash_h0",
     "doc_simhash_sample",
+    # driver-green r1-r3 (lineitem) / r3 (events), rotated out late-r4 to
+    # admit clips_moments_rollup + clips_mad_outliers + doc_temperature_mix:
+    "lineitem_pricing_summary",
+    "events_window_metrics",
+    "events_global_argmin",
 ]
 
 _oracled = [n for n in QUERIES

@@ -69,6 +69,17 @@ def main() -> int:
         ("simhash_near_duplicates (chunk pigeonhole join)",
          dedup.simhash_near_duplicates(docs, max_hamming=3),
          {"no_cartesian": True}),
+        # incremental-stats fold: phase-1 agg shuffles O(parts) summary
+        # rows, the lifetime fold is a scalar agg over those — bytes never
+        # scanned, no raw-row rescan in the fold
+        ("merge_moments (mergeable-summary fold, bytes pruned)",
+         stats.merge_moments(stats.moment_summaries(clips)),
+         {"no_bytes_scan": True, "no_cartesian": True}),
+        # exact-median MAD screen: histogram cells only, medians join back
+        # broadcast (O(groups) rows), never a raw-value percentile buffer
+        ("mad_outlier_screen (histogram median, broadcast join-back)",
+         stats.mad_outlier_screen(clips, "part", "dur_ms"),
+         {"no_bytes_scan": True, "no_cartesian": True, "broadcast": True}),
     ]
     # sessionization: the groupBy(user_id, session_idx) must REUSE the
     # window's HashPartitioning(user_id) — a subset of the grouping keys
@@ -114,6 +125,16 @@ def main() -> int:
             QQ.QUERIES["events_error_blast_radius"](
                 spark, "/root/testdata/sf0.001"),
             {"no_cartesian": True, "hash_join": True}))
+        # temperature mix: O(sources) rate table broadcast back onto the
+        # corpus; the carve itself stays a narrow md5 filter
+        from drift_detection_pibic___framework_spark.operators import (
+            sampling as SAop)
+        cases.append((
+            "temperature_mix (data-derived rates broadcast, narrow carve)",
+            SAop.temperature_mix(
+                spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+                "source", "doc_id", 300),
+            {"no_cartesian": True, "broadcast": True}))
     emb = None
     sf_dir = "/root/testdata/sf0.001"
     if os.path.exists(f"{sf_dir}/embeddings.parquet"):

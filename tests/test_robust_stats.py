@@ -1,0 +1,115 @@
+"""Mergeable-moments rollup, exact histogram median / MAD screen, and
+temperature-smoothed source mixing."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from drift_detection_pibic___framework_spark.operators import sampling, stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# -- mergeable moments ----------------------------------------------------
+
+def test_moments_fold_matches_direct_stats(spark, clips):
+    folded = stats.merge_moments(stats.moment_summaries(clips)).collect()[0]
+    direct = clips.agg(
+        F.count("sr_hz").alias("n"),
+        F.round(F.avg("sr_hz"), 6).alias("mean"),
+        F.round(F.stddev_samp("sr_hz"), 6).alias("std"),
+        F.min("sr_hz").alias("mn"), F.max("sr_hz").alias("mx")).collect()[0]
+    assert folded.sr_hz_n == direct.n
+    assert folded.sr_hz_mean == pytest.approx(direct.mean, abs=1e-6)
+    assert folded.sr_hz_stddev == pytest.approx(direct.std, abs=1e-6)
+    assert (folded.sr_hz_min, folded.sr_hz_max) == (direct.mn, direct.mx)
+
+
+def test_moments_fold_is_partitioning_invariant(spark, clips):
+    a = stats.merge_moments(stats.moment_summaries(clips)).collect()[0]
+    regrouped = clips.withColumn(
+        "part", F.pmod(F.crc32(F.col("clip_id")), F.lit(7)).cast("int"))
+    b = stats.merge_moments(stats.moment_summaries(regrouped)).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+# -- exact histogram median ----------------------------------------------
+
+def test_exact_median_matches_percentile_cont(spark):
+    rng = random.Random(7)
+    rows = [Row(g=i % 3, v=rng.randint(0, 50)) for i in range(501)]
+    # odd/even group sizes + ties + a null
+    rows.append(Row(g=0, v=None))
+    df = spark.createDataFrame(rows)
+    got = {r.g: r.median
+           for r in stats.exact_median(df, "g", "v").collect()}
+    want = {r.g: r.m for r in df.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("m")).collect()}
+    assert got.keys() == want.keys()
+    for g in want:
+        assert got[g] == pytest.approx(want[g], abs=1e-12)
+
+
+def test_exact_median_single_row_group(spark):
+    df = spark.createDataFrame([Row(g=1, v=42)])
+    assert stats.exact_median(df, "g", "v").collect()[0].median == 42.0
+
+
+def test_mad_screen_flags_planted_outliers(spark):
+    rows = [Row(g="a", v=100 + (i % 5)) for i in range(200)]
+    rows += [Row(g="a", v=10_000)] * 3          # gross outliers
+    rows += [Row(g="b", v=7)] * 50              # MAD == 0 group
+    df = spark.createDataFrame(rows)
+    out = {r.g: r for r in
+           stats.mad_outlier_screen(df, "g", "v", k=6.0).collect()}
+    assert out["a"].outliers == 3
+    assert out["a"].median == pytest.approx(102.0)
+    # constant group: MAD = 0, no row deviates, nothing flagged
+    assert out["b"].outliers == 0
+    assert out["b"].mad == 0.0
+
+
+# -- temperature mixing ---------------------------------------------------
+
+def test_temperature_mix_biases_toward_small_sources(spark, docs):
+    target = 300
+    kept = sampling.temperature_mix(docs, "source", "doc_id", target)
+    before = {r.source: r.c for r in
+              docs.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    after = {r.source: r.c for r in
+             kept.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    n_total = sum(before.values())
+    wsum = sum(math.sqrt(n) for n in before.values())
+    for s, n in before.items():
+        expect = min(1.0, target * math.sqrt(n) / wsum / n) * n
+        # md5 buckets are uniform: kept count within a loose binomial band
+        assert after.get(s, 0) == pytest.approx(expect, abs=4 * math.sqrt(expect) + 2)
+    # smoothing property: every source's keep-RATE >= the flat rate for
+    # sources smaller than average, <= for larger (sqrt flattens the mix)
+    flat = target / n_total
+    for s, n in before.items():
+        r_s = min(1.0, target * math.sqrt(n) / wsum / n)
+        if n < n_total / len(before):
+            assert r_s >= flat
+    assert kept.count() == pytest.approx(target, rel=0.25)
+
+
+def test_temperature_mix_deterministic_and_partition_invariant(spark, docs):
+    a = sorted(r.doc_id for r in
+               sampling.temperature_mix(docs, "source", "doc_id", 200).collect())
+    b = sorted(r.doc_id for r in
+               sampling.temperature_mix(docs.repartition(13), "source",
+                                        "doc_id", 200).collect())
+    assert a == b and len(a) > 0
+
+
+def test_temperature_mix_rejects_bad_target(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(docs, "source", "doc_id", 0)
