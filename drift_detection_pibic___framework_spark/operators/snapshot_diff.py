@@ -1,0 +1,128 @@
+"""Commit-time drift gate: stat + schema diff between a table's latest
+snapshot and its prior history, folded from per-snapshot sidecars.
+
+At 100 TB the question "did this ingest commit drift?" must not rescan the
+table.  ``ParquetTableIO.append(..., stats_cols=...)`` profiles each commit
+ONCE into a mergeable moment sidecar (n/nulls/sum/sumsq/min/max per column
++ schema); everything here folds those O(commits × cols) JSON rows —
+exactly Iceberg's per-commit column metrics, distilled to moments — so the
+report costs zero scans regardless of table size.  This is the reference's
+baseline-vs-incoming-window drift comparison
+(/root/reference/utils/StreamProcessor.py:143-157 recomputes both windows'
+stats per check) re-expressed as incremental metadata maintenance: the
+baseline is the fold of every prior commit's sidecar.
+
+Statistic: mean shift in baseline-stddev units (Cohen's-d-style effect
+size) + null-rate jump + min/max range escapes.  The distribution-shape
+complement (PSI/KS/JSD on binned histograms) lives in
+operators/drift_dist.py; this module is the cheap always-on gate that runs
+at every commit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as TT
+
+REPORT_SCHEMA = TT.StructType([
+    TT.StructField("column", TT.StringType()),
+    TT.StructField("n_before", TT.LongType()),
+    TT.StructField("n_after", TT.LongType()),
+    TT.StructField("mean_before", TT.DoubleType()),
+    TT.StructField("mean_after", TT.DoubleType()),
+    TT.StructField("stddev_before", TT.DoubleType()),
+    TT.StructField("effect_size", TT.DoubleType()),
+    TT.StructField("null_rate_before", TT.DoubleType()),
+    TT.StructField("null_rate_after", TT.DoubleType()),
+    TT.StructField("range_escape", TT.BooleanType()),
+    TT.StructField("flagged", TT.BooleanType()),
+])
+
+SCHEMA_DIFF_SCHEMA = TT.StructType([
+    TT.StructField("snap", TT.StringType()),
+    TT.StructField("column", TT.StringType()),
+    TT.StructField("change", TT.StringType()),
+    TT.StructField("before_type", TT.StringType()),
+    TT.StructField("after_type", TT.StringType()),
+])
+
+
+def _fold_col(sidecars: list, col: str) -> dict:
+    """Merge one column's moments across sidecars (same fold as
+    operators/stats.merge_moments, driver-side over O(commits) rows)."""
+    n = rows = nulls = s = ss = 0
+    mn = mx = None
+    for sc in sidecars:
+        c = sc["cols"][col]
+        rows += sc["rows"]
+        n += c["n"]
+        nulls += c["nulls"]
+        if c["n"]:
+            s += c["sum"]
+            ss += c["sumsq"]
+            mn = c["min"] if mn is None else min(mn, c["min"])
+            mx = c["max"] if mx is None else max(mx, c["max"])
+    mean = s / n if n else None
+    var = ((ss - s * s / n) / (n - 1)) if n > 1 else None
+    std = math.sqrt(var) if var is not None and var > 0 else 0.0
+    null_rate = nulls / rows if rows else None
+    return {"n": n, "mean": mean, "std": std, "min": mn, "max": mx,
+            "null_rate": null_rate}
+
+
+def stat_drift_report(spark: SparkSession, io, name: str,
+                      effect_threshold: float = 0.5,
+                      null_jump: float = 0.01,
+                      round_to: int = 6) -> DataFrame:
+    """Latest commit vs the fold of all earlier commits, one row per
+    profiled column.  Flags: |effect size| over threshold, null-rate jump,
+    or min/max escaping the historical range.  Empty if the table has
+    fewer than two stats-profiled commits."""
+    sidecars = io.snapshot_stats(name)
+    if len(sidecars) < 2:
+        return spark.createDataFrame([], REPORT_SCHEMA)
+    *before, after = sidecars
+    cols = [c for c in after["cols"] if all(c in sc["cols"] for sc in before)]
+    out = []
+    for c in sorted(cols):
+        b = _fold_col(before, c)
+        a = _fold_col([after], c)
+        if not b["n"] or not a["n"]:
+            continue
+        delta = a["mean"] - b["mean"]
+        if b["std"] > 0:
+            effect = delta / b["std"]
+        else:
+            effect = 0.0 if delta == 0 else math.inf
+        escape = (a["min"] < b["min"]) or (a["max"] > b["max"])
+        null_delta = (a["null_rate"] or 0.0) - (b["null_rate"] or 0.0)
+        flagged = (abs(effect) > effect_threshold
+                   or null_delta > null_jump or escape)
+        out.append((c, b["n"], a["n"],
+                    round(b["mean"], round_to), round(a["mean"], round_to),
+                    round(b["std"], round_to),
+                    None if math.isinf(effect) else round(effect, round_to),
+                    round(b["null_rate"], round_to),
+                    round(a["null_rate"], round_to),
+                    escape, flagged))
+    return spark.createDataFrame(out, REPORT_SCHEMA)
+
+
+def schema_diff_report(spark: SparkSession, io, name: str) -> DataFrame:
+    """Schema changes across consecutive profiled commits: columns added,
+    removed, or type-changed — the schema-evolution audit trail an Iceberg
+    catalog keeps, derived here from the sidecars' recorded schemas."""
+    sidecars = io.snapshot_stats(name)
+    out = []
+    for prev, cur in zip(sidecars, sidecars[1:]):
+        ps, cs = prev["schema"], cur["schema"]
+        for c in sorted(set(cs) - set(ps)):
+            out.append((cur["snap"], c, "added", None, cs[c]))
+        for c in sorted(set(ps) - set(cs)):
+            out.append((cur["snap"], c, "removed", ps[c], None))
+        for c in sorted(set(ps) & set(cs)):
+            if ps[c] != cs[c]:
+                out.append((cur["snap"], c, "type_changed", ps[c], cs[c]))
+    return spark.createDataFrame(out, SCHEMA_DIFF_SCHEMA)

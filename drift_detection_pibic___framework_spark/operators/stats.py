@@ -198,12 +198,16 @@ def merge_moments(summaries: DataFrame, cols=MOMENT_COLS,
 # percentile_cont(0.5): odd n → middle value, even n → mean of the two.
 
 
-def exact_median(df: DataFrame, group_col: str, value_col: str,
-                 out_col: str = "median") -> DataFrame:
-    """Exact per-group median of an integer column via value-histogram +
-    cumulative window.  Scale-safe for bounded domains: the window runs
-    over histogram CELLS (≤ domain size per group), never raw rows.
-    Nulls are ignored (SQL aggregate semantics)."""
+def exact_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    probs, prefix: str = "q") -> DataFrame:
+    """EXACT per-group percentile_cont for any list of probabilities over an
+    integer column, via value-histogram + cumulative window.  Scale-safe for
+    bounded domains: the window runs over histogram CELLS (≤ domain size per
+    group), never raw rows — unlike Spark's `percentile`, which buffers every
+    raw value per group on one executor.  Interpolation follows ANSI
+    percentile_cont: rank h = (n-1)·p + 1, value = v⌊h⌋ + (h-⌊h⌋)·(v⌈h⌉-v⌊h⌋).
+    Nulls are ignored (SQL aggregate semantics).  Output columns:
+    ``{prefix}{int(p*100)}``."""
     hist = (df.filter(F.col(value_col).isNotNull())
             .groupBy(group_col, value_col)
             .agg(F.count(F.lit(1)).alias("_cnt")))
@@ -212,19 +216,31 @@ def exact_median(df: DataFrame, group_col: str, value_col: str,
     cum = (hist
            .withColumn("_cum", F.sum("_cnt").over(w))
            .withColumn("_n", F.sum("_cnt").over(Window.partitionBy(group_col))))
-    # ranks of the two middle order statistics (1-based): for odd n both
-    # collapse to (n+1)/2; for even n they are n/2 and n/2+1
-    lo_rank = F.floor((F.col("_n") + 1) / 2)
-    hi_rank = F.ceil((F.col("_n") + 1) / 2)
-    # value at rank k = min value whose cumulative count reaches k
-    picked = cum.groupBy(group_col).agg(
-        F.min(F.when(F.col("_cum") >= lo_rank, F.col(value_col)))
-        .alias("_lo"),
-        F.min(F.when(F.col("_cum") >= hi_rank, F.col(value_col)))
-        .alias("_hi"))
-    return picked.select(
-        group_col,
-        ((F.col("_lo") + F.col("_hi")) / 2.0).alias(out_col))
+    aggs, outs = [], []
+    for p in probs:
+        tag = f"{prefix}{int(round(p * 100))}"
+        h = (F.col("_n") - 1) * F.lit(float(p)) + 1
+        lo_rank, hi_rank = F.floor(h), F.ceil(h)
+        # value at rank k = min value whose cumulative count reaches k
+        aggs += [
+            F.min(F.when(F.col("_cum") >= lo_rank, F.col(value_col)))
+            .alias(f"_lo_{tag}"),
+            F.min(F.when(F.col("_cum") >= hi_rank, F.col(value_col)))
+            .alias(f"_hi_{tag}"),
+            F.min(h - lo_rank).alias(f"_frac_{tag}"),
+        ]
+        outs.append(
+            (F.col(f"_lo_{tag}")
+             + F.col(f"_frac_{tag}")
+             * (F.col(f"_hi_{tag}") - F.col(f"_lo_{tag}"))).alias(tag))
+    return cum.groupBy(group_col).agg(*aggs).select(group_col, *outs)
+
+
+def exact_median(df: DataFrame, group_col: str, value_col: str,
+                 out_col: str = "median") -> DataFrame:
+    """Exact per-group median — percentile_cont(0.5) via exact_quantiles."""
+    q = exact_quantiles(df, group_col, value_col, [0.5])
+    return q.select(group_col, F.col("q50").alias(out_col))
 
 
 def mad_outlier_screen(df: DataFrame, group_col: str, value_col: str,

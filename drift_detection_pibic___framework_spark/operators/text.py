@@ -232,3 +232,31 @@ def charset_quality(docs: DataFrame, col: str = "text",
         ctl.alias("n_control"),
         F.round(non_ascii / F.greatest(n, F.lit(1)), 4)
         .alias("non_ascii_ratio"))
+
+
+def length_buckets(docs: DataFrame, col: str = "text",
+                   probs=(0.25, 0.5, 0.75)) -> DataFrame:
+    """Token-length quantile bucketing — group docs into len(probs)+1
+    buckets cut at the corpus' own exact token-count quantiles, the
+    batching prep that keeps padding waste low when packing sequences
+    (short docs batch with short docs).
+
+    The cut points come from operators/stats.exact_quantiles (EXACT
+    percentile_cont over a value HISTOGRAM — scale-safe because token
+    counts are a bounded integer domain, never a raw-value percentile
+    buffer), ride back on a single-row broadcast (a 1-row nested-loop
+    join is O(rows), not O(rows²)), and the bucket id is a pure
+    comparison sum.  Output: doc_id, n_tokens, bucket in [0, len(probs)]."""
+    from .stats import exact_quantiles
+
+    toks = docs.select(
+        "doc_id", F.size(tokens(col)).cast("bigint").alias("n_tokens"))
+    cuts = exact_quantiles(
+        toks.withColumn("_g", F.lit(1)), "_g", "n_tokens", list(probs))
+    tags = [f"q{int(round(p * 100))}" for p in probs]
+    bucket = None
+    for t in tags:
+        step = (F.col("n_tokens") > F.col(t)).cast("int")
+        bucket = step if bucket is None else bucket + step
+    return (toks.crossJoin(F.broadcast(cuts.drop("_g")))
+            .select("doc_id", "n_tokens", bucket.alias("bucket")))

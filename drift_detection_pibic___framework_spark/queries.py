@@ -2405,6 +2405,74 @@ def clips_mad_outliers(spark, sf_dir):
                               k=6.0)
 
 
+@register("doc_length_buckets", f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_RAW_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents),
+q AS (
+  SELECT quantile_cont(n_tokens, 0.25) AS q25,
+         quantile_cont(n_tokens, 0.50) AS q50,
+         quantile_cont(n_tokens, 0.75) AS q75
+  FROM t)
+SELECT CAST((n_tokens > q25) AS INT) + CAST((n_tokens > q50) AS INT)
+         + CAST((n_tokens > q75) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM t, q
+GROUP BY 1
+""")
+def doc_length_buckets(spark, sf_dir):
+    """Token-length quartile bucketing (operators/text.length_buckets):
+    docs cut into 4 buckets at the corpus' own EXACT token-count quartiles
+    — the batching prep that minimizes padding waste before sequence
+    packing.  The quartiles come from the value-histogram exact-quantile
+    path (operators/stats.exact_quantiles — percentile_cont semantics at
+    any row scale, no raw-value buffer), so the oracle's quantile_cont
+    must agree bit-for-bit.  Summarized per bucket."""
+    b = T.length_buckets(_t(spark, sf_dir, "documents"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"))
+
+
+@register("clips_commit_drift")  # TableIO snapshot lifecycle: rows-only check
+def clips_commit_drift(spark, sf_dir):
+    """Commit-time drift gate over the TableIO snapshot log: replay an
+    ingest sequence (baseline partitions committed one snapshot each, then
+    a drifted partition), with append() profiling each commit ONCE into a
+    mergeable moment sidecar; the report folds sidecars only — zero table
+    rescans (operators/snapshot_diff.py).  Expected: dur_ms flagged (the
+    fixture's parts 8+ carry the injected duration drift), sr_hz not.
+    Deterministic: fresh temp root per call, seed-42 fixture parts; the
+    returned frame is driver-materialized so the temp root is removed
+    before returning."""
+    import shutil
+    import tempfile
+
+    from .operators import snapshot_diff
+    from .sources.tableio import ParquetTableIO
+
+    clips = clips_df(spark, sf_dir).select("part", "sr_hz", "dur_ms")
+    root = tempfile.mkdtemp(prefix="commit_drift_")
+    try:
+        io = ParquetTableIO(root)
+        for p in (0, 1, 2, 3):
+            io.append(clips.filter(F.col("part") == p).repartition(1),
+                      "clips_ingest", stats_cols=("sr_hz", "dur_ms"))
+        io.append(clips.filter(F.col("part") == 12).repartition(1),
+                  "clips_ingest", stats_cols=("sr_hz", "dur_ms"))
+        # already driver-materialized: built from folded JSON sidecars
+        report = snapshot_diff.stat_drift_report(spark, io, "clips_ingest")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return report
+
+
 _TEMPER_TARGET = 300
 
 
@@ -2504,6 +2572,10 @@ _DEMOTED_ORACLED = [
     "lineitem_pricing_summary",
     "events_window_metrics",
     "events_global_argmin",
+    # driver-green r1-r3 component-level pair check (full-pipeline twins
+    # doc_minhash_lsh_dups / doc_dedup_corpus verify the same Jaccard path
+    # in-window); rotated out late-r4 to admit doc_length_buckets:
+    "doc_jaccard_high_pairs",
 ]
 
 _oracled = [n for n in QUERIES

@@ -122,16 +122,77 @@ class ParquetTableIO:
                 out.append(e)
         return sorted(out, key=lambda e: (e["ts_ns"], e["snap"]))
 
-    def append(self, df: DataFrame, name: str) -> str:
+    def append(self, df: DataFrame, name: str, stats_cols=None) -> str:
         """Append a snapshot directory; returns snapshot id.  The data dir
         is fully written BEFORE the log entry commits (the rename is the
-        commit point — Iceberg's write-then-swap-metadata order)."""
+        commit point — Iceberg's write-then-swap-metadata order).
+
+        ``stats_cols``: numeric columns to profile into a per-snapshot
+        moment-summary sidecar (n/nulls/sum/sumsq/min/max per column, plus
+        the snapshot's schema).  The sidecar is computed with ONE scan of
+        the just-written files — the only time this data is ever scanned
+        for stats; every later drift report folds sidecars only (Iceberg's
+        per-commit column metrics, distilled to mergeable moments)."""
         self._bootstrap_snaplog(name)
         snap = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, name, f"snap-{snap}")
         df.write.mode("overwrite").parquet(out)
+        if stats_cols:
+            spark = df.sparkSession
+            self._commit_snapshot_stats(
+                spark.read.parquet(out), name, snap, stats_cols)
         self._commit_snaplog(name, snap, time.time_ns())
         return snap
+
+    # -- per-snapshot stats sidecars -----------------------------------------
+
+    def _stats_path(self, name: str, snap: str) -> str:
+        return os.path.join(self.root, name, "_stats", f"{snap}.json")
+
+    def _commit_snapshot_stats(self, snap_df: DataFrame, name: str,
+                               snap: str, cols) -> None:
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            v = F.col(c).cast("bigint")
+            aggs += [
+                F.count(c).alias(f"{c}_n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .alias(f"{c}_nulls"),
+                F.sum(v).alias(f"{c}_sum"),
+                F.sum(v * v).alias(f"{c}_sumsq"),
+                F.min(v).alias(f"{c}_min"),
+                F.max(v).alias(f"{c}_max"),
+            ]
+        row = snap_df.agg(*aggs).collect()[0].asDict()
+        payload = {
+            "snap": snap,
+            "rows": row["_rows"],
+            "cols": {c: {k: row[f"{c}_{k}"]
+                         for k in ("n", "nulls", "sum", "sumsq", "min", "max")}
+                     for c in cols},
+            "schema": {f.name: f.dataType.simpleString()
+                       for f in snap_df.schema.fields},
+        }
+        dest = self._stats_path(name, snap)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, dest)
+
+    def snapshot_stats(self, name: str) -> list:
+        """Commit-ordered stats sidecars for the table's LIVE snapshots
+        (rolled-back/orphaned commits are excluded, mirroring
+        read_appended's membership).  O(commits) JSON reads — no scan."""
+        out = []
+        for e in self.snapshots(name):
+            p = self._stats_path(name, e["snap"])
+            if os.path.exists(p):
+                with open(p) as f:
+                    s = json.load(f)
+                s["ts_ns"] = e["ts_ns"]
+                out.append(s)
+        return out
 
     def read_appended(self, spark: SparkSession, name: str,
                       as_of: str = None) -> DataFrame:

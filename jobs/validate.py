@@ -45,6 +45,11 @@ def main() -> int:
                     help="repetitions per grid cell (--grid)")
     ap.add_argument("--out", default=None,
                     help="directory to persist grid results (--grid)")
+    ap.add_argument("--commit-gate", action="store_true",
+                    help="replay partitions as ingest commits through the "
+                         "per-snapshot stats sidecars and print the "
+                         "zero-rescan commit-drift report (exit 1 if the "
+                         "last commit drifts)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -86,6 +91,49 @@ def main() -> int:
         dt = time.time() - t0
         print(f"\n{len(summary)} grid cells (x{args.reps} reps) in {dt:.1f}s")
         return 0
+
+    if args.commit_gate:
+        import shutil
+        import tempfile
+
+        from drift_detection_pibic___framework_spark.operators import (
+            snapshot_diff)
+        from drift_detection_pibic___framework_spark.sources.tableio import (
+            ParquetTableIO)
+
+        cp = os.path.join(args.data, "clips")
+        if not os.path.isdir(cp):
+            print(f"error: no clips table at {cp}", file=sys.stderr)
+            return 2
+        clips = spark.read.parquet(cp).select("part", "sr_hz", "dur_ms")
+        root = tempfile.mkdtemp(prefix="commit_gate_")
+        try:
+            io = ParquetTableIO(root)
+            # baseline commits (clean partitions), then the drifted one
+            for p in (0, 1, 2, 3):
+                io.append(clips.filter(F.col("part") == p).repartition(1),
+                          "ingest", stats_cols=("sr_hz", "dur_ms"))
+            io.append(clips.filter(F.col("part") == 12).repartition(1),
+                      "ingest", stats_cols=("sr_hz", "dur_ms"))
+            report = snapshot_diff.stat_drift_report(
+                spark, io, "ingest").collect()
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        print(f"{'column':<8} {'n_before':>8} {'n_after':>7} "
+              f"{'mean_before':>11} {'mean_after':>10} {'effect':>8} "
+              f"{'escape':>6}  verdict")
+        flagged = 0
+        for r in report:
+            flagged += bool(r.flagged)
+            print(f"{r.column:<8} {r.n_before:>8} {r.n_after:>7} "
+                  f"{r.mean_before:>11} {r.mean_after:>10} "
+                  f"{r.effect_size if r.effect_size is not None else 'inf':>8} "
+                  f"{str(r.range_escape):>6}  "
+                  f"{'DRIFT' if r.flagged else 'ok'}")
+        dt = time.time() - t0
+        print(f"\n{len(report)} columns gated on sidecars only "
+              f"(zero rescans) in {dt:.1f}s; {flagged} drifting")
+        return 1 if flagged else 0
 
     if args.stream_detect:
         import shutil

@@ -76,6 +76,39 @@ def test_mad_screen_flags_planted_outliers(spark):
     assert out["b"].mad == 0.0
 
 
+def test_exact_quantiles_match_percentile_cont(spark):
+    rng = random.Random(11)
+    rows = [Row(g=i % 2, v=rng.randint(0, 200)) for i in range(337)]
+    df = spark.createDataFrame(rows)
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {r.g: r for r in
+           stats.exact_quantiles(df, "g", "v", probs).collect()}
+    want = {r.g: r.qs for r in df.groupBy("g").agg(
+        F.expr(f"percentile(v, array({','.join(map(str, probs))}))")
+        .alias("qs")).collect()}
+    for g, qs in want.items():
+        for p, exp in zip(probs, qs):
+            assert got[g][f"q{int(p * 100)}"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_length_buckets_quartiles_are_balanced(spark, docs):
+    from drift_detection_pibic___framework_spark.operators import text
+    b = text.length_buckets(docs).cache()
+    sizes = {r.bucket: r.c for r in
+             b.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    n = sum(sizes.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    for c in sizes.values():   # quartile cuts: each bucket ~n/4 (ties skew)
+        assert c == pytest.approx(n / 4, rel=0.25)
+    # bucket id is monotone in n_tokens: max of bucket k <= min of bucket k+1
+    rng = {r.bucket: (r.mn, r.mx) for r in b.groupBy("bucket").agg(
+        F.min("n_tokens").alias("mn"), F.max("n_tokens").alias("mx"))
+        .collect()}
+    for k in (0, 1, 2):
+        assert rng[k][1] <= rng[k + 1][0]
+    b.unpersist()
+
+
 # -- temperature mixing ---------------------------------------------------
 
 def test_temperature_mix_biases_toward_small_sources(spark, docs):

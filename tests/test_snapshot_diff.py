@@ -1,0 +1,106 @@
+"""Per-commit stats sidecars and the zero-rescan commit-drift gate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from drift_detection_pibic___framework_spark.operators import snapshot_diff
+from drift_detection_pibic___framework_spark.sources.tableio import (
+    ParquetTableIO)
+
+
+@pytest.fixture()
+def io(tmp_path):
+    return ParquetTableIO(str(tmp_path))
+
+
+def _commit(spark, io, name, n, mean, nulls=0, extra_col=False):
+    """n rows of v ~ [mean-2, mean+2] (integer ramp) with optional nulls."""
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.lit(mean) + F.pmod(F.col("id"), F.lit(5)) - 2)
+        .cast("int").alias("v"))
+    if nulls:
+        df = df.withColumn(
+            "v", F.when(F.col("id") < nulls, None).otherwise(F.col("v")))
+    if extra_col:
+        df = df.withColumn("w", F.lit(1))
+    return io.append(df, name, stats_cols=("v",))
+
+
+def test_sidecar_written_and_fold_matches_direct(spark, io):
+    _commit(spark, io, "t", 100, 50)
+    _commit(spark, io, "t", 60, 50)
+    sides = io.snapshot_stats("t")
+    assert len(sides) == 2 and sides[0]["rows"] == 100
+    folded = snapshot_diff._fold_col(sides, "v")
+    direct = (io.read_appended(spark, "t")
+              .agg(F.avg("v").alias("m"), F.stddev_samp("v").alias("s"),
+                   F.min("v").alias("mn"), F.max("v").alias("mx"))
+              .collect()[0])
+    assert folded["mean"] == pytest.approx(direct.m, abs=1e-9)
+    assert folded["std"] == pytest.approx(direct.s, abs=1e-9)
+    assert (folded["min"], folded["max"]) == (direct.mn, direct.mx)
+
+
+def test_drift_report_flags_shift_null_jump_and_escape(spark, io):
+    _commit(spark, io, "t", 200, 50)
+    _commit(spark, io, "t", 200, 50)
+    # shifted mean (+10 on std ~1.4 -> huge effect) + nulls + range escape
+    _commit(spark, io, "t", 100, 60, nulls=5)
+    rep = {r.column: r for r in
+           snapshot_diff.stat_drift_report(spark, io, "t").collect()}
+    r = rep["v"]
+    assert r.flagged and r.effect_size > 0.5 and r.range_escape
+    assert r.null_rate_after == pytest.approx(0.05)
+    assert r.n_before == 400 and r.n_after == 95
+
+
+def test_drift_report_quiet_on_identical_commit(spark, io):
+    _commit(spark, io, "t", 200, 50)
+    _commit(spark, io, "t", 200, 50)
+    rows = snapshot_diff.stat_drift_report(spark, io, "t").collect()
+    assert len(rows) == 1 and not rows[0].flagged
+    assert rows[0].effect_size == 0.0 and not rows[0].range_escape
+
+
+def test_drift_report_empty_below_two_commits(spark, io):
+    assert snapshot_diff.stat_drift_report(spark, io, "t").count() == 0
+    _commit(spark, io, "t", 50, 10)
+    assert snapshot_diff.stat_drift_report(spark, io, "t").count() == 0
+
+
+def test_rolled_back_commit_excluded_from_fold(spark, io):
+    _commit(spark, io, "t", 200, 50)
+    keep = io.snapshots("t")[-1]["snap"]
+    _commit(spark, io, "t", 100, 90)          # bad commit
+    io.rollback("t", keep)
+    _commit(spark, io, "t", 200, 50)
+    rows = snapshot_diff.stat_drift_report(spark, io, "t").collect()
+    # baseline = first commit only; the rolled-back 90-mean commit is gone
+    assert rows[0].n_before == 200 and not rows[0].flagged
+
+
+def test_schema_diff_detects_added_column(spark, io):
+    _commit(spark, io, "t", 50, 10)
+    s2 = _commit(spark, io, "t", 50, 10, extra_col=True)
+    rows = snapshot_diff.schema_diff_report(spark, io, "t").collect()
+    assert [(r.snap, r.column, r.change) for r in rows] == \
+        [(s2, "w", "added")]
+
+
+def test_append_without_stats_cols_writes_no_sidecar(spark, io):
+    io.append(spark.range(5), "t")
+    assert io.snapshot_stats("t") == []
+    assert not os.path.isdir(os.path.join(io.root, "t", "_stats"))
+
+
+def test_clips_commit_drift_query_flags_dur_not_sr(spark):
+    from drift_detection_pibic___framework_spark import queries as Q
+    rep = {r.column: r for r in
+           Q.QUERIES["clips_commit_drift"](spark,
+                                           "/root/testdata/sf0.001").collect()}
+    # fixture parts 8+ carry the injected dur_ms drift; sr_hz is stable
+    assert rep["dur_ms"].flagged
+    assert not rep["sr_hz"].flagged
