@@ -166,6 +166,27 @@ def kll_from_values(values: np.ndarray, k: int = _DEF_K) -> KLL:
     return KLL(k).update(values)
 
 
+def kll_ks_distance(a: KLL, b: KLL) -> float:
+    """Two-sample Kolmogorov-Smirnov statistic sup|F_a - F_b| between two
+    KLL sketches, evaluated on the union of their retained items (the
+    sketch CDF is a step function, so the supremum is attained there).
+    Error is bounded by the sketches' rank-error ε, independent of the
+    row counts they summarize — the shape-drift primitive for comparing a
+    100-TB baseline to a commit without touching either's raw rows."""
+    ia, wa = a._weighted()
+    ib, wb = b._weighted()
+    if ia.size == 0 or ib.size == 0:
+        return float("nan")
+    support = np.union1d(ia, ib)
+    out = 0.0
+    for items, weights, sign in ((ia, wa, 1.0), (ib, wb, -1.0)):
+        cw = np.cumsum(weights)
+        idx = np.searchsorted(items, support, side="right")
+        cdf = np.where(idx > 0, cw[np.maximum(idx - 1, 0)], 0) / cw[-1]
+        out = cdf * sign + out
+    return float(np.max(np.abs(out)))
+
+
 class MisraGries:
     """Mergeable frequent-items (heavy hitters) summary with ``k`` counters
     (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable

@@ -12,11 +12,16 @@ baseline-vs-incoming-window drift comparison
 stats per check) re-expressed as incremental metadata maintenance: the
 baseline is the fold of every prior commit's sidecar.
 
-Statistic: mean shift in baseline-stddev units (Cohen's-d-style effect
-size) + null-rate jump + min/max range escapes.  The distribution-shape
-complement (PSI/KS/JSD on binned histograms) lives in
-operators/drift_dist.py; this module is the cheap always-on gate that runs
-at every commit.
+Two gates, both sidecar-only:
+- ``stat_drift_report`` — mean shift in baseline-stddev units (Cohen's-d
+  style effect size) + null-rate jump + min/max range escapes, from the
+  moment sidecars;
+- ``quantile_drift_report`` — KS distance between the commit's KLL sketch
+  and the merged baseline sketch, catching same-mean shape drift the
+  moment gate is blind to.
+The scan-based distribution checks (PSI/binned-KS/JSD on explicit bin
+grids) live in operators/drift_dist.py; this module is the cheap always-on
+gate that runs at every commit.
 """
 
 from __future__ import annotations
@@ -108,6 +113,53 @@ def stat_drift_report(spark: SparkSession, io, name: str,
                     round(a["null_rate"], round_to),
                     escape, flagged))
     return spark.createDataFrame(out, REPORT_SCHEMA)
+
+
+QUANTILE_DRIFT_SCHEMA = TT.StructType([
+    TT.StructField("column", TT.StringType()),
+    TT.StructField("n_before", TT.LongType()),
+    TT.StructField("n_after", TT.LongType()),
+    TT.StructField("p50_before", TT.DoubleType()),
+    TT.StructField("p50_after", TT.DoubleType()),
+    TT.StructField("ks", TT.DoubleType()),
+    TT.StructField("flagged", TT.BooleanType()),
+])
+
+
+def quantile_drift_report(spark: SparkSession, io, name: str,
+                          ks_threshold: float = 0.15,
+                          round_to: int = 6) -> DataFrame:
+    """Shape drift between the latest commit and the fold of all earlier
+    commits, from the sidecars' KLL sketches alone: merged baseline sketch
+    vs the commit's sketch, KS statistic over their union support.  Catches
+    drifts the moment gate is blind to — a commit with the SAME mean but a
+    different shape (bimodal split, variance blow-up) moves no effect size
+    but moves the CDF.  Cost: O(commits × k) sketch bytes, zero scans."""
+    import base64
+
+    from ..functions.sketches import KLL, kll_ks_distance
+
+    sidecars = [s for s in io.snapshot_stats(name) if s.get("kll")]
+    if len(sidecars) < 2:
+        return spark.createDataFrame([], QUANTILE_DRIFT_SCHEMA)
+    *before, after = sidecars
+    cols = [c for c in after["kll"]
+            if all(c in sc["kll"] for sc in before)]
+    out = []
+    for c in sorted(cols):
+        base = None
+        for sc in before:
+            sk = KLL.deserialize(base64.b64decode(sc["kll"][c]))
+            base = sk if base is None else base.merge(sk)
+        cur = KLL.deserialize(base64.b64decode(after["kll"][c]))
+        if base.n == 0 or cur.n == 0:
+            continue
+        ks = kll_ks_distance(base, cur)
+        out.append((c, base.n, cur.n,
+                    round(float(base.quantile(0.5)), round_to),
+                    round(float(cur.quantile(0.5)), round_to),
+                    round(ks, round_to), bool(ks > ks_threshold)))
+    return spark.createDataFrame(out, QUANTILE_DRIFT_SCHEMA)
 
 
 def schema_diff_report(spark: SparkSession, io, name: str) -> DataFrame:

@@ -170,6 +170,7 @@ class ParquetTableIO:
             "cols": {c: {k: row[f"{c}_{k}"]
                          for k in ("n", "nulls", "sum", "sumsq", "min", "max")}
                      for c in cols},
+            "kll": self._snapshot_kll(snap_df, cols),
             "schema": {f.name: f.dataType.simpleString()
                        for f in snap_df.schema.fields},
         }
@@ -179,6 +180,41 @@ class ParquetTableIO:
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, dest)
+
+    @staticmethod
+    def _snapshot_kll(snap_df: DataFrame, cols, k: int = 200) -> dict:
+        """Per-column KLL quantile sketches of the snapshot's rows: one
+        mapInPandas pass builds a partial sketch per task for ALL columns,
+        the tiny serialized partials (O(k) each) collect and merge
+        driver-side — the mergeable-summary shape that lets commit-time
+        quantile drift run without ever rescanning history."""
+        import base64
+
+        import numpy as np
+
+        from ..functions.sketches import KLL
+
+        names = list(cols)
+
+        def build(it):
+            import pandas as pd
+            sks = {c: KLL(k) for c in names}
+            for pdf in it:
+                for c in names:
+                    v = pdf[c].dropna().to_numpy(dtype=np.float64)
+                    if v.size:
+                        sks[c].update(v)
+            yield pd.DataFrame({
+                "col": names,
+                "blob": [sks[c].serialize() for c in names]})
+
+        merged = {}
+        for r in (snap_df.select(*names)
+                  .mapInPandas(build, "col string, blob binary").collect()):
+            sk = KLL.deserialize(bytes(r.blob))
+            merged[r.col] = sk if r.col not in merged else merged[r.col].merge(sk)
+        return {c: base64.b64encode(sk.serialize()).decode()
+                for c, sk in merged.items()}
 
     def snapshot_stats(self, name: str) -> list:
         """Commit-ordered stats sidecars for the table's LIVE snapshots

@@ -96,6 +96,53 @@ def test_append_without_stats_cols_writes_no_sidecar(spark, io):
     assert not os.path.isdir(os.path.join(io.root, "t", "_stats"))
 
 
+def test_kll_ks_distance_matches_exact_ks():
+    import numpy as np
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        kll_from_values, kll_ks_distance)
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 20000)
+    b = rng.normal(0.5, 1, 20000)
+    # exact two-sample KS on the raw samples
+    support = np.union1d(a, b)
+    fa = np.searchsorted(np.sort(a), support, side="right") / a.size
+    fb = np.searchsorted(np.sort(b), support, side="right") / b.size
+    exact = float(np.max(np.abs(fa - fb)))
+    got = kll_ks_distance(kll_from_values(a), kll_from_values(b))
+    assert got == pytest.approx(exact, abs=0.03)
+    # identical distributions: near zero
+    same = kll_ks_distance(kll_from_values(a), kll_from_values(a.copy()))
+    assert same < 0.02
+
+
+def test_quantile_gate_catches_same_mean_shape_drift(spark, io):
+    # baseline: two commits of v uniform-ish around 50 (mean 50)
+    _commit(spark, io, "t", 400, 50)
+    _commit(spark, io, "t", 400, 50)
+    # drifted commit: SAME mean 50, SAME [48, 52] range, but the mass
+    # collapses onto the extremes {48, 52} (bimodal)
+    bimodal = spark.range(400).select(
+        F.col("id"),
+        F.when(F.pmod("id", F.lit(2)) == 0, 48).otherwise(52)
+        .cast("int").alias("v"))
+    io.append(bimodal, "t", stats_cols=("v",))
+    moment = snapshot_diff.stat_drift_report(spark, io, "t").collect()[0]
+    shape = snapshot_diff.quantile_drift_report(spark, io, "t").collect()[0]
+    # the moment gate is completely blind to this commit...
+    assert not moment.flagged and moment.effect_size == 0.0
+    assert not moment.range_escape
+    # ...but the KS gate flags the reshaped distribution
+    assert shape.flagged and shape.ks > 0.25
+    assert shape.n_before == 800 and shape.n_after == 400
+
+
+def test_quantile_gate_quiet_on_identical_commits(spark, io):
+    _commit(spark, io, "t", 300, 50)
+    _commit(spark, io, "t", 300, 50)
+    rows = snapshot_diff.quantile_drift_report(spark, io, "t").collect()
+    assert len(rows) == 1 and not rows[0].flagged and rows[0].ks < 0.05
+
+
 def test_clips_commit_drift_query_flags_dur_not_sr(spark):
     from drift_detection_pibic___framework_spark import queries as Q
     rep = {r.column: r for r in
