@@ -18,7 +18,10 @@ Two gates, both sidecar-only:
   moment sidecars;
 - ``quantile_drift_report`` — KS distance between the commit's KLL sketch
   and the merged baseline sketch, catching same-mean shape drift the
-  moment gate is blind to.
+  moment gate is blind to;
+- ``category_drift_report`` — heavy-hitter share swings and new-arrival
+  categories from Misra-Gries sketches (the hot-codec screen at commit
+  granularity).
 The scan-based distribution checks (PSI/binned-KS/JSD on explicit bin
 grids) live in operators/drift_dist.py; this module is the cheap always-on
 gate that runs at every commit.
@@ -160,6 +163,63 @@ def quantile_drift_report(spark: SparkSession, io, name: str,
                     round(float(cur.quantile(0.5)), round_to),
                     round(ks, round_to), bool(ks > ks_threshold)))
     return spark.createDataFrame(out, QUANTILE_DRIFT_SCHEMA)
+
+
+CATEGORY_DRIFT_SCHEMA = TT.StructType([
+    TT.StructField("column", TT.StringType()),
+    TT.StructField("item", TT.StringType()),
+    TT.StructField("share_before", TT.DoubleType()),
+    TT.StructField("share_after", TT.DoubleType()),
+    TT.StructField("delta", TT.DoubleType()),
+    TT.StructField("new_arrival", TT.BooleanType()),
+    TT.StructField("flagged", TT.BooleanType()),
+])
+
+
+def category_drift_report(spark: SparkSession, io, name: str,
+                          share_delta: float = 0.05, top: int = 8,
+                          round_to: int = 6) -> DataFrame:
+    """Heavy-hitter share drift between the latest commit and the merged
+    baseline, from the sidecars' Misra-Gries sketches: one row per item in
+    either side's top-``top``, with its estimated share before/after.
+    Flags a share swing beyond ``share_delta`` or a NEW ARRIVAL — an item
+    the whole baseline never retained (e.g. an off-dimension codec first
+    appearing in this commit), at ANY share.  MG estimates undercount by
+    at most err ≤ n/(k+1), so retention of small items is best-effort
+    below that bound and guaranteed above it; the new-arrival screen is
+    therefore a cheap commit-time complement to (not a replacement for)
+    the exact broadcast referential check.  Cost: O(commits × k) sketch
+    bytes, zero scans."""
+    import base64
+
+    from ..functions.sketches import MisraGries
+
+    sidecars = [s for s in io.snapshot_stats(name) if s.get("mg")]
+    if len(sidecars) < 2:
+        return spark.createDataFrame([], CATEGORY_DRIFT_SCHEMA)
+    *before, after = sidecars
+    cols = [c for c in after["mg"] if all(c in sc["mg"] for sc in before)]
+    out = []
+    for c in sorted(cols):
+        base = None
+        for sc in before:
+            sk = MisraGries.deserialize(base64.b64decode(sc["mg"][c]))
+            base = sk if base is None else base.merge(sk)
+        cur = MisraGries.deserialize(base64.b64decode(after["mg"][c]))
+        if base.n == 0 or cur.n == 0:
+            continue
+        items = sorted({i for i, _, _ in base.topk(top)}
+                       | {i for i, _, _ in cur.topk(top)})
+        b_est = dict((i, e) for i, e, _ in base.topk())
+        a_est = dict((i, e) for i, e, _ in cur.topk())
+        for item in items:
+            sb = b_est.get(item, 0) / base.n
+            sa = a_est.get(item, 0) / cur.n
+            new = item not in b_est and sa > 0
+            flagged = abs(sa - sb) > share_delta or new
+            out.append((c, item, round(sb, round_to), round(sa, round_to),
+                        round(sa - sb, round_to), new, flagged))
+    return spark.createDataFrame(out, CATEGORY_DRIFT_SCHEMA)
 
 
 def schema_diff_report(spark: SparkSession, io, name: str) -> DataFrame:

@@ -122,25 +122,30 @@ class ParquetTableIO:
                 out.append(e)
         return sorted(out, key=lambda e: (e["ts_ns"], e["snap"]))
 
-    def append(self, df: DataFrame, name: str, stats_cols=None) -> str:
+    def append(self, df: DataFrame, name: str, stats_cols=None,
+               cat_cols=None) -> str:
         """Append a snapshot directory; returns snapshot id.  The data dir
         is fully written BEFORE the log entry commits (the rename is the
         commit point — Iceberg's write-then-swap-metadata order).
 
         ``stats_cols``: numeric columns to profile into a per-snapshot
-        moment-summary sidecar (n/nulls/sum/sumsq/min/max per column, plus
-        the snapshot's schema).  The sidecar is computed with ONE scan of
-        the just-written files — the only time this data is ever scanned
+        sidecar — mergeable moments (n/nulls/sum/sumsq/min/max) + a KLL
+        quantile sketch per column, plus the snapshot's schema.
+        ``cat_cols``: categorical columns to summarize with a Misra-Gries
+        heavy-hitters sketch.  The sidecar is computed by scanning the
+        just-written files once — the only time this data is ever scanned
         for stats; every later drift report folds sidecars only (Iceberg's
-        per-commit column metrics, distilled to mergeable moments)."""
+        per-commit column metrics, extended to the mergeable-summary trio
+        moments / KLL / MG)."""
         self._bootstrap_snaplog(name)
         snap = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, name, f"snap-{snap}")
         df.write.mode("overwrite").parquet(out)
-        if stats_cols:
+        if stats_cols or cat_cols:
             spark = df.sparkSession
             self._commit_snapshot_stats(
-                spark.read.parquet(out), name, snap, stats_cols)
+                spark.read.parquet(out), name, snap,
+                stats_cols or (), cat_cols or ())
         self._commit_snaplog(name, snap, time.time_ns())
         return snap
 
@@ -150,7 +155,7 @@ class ParquetTableIO:
         return os.path.join(self.root, name, "_stats", f"{snap}.json")
 
     def _commit_snapshot_stats(self, snap_df: DataFrame, name: str,
-                               snap: str, cols) -> None:
+                               snap: str, cols, cat_cols=()) -> None:
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
             v = F.col(c).cast("bigint")
@@ -164,13 +169,15 @@ class ParquetTableIO:
                 F.max(v).alias(f"{c}_max"),
             ]
         row = snap_df.agg(*aggs).collect()[0].asDict()
+        kll, mg = self._snapshot_sketches(snap_df, cols, cat_cols)
         payload = {
             "snap": snap,
             "rows": row["_rows"],
             "cols": {c: {k: row[f"{c}_{k}"]
                          for k in ("n", "nulls", "sum", "sumsq", "min", "max")}
                      for c in cols},
-            "kll": self._snapshot_kll(snap_df, cols),
+            "kll": kll,
+            "mg": mg,
             "schema": {f.name: f.dataType.simpleString()
                        for f in snap_df.schema.fields},
         }
@@ -182,39 +189,52 @@ class ParquetTableIO:
         os.replace(tmp, dest)
 
     @staticmethod
-    def _snapshot_kll(snap_df: DataFrame, cols, k: int = 200) -> dict:
-        """Per-column KLL quantile sketches of the snapshot's rows: one
-        mapInPandas pass builds a partial sketch per task for ALL columns,
-        the tiny serialized partials (O(k) each) collect and merge
-        driver-side — the mergeable-summary shape that lets commit-time
-        quantile drift run without ever rescanning history."""
+    def _snapshot_sketches(snap_df: DataFrame, num_cols, cat_cols,
+                           kll_k: int = 200, mg_k: int = 16) -> tuple:
+        """Per-column sketches of the snapshot's rows — KLL quantiles for
+        numeric columns, Misra-Gries heavy hitters for categoricals — in
+        ONE mapInPandas pass: each task builds partial sketches for ALL
+        columns, the tiny serialized partials (O(k) each) collect and
+        merge driver-side.  The mergeable-summary shape that lets
+        commit-time quantile/category drift run without ever rescanning
+        history.  Returns ({col: b64_kll}, {col: b64_mg})."""
         import base64
 
         import numpy as np
 
-        from ..functions.sketches import KLL
+        from ..functions.sketches import KLL, MisraGries
 
-        names = list(cols)
+        nums, cats = list(num_cols), list(cat_cols)
+        if not nums and not cats:
+            return {}, {}
 
         def build(it):
             import pandas as pd
-            sks = {c: KLL(k) for c in names}
+            sks = {c: KLL(kll_k) for c in nums}
+            sks.update({c: MisraGries(mg_k) for c in cats})
             for pdf in it:
-                for c in names:
+                for c in nums:
                     v = pdf[c].dropna().to_numpy(dtype=np.float64)
                     if v.size:
                         sks[c].update(v)
+                for c in cats:
+                    v = pdf[c].dropna()
+                    if len(v):
+                        sks[c].update(v.astype(str))
             yield pd.DataFrame({
-                "col": names,
-                "blob": [sks[c].serialize() for c in names]})
+                "col": nums + cats,
+                "blob": [sks[c].serialize() for c in nums + cats]})
 
         merged = {}
-        for r in (snap_df.select(*names)
+        for r in (snap_df.select(*nums, *cats)
                   .mapInPandas(build, "col string, blob binary").collect()):
-            sk = KLL.deserialize(bytes(r.blob))
+            cls = KLL if r.col in nums else MisraGries
+            sk = cls.deserialize(bytes(r.blob))
             merged[r.col] = sk if r.col not in merged else merged[r.col].merge(sk)
-        return {c: base64.b64encode(sk.serialize()).decode()
-                for c, sk in merged.items()}
+        enc = {c: base64.b64encode(sk.serialize()).decode()
+               for c, sk in merged.items()}
+        return ({c: enc[c] for c in nums if c in enc},
+                {c: enc[c] for c in cats if c in enc})
 
     def snapshot_stats(self, name: str) -> list:
         """Commit-ordered stats sidecars for the table's LIVE snapshots

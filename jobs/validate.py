@@ -105,34 +105,59 @@ def main() -> int:
         if not os.path.isdir(cp):
             print(f"error: no clips table at {cp}", file=sys.stderr)
             return 2
-        clips = spark.read.parquet(cp).select("part", "sr_hz", "dur_ms")
+        clips = spark.read.parquet(cp).select("part", "sr_hz", "dur_ms",
+                                              "codec")
         root = tempfile.mkdtemp(prefix="commit_gate_")
         try:
             io = ParquetTableIO(root)
-            # baseline commits (clean partitions), then the drifted one
+            # baseline commits (clean partitions), then two drifted ones:
+            # part 12 (injected dur_ms drift) gates moments + KS shape;
+            # part 5 (injected off-dimension codec) gates categories
             for p in (0, 1, 2, 3):
-                io.append(clips.filter(F.col("part") == p).repartition(1),
-                          "ingest", stats_cols=("sr_hz", "dur_ms"))
+                pdf = clips.filter(F.col("part") == p).repartition(1)
+                io.append(pdf, "ingest", stats_cols=("sr_hz", "dur_ms"))
+                io.append(pdf, "ingest_cat", cat_cols=("codec",))
             io.append(clips.filter(F.col("part") == 12).repartition(1),
                       "ingest", stats_cols=("sr_hz", "dur_ms"))
-            report = snapshot_diff.stat_drift_report(
+            io.append(clips.filter(F.col("part") == 5).repartition(1),
+                      "ingest_cat", cat_cols=("codec",))
+            moments = snapshot_diff.stat_drift_report(
                 spark, io, "ingest").collect()
+            shapes = snapshot_diff.quantile_drift_report(
+                spark, io, "ingest").collect()
+            cats = snapshot_diff.category_drift_report(
+                spark, io, "ingest_cat").collect()
         finally:
             shutil.rmtree(root, ignore_errors=True)
+        flagged = 0
         print(f"{'column':<8} {'n_before':>8} {'n_after':>7} "
               f"{'mean_before':>11} {'mean_after':>10} {'effect':>8} "
               f"{'escape':>6}  verdict")
-        flagged = 0
-        for r in report:
+        for r in moments:
             flagged += bool(r.flagged)
             print(f"{r.column:<8} {r.n_before:>8} {r.n_after:>7} "
                   f"{r.mean_before:>11} {r.mean_after:>10} "
                   f"{r.effect_size if r.effect_size is not None else 'inf':>8} "
                   f"{str(r.range_escape):>6}  "
                   f"{'DRIFT' if r.flagged else 'ok'}")
+        print(f"\n{'column':<8} {'p50_before':>10} {'p50_after':>9} "
+              f"{'ks':>8}  verdict")
+        for r in shapes:
+            flagged += bool(r.flagged)
+            print(f"{r.column:<8} {r.p50_before:>10} {r.p50_after:>9} "
+                  f"{r.ks:>8}  {'SHAPE-DRIFT' if r.flagged else 'ok'}")
+        print(f"\n{'column':<8} {'item':<12} {'share_before':>12} "
+              f"{'share_after':>11} {'delta':>8}  verdict")
+        for r in cats:
+            flagged += bool(r.flagged)
+            verdict = ("NEW-ARRIVAL" if r.new_arrival
+                       else "SHARE-DRIFT" if r.flagged else "ok")
+            print(f"{r.column:<8} {r.item:<12} {r.share_before:>12} "
+                  f"{r.share_after:>11} {r.delta:>8}  {verdict}")
         dt = time.time() - t0
-        print(f"\n{len(report)} columns gated on sidecars only "
-              f"(zero rescans) in {dt:.1f}s; {flagged} drifting")
+        print(f"\n{len(moments) + len(shapes) + len(cats)} gate rows from "
+              f"sidecars only (zero rescans) in {dt:.1f}s; {flagged} "
+              f"drifting")
         return 1 if flagged else 0
 
     if args.stream_detect:

@@ -143,6 +143,38 @@ def test_quantile_gate_quiet_on_identical_commits(spark, io):
     assert len(rows) == 1 and not rows[0].flagged and rows[0].ks < 0.05
 
 
+def test_category_gate_flags_share_swing_and_new_arrival(spark, io):
+    def cat_commit(weights):
+        rows, total = [], 200
+        vals = []
+        for item, w in weights.items():
+            vals += [item] * int(w * total)
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "id int, codec string")
+        io.append(df, "t", cat_cols=("codec",))
+
+    cat_commit({"a": 0.7, "b": 0.3})
+    cat_commit({"a": 0.7, "b": 0.3})
+    cat_commit({"a": 0.4, "b": 0.3, "z": 0.3})   # a collapses, z appears
+    rep = {r.item: r for r in
+           snapshot_diff.category_drift_report(spark, io, "t").collect()}
+    assert rep["a"].flagged and rep["a"].delta == pytest.approx(-0.3)
+    assert not rep["b"].flagged
+    assert rep["z"].flagged and rep["z"].new_arrival
+    assert rep["z"].share_before == 0.0
+    assert rep["z"].share_after == pytest.approx(0.3)
+
+
+def test_category_gate_quiet_on_stable_mix(spark, io):
+    for _ in range(3):
+        df = spark.createDataFrame(
+            [(i, "a" if i % 10 < 7 else "b") for i in range(200)],
+            "id int, codec string")
+        io.append(df, "t", cat_cols=("codec",))
+    rows = snapshot_diff.category_drift_report(spark, io, "t").collect()
+    assert rows and not any(r.flagged for r in rows)
+
+
 def test_clips_commit_drift_query_flags_dur_not_sr(spark):
     from drift_detection_pibic___framework_spark import queries as Q
     rep = {r.column: r for r in
