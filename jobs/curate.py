@@ -11,6 +11,9 @@ produces a curated corpus the way a web-scale pretraining run does —
   4. PII scrub        (optional: mask email/phone/SSN/IPv4, report hits)
   5. per-source quota (row_number cap — one crawler trap can't dominate)
   6. hash sample      (optional deterministic md5-threshold ablation slice)
+  7. temperature mix  (optional √n-smoothed source mixture to ~N docs)
+  8. length buckets   (optional token-length quartile annotation)
+  9. sequence packing (optional GPT-style pack-and-split seq/offset ids)
 
 Every stage is a narrow filter or a key-partitioned shuffle (see
 operators/dedup.py, operators/sampling.py docstrings for the 100 TB
@@ -55,6 +58,15 @@ def main() -> int:
     ap.add_argument("--sample-256", type=int, default=0,
                     help="keep ~N/256 of the corpus, md5-deterministic "
                          "(0 = no sampling)")
+    ap.add_argument("--temperature-mix", type=int, default=0, metavar="N",
+                    help="temperature-smooth the source mixture to ~N "
+                         "docs (p ∝ √n per source; 0 = no mixing)")
+    ap.add_argument("--length-buckets", action="store_true",
+                    help="annotate output docs with a token-length "
+                         "quartile bucket (padding-efficient batching)")
+    ap.add_argument("--pack-seq-len", type=int, default=0, metavar="B",
+                    help="assign GPT-style pack-and-split sequence ids "
+                         "with B tokens per sequence (0 = no packing)")
     ap.add_argument("--master",
                     default=os.environ.get("SPARK_MASTER", "local[8]"))
     ap.add_argument("--shuffle-partitions", type=int, default=16)
@@ -122,6 +134,34 @@ def main() -> int:
     else:
         n_sampled = n_capped
 
+    if args.temperature_mix:
+        deduped = sampling.temperature_mix(
+            deduped, "source", "doc_id", args.temperature_mix)
+        n_mixed = deduped.count()
+    else:
+        n_mixed = n_sampled
+
+    bucket_counts = None
+    if args.length_buckets:
+        from pyspark.sql import functions as F
+        b = text.length_buckets(deduped).select("doc_id", "n_tokens",
+                                                "bucket")
+        deduped = deduped.join(b, "doc_id")
+        bucket_counts = sorted(
+            (r.bucket, r.c) for r in deduped.groupBy("bucket")
+            .agg(F.count("*").alias("c")).collect())
+
+    n_seqs = 0
+    if args.pack_seq_len:
+        from drift_detection_pibic___framework_spark.operators import packing
+        from pyspark.sql import functions as F
+        if "n_tokens" not in deduped.columns:
+            deduped = deduped.join(
+                text.with_token_counts(deduped)
+                .select("doc_id", "n_tokens"), "doc_id")
+        deduped = packing.pack_sequences(deduped, args.pack_seq_len)
+        n_seqs = (deduped.agg(F.max("seq_id")).collect()[0][0] or 0) + 1
+
     if args.out:
         deduped.write.mode("overwrite").parquet(args.out)
         if args.target_file_mb:
@@ -148,7 +188,16 @@ def main() -> int:
               f"(-{n_dedup - n_capped})")
     if args.sample_256:
         print(f"sample {args.sample_256}/256     {n_sampled:>10d}")
-    print(f"\ncurated {n_sampled}/{n_in} docs in {dt:.1f}s"
+    if args.temperature_mix:
+        print(f"temp-mixed ~{args.temperature_mix:<6d} {n_mixed:>10d}  "
+              f"(-{n_sampled - n_mixed})")
+    if bucket_counts is not None:
+        print("length buckets    "
+              + "  ".join(f"b{b}={c}" for b, c in bucket_counts))
+    if args.pack_seq_len:
+        print(f"packed            {n_seqs:>10d} sequences "
+              f"x {args.pack_seq_len} tokens")
+    print(f"\ncurated {n_mixed}/{n_in} docs in {dt:.1f}s"
           + (f" -> {args.out}" if args.out else ""))
     spark.stop()
     return 0
