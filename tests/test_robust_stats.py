@@ -4,7 +4,9 @@ temperature-smoothed source mixing."""
 import math
 import random
 
+import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
 from drift_detection_pibic___framework_spark.operators import sampling, stats
@@ -89,6 +91,49 @@ def test_exact_quantiles_match_percentile_cont(spark):
     for g, qs in want.items():
         for p, exp in zip(probs, qs):
             assert got[g][f"q{int(p * 100)}"] == pytest.approx(exp, abs=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                     min_size=1, max_size=400),
+       p=st.floats(min_value=0.0, max_value=1.0,
+                   allow_nan=False, allow_infinity=False))
+def test_kll_dense_sketch_quantile_is_percentile_cont(vals, p):
+    """A KLL that never compacted (n <= buffer) holds the data exactly, so
+    its rank query must land within one order statistic of the ANSI
+    percentile_cont interpolation (the sketch picks a retained item, the
+    interpolation may sit between two)."""
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        kll_from_values)
+    a = np.asarray(vals, dtype=np.float64)
+    got = float(kll_from_values(a, k=500).quantile(p))
+    s = np.sort(a)
+    h = (len(s) - 1) * p
+    lo, hi = s[int(math.floor(h))], s[int(math.ceil(h))]
+    assert lo - 1e-9 <= got <= hi + 1e-9 or got in (lo, hi)
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=st.lists(st.integers(min_value=0, max_value=60), min_size=2,
+                  max_size=300),
+       b=st.lists(st.integers(min_value=0, max_value=60), min_size=2,
+                  max_size=300))
+def test_kll_ks_distance_properties(a, b):
+    """KS is a metric-like statistic: in [0,1], symmetric, 0 for identical
+    sketches, and exact for dense (never-compacted) sketches."""
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        kll_from_values, kll_ks_distance)
+    sa = kll_from_values(np.asarray(a, dtype=np.float64), k=500)
+    sb = kll_from_values(np.asarray(b, dtype=np.float64), k=500)
+    d = kll_ks_distance(sa, sb)
+    assert 0.0 <= d <= 1.0
+    assert d == pytest.approx(kll_ks_distance(sb, sa), abs=1e-12)
+    assert kll_ks_distance(sa, sa) == 0.0
+    # dense sketches are exact: compare against the numpy two-sample KS
+    xs = np.union1d(a, b).astype(np.float64)
+    fa = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    assert d == pytest.approx(float(np.max(np.abs(fa - fb))), abs=1e-12)
 
 
 def test_length_buckets_quartiles_are_balanced(spark, docs):
