@@ -21,7 +21,10 @@ Two gates, both sidecar-only:
   moment gate is blind to;
 - ``category_drift_report`` — heavy-hitter share swings and new-arrival
   categories from Misra-Gries sketches (the hot-codec screen at commit
-  granularity).
+  granularity);
+- ``uniqueness_drift_report`` — HLL inclusion-exclusion estimating how
+  much of the commit was ALREADY ingested by history (cross-commit
+  re-ingestion screen) plus the commit's internal duplicate rate.
 The scan-based distribution checks (PSI/binned-KS/JSD on explicit bin
 grids) live in operators/drift_dist.py; this module is the cheap always-on
 gate that runs at every commit.
@@ -31,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as TT
 
 REPORT_SCHEMA = TT.StructType([
@@ -220,6 +223,70 @@ def category_drift_report(spark: SparkSession, io, name: str,
             out.append((c, item, round(sb, round_to), round(sa, round_to),
                         round(sa - sb, round_to), new, flagged))
     return spark.createDataFrame(out, CATEGORY_DRIFT_SCHEMA)
+
+
+UNIQUENESS_DRIFT_SCHEMA = TT.StructType([
+    TT.StructField("column", TT.StringType()),
+    TT.StructField("base_distinct", TT.DoubleType()),
+    TT.StructField("commit_rows", TT.LongType()),
+    TT.StructField("commit_distinct", TT.DoubleType()),
+    TT.StructField("reingested", TT.DoubleType()),
+    TT.StructField("cross_dup_rate", TT.DoubleType()),
+    TT.StructField("intra_dup_rate", TT.DoubleType()),
+    TT.StructField("flagged", TT.BooleanType()),
+])
+
+
+def uniqueness_drift_report(spark: SparkSession, io, name: str,
+                            dup_rate_threshold: float = 0.05,
+                            round_to: int = 6) -> DataFrame:
+    """Cross-commit duplicate screen from the sidecars' HLL sketches: for
+    each key column, estimate how many of the latest commit's keys were
+    ALREADY ingested by earlier commits (inclusion-exclusion over the
+    merged baseline sketch, the commit's sketch, and their union — all
+    JVM-side ``hll_union_agg``), plus the commit's internal duplicate rate
+    (rows vs distinct).  This is the uniqueness check the reference runs
+    per window, lifted to commit-over-history granularity without touching
+    any ingested row again.  HLL lgK=12 → ~1.6% std err, so the default
+    threshold screens real re-ingestion, not sketch noise."""
+    import base64
+
+    sidecars = [s for s in io.snapshot_stats(name) if s.get("hll")]
+    if len(sidecars) < 2:
+        return spark.createDataFrame([], UNIQUENESS_DRIFT_SCHEMA)
+    *before, after = sidecars
+    cols = [c for c in after["hll"] if all(c in sc["hll"] for sc in before)]
+    out = []
+    for c in sorted(cols):
+        rows = [("base", base64.b64decode(sc["hll"][c]["sketch"]))
+                for sc in before]
+        rows.append(("after", base64.b64decode(after["hll"][c]["sketch"])))
+        est = (spark.createDataFrame(rows, "side string, sketch binary")
+               .agg(
+                   F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))")
+                   .alias("union_d"),
+                   F.expr("hll_sketch_estimate(hll_union_agg("
+                          "CASE WHEN side = 'base' THEN sketch END, true))")
+                   .alias("base_d"),
+                   F.expr("hll_sketch_estimate(hll_union_agg("
+                          "CASE WHEN side = 'after' THEN sketch END, true))")
+                   .alias("after_d"))
+               .collect()[0])
+        n_after = after["hll"][c]["n"]
+        if not n_after or est.after_d is None:
+            continue
+        # hll_sketch_estimate returns BIGINT — lift to float for the report
+        base_d, after_d, union_d = (float(est.base_d), float(est.after_d),
+                                    float(est.union_d))
+        overlap = max(0.0, base_d + after_d - union_d)
+        cross = overlap / after_d
+        intra = max(0.0, 1.0 - after_d / n_after)
+        out.append((c, round(base_d, 1), n_after, round(after_d, 1),
+                    round(overlap, 1), round(cross, round_to),
+                    round(intra, round_to),
+                    bool(cross > dup_rate_threshold
+                         or intra > dup_rate_threshold)))
+    return spark.createDataFrame(out, UNIQUENESS_DRIFT_SCHEMA)
 
 
 def schema_diff_report(spark: SparkSession, io, name: str) -> DataFrame:

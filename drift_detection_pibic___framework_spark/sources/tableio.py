@@ -123,7 +123,7 @@ class ParquetTableIO:
         return sorted(out, key=lambda e: (e["ts_ns"], e["snap"]))
 
     def append(self, df: DataFrame, name: str, stats_cols=None,
-               cat_cols=None) -> str:
+               cat_cols=None, key_cols=None) -> str:
         """Append a snapshot directory; returns snapshot id.  The data dir
         is fully written BEFORE the log entry commits (the rename is the
         commit point — Iceberg's write-then-swap-metadata order).
@@ -132,20 +132,22 @@ class ParquetTableIO:
         sidecar — mergeable moments (n/nulls/sum/sumsq/min/max) + a KLL
         quantile sketch per column, plus the snapshot's schema.
         ``cat_cols``: categorical columns to summarize with a Misra-Gries
-        heavy-hitters sketch.  The sidecar is computed by scanning the
-        just-written files once — the only time this data is ever scanned
-        for stats; every later drift report folds sidecars only (Iceberg's
-        per-commit column metrics, extended to the mergeable-summary trio
-        moments / KLL / MG)."""
+        heavy-hitters sketch.  ``key_cols``: identifier columns to
+        summarize with an HLL sketch (cross-commit duplicate screening).
+        The sidecar is computed by scanning the just-written files once —
+        the only time this data is ever scanned for stats; every later
+        drift report folds sidecars only (Iceberg's per-commit column
+        metrics, extended to the mergeable-summary family
+        moments / KLL / MG / HLL)."""
         self._bootstrap_snaplog(name)
         snap = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, name, f"snap-{snap}")
         df.write.mode("overwrite").parquet(out)
-        if stats_cols or cat_cols:
+        if stats_cols or cat_cols or key_cols:
             spark = df.sparkSession
             self._commit_snapshot_stats(
                 spark.read.parquet(out), name, snap,
-                stats_cols or (), cat_cols or ())
+                stats_cols or (), cat_cols or (), key_cols or ())
         self._commit_snaplog(name, snap, time.time_ns())
         return snap
 
@@ -154,8 +156,13 @@ class ParquetTableIO:
     def _stats_path(self, name: str, snap: str) -> str:
         return os.path.join(self.root, name, "_stats", f"{snap}.json")
 
+    HLL_LG_K = 12  # rel. std err ~1.6% — plenty for dup-RATE screening
+
     def _commit_snapshot_stats(self, snap_df: DataFrame, name: str,
-                               snap: str, cols, cat_cols=()) -> None:
+                               snap: str, cols, cat_cols=(),
+                               key_cols=()) -> None:
+        import base64
+
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
             v = F.col(c).cast("bigint")
@@ -168,6 +175,12 @@ class ParquetTableIO:
                 F.min(v).alias(f"{c}_min"),
                 F.max(v).alias(f"{c}_max"),
             ]
+        for c in key_cols:
+            aggs += [
+                F.count(c).alias(f"_hll_n_{c}"),
+                F.expr(f"hll_sketch_agg({c}, {self.HLL_LG_K})")
+                .alias(f"_hll_{c}"),
+            ]
         row = snap_df.agg(*aggs).collect()[0].asDict()
         kll, mg = self._snapshot_sketches(snap_df, cols, cat_cols)
         payload = {
@@ -178,6 +191,10 @@ class ParquetTableIO:
                      for c in cols},
             "kll": kll,
             "mg": mg,
+            "hll": {c: {"n": row[f"_hll_n_{c}"],
+                        "sketch": base64.b64encode(
+                            bytes(row[f"_hll_{c}"])).decode()}
+                    for c in key_cols},
             "schema": {f.name: f.dataType.simpleString()
                        for f in snap_df.schema.fields},
         }

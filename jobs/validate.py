@@ -106,27 +106,35 @@ def main() -> int:
             print(f"error: no clips table at {cp}", file=sys.stderr)
             return 2
         clips = spark.read.parquet(cp).select("part", "sr_hz", "dur_ms",
-                                              "codec")
+                                              "codec", "clip_id")
         root = tempfile.mkdtemp(prefix="commit_gate_")
         try:
             io = ParquetTableIO(root)
-            # baseline commits (clean partitions), then two drifted ones:
+            # baseline commits (clean partitions), then three drifted ones:
             # part 12 (injected dur_ms drift) gates moments + KS shape;
-            # part 5 (injected off-dimension codec) gates categories
+            # part 5 (injected off-dimension codec) gates categories;
+            # part 1 RE-INGESTED gates cross-commit uniqueness
             for p in (0, 1, 2, 3):
                 pdf = clips.filter(F.col("part") == p).repartition(1)
                 io.append(pdf, "ingest", stats_cols=("sr_hz", "dur_ms"))
                 io.append(pdf, "ingest_cat", cat_cols=("codec",))
+                io.append(pdf.select("clip_id"), "ingest_keys",
+                          key_cols=("clip_id",))
             io.append(clips.filter(F.col("part") == 12).repartition(1),
                       "ingest", stats_cols=("sr_hz", "dur_ms"))
             io.append(clips.filter(F.col("part") == 5).repartition(1),
                       "ingest_cat", cat_cols=("codec",))
+            io.append(clips.filter(F.col("part") == 1).repartition(1)
+                      .select("clip_id"), "ingest_keys",
+                      key_cols=("clip_id",))
             moments = snapshot_diff.stat_drift_report(
                 spark, io, "ingest").collect()
             shapes = snapshot_diff.quantile_drift_report(
                 spark, io, "ingest").collect()
             cats = snapshot_diff.category_drift_report(
                 spark, io, "ingest_cat").collect()
+            uniq = snapshot_diff.uniqueness_drift_report(
+                spark, io, "ingest_keys").collect()
         finally:
             shutil.rmtree(root, ignore_errors=True)
         flagged = 0
@@ -154,10 +162,17 @@ def main() -> int:
                        else "SHARE-DRIFT" if r.flagged else "ok")
             print(f"{r.column:<8} {r.item:<12} {r.share_before:>12} "
                   f"{r.share_after:>11} {r.delta:>8}  {verdict}")
+        print(f"\n{'column':<8} {'base_dist':>9} {'commit_rows':>11} "
+              f"{'cross_dup':>9} {'intra_dup':>9}  verdict")
+        for r in uniq:
+            flagged += bool(r.flagged)
+            print(f"{r.column:<8} {r.base_distinct:>9} {r.commit_rows:>11} "
+                  f"{r.cross_dup_rate:>9} {r.intra_dup_rate:>9}  "
+                  f"{'RE-INGESTED' if r.flagged else 'ok'}")
         dt = time.time() - t0
-        print(f"\n{len(moments) + len(shapes) + len(cats)} gate rows from "
-              f"sidecars only (zero rescans) in {dt:.1f}s; {flagged} "
-              f"drifting")
+        print(f"\n{len(moments) + len(shapes) + len(cats) + len(uniq)} "
+              f"gate rows from sidecars only (zero rescans) in {dt:.1f}s; "
+              f"{flagged} drifting")
         return 1 if flagged else 0
 
     if args.stream_detect:

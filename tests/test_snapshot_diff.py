@@ -175,6 +175,47 @@ def test_category_gate_quiet_on_stable_mix(spark, io):
     assert rows and not any(r.flagged for r in rows)
 
 
+def _key_commit(spark, io, lo, hi, dup_frac=0.0):
+    """Commit keys [lo, hi) plus an optional within-commit duplicated
+    prefix (dup_frac of the range repeated once)."""
+    df = spark.range(lo, hi).selectExpr("CAST(id AS STRING) AS clip_id")
+    if dup_frac:
+        n_dup = int((hi - lo) * dup_frac)
+        df = df.unionAll(spark.range(lo, lo + n_dup)
+                         .selectExpr("CAST(id AS STRING) AS clip_id"))
+    io.append(df, "t", key_cols=("clip_id",))
+
+
+def test_uniqueness_gate_flags_reingestion(spark, io):
+    _key_commit(spark, io, 0, 2000)
+    _key_commit(spark, io, 2000, 4000)
+    _key_commit(spark, io, 1000, 3000)   # 100% already ingested
+    r = snapshot_diff.uniqueness_drift_report(spark, io, "t").collect()[0]
+    assert r.column == "clip_id" and r.flagged
+    assert r.cross_dup_rate > 0.9
+    assert r.intra_dup_rate < 0.05
+    assert r.base_distinct == pytest.approx(4000, rel=0.05)
+
+
+def test_uniqueness_gate_flags_internal_dups(spark, io):
+    _key_commit(spark, io, 0, 2000)
+    _key_commit(spark, io, 2000, 4000, dup_frac=0.5)  # fresh but 1/3 dup rows
+    r = snapshot_diff.uniqueness_drift_report(spark, io, "t").collect()[0]
+    assert r.flagged
+    assert r.cross_dup_rate < 0.1
+    assert r.intra_dup_rate == pytest.approx(1 / 3, abs=0.05)
+
+
+def test_uniqueness_gate_quiet_on_fresh_keys(spark, io):
+    _key_commit(spark, io, 0, 2000)
+    _key_commit(spark, io, 2000, 4000)
+    _key_commit(spark, io, 4000, 6000)
+    r = snapshot_diff.uniqueness_drift_report(spark, io, "t").collect()[0]
+    assert not r.flagged
+    assert r.cross_dup_rate < 0.05 and r.intra_dup_rate < 0.05
+    assert r.commit_rows == 2000
+
+
 def test_clips_commit_drift_query_flags_dur_not_sr(spark):
     from drift_detection_pibic___framework_spark import queries as Q
     rep = {r.column: r for r in
