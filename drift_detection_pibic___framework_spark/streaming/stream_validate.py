@@ -80,3 +80,79 @@ def validate_stream(spark: SparkSession, clips_dir: str, dim_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+GATE_TABLE = "stream_ingest"
+GATE_SCOPE = "stream_gate_epochs"
+
+
+def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
+                              dim_path: str, out_dir: str,
+                              checkpoint_dir: str, gate_root: str,
+                              available_now: bool = True):
+    """Streaming validation + commit-time drift gates: every micro-batch
+    becomes ONE sidecar-profiled TableIO commit (moments + KLL + MG + HLL,
+    operators/snapshot_diff.py), gated against the fold of all prior
+    epochs, with gate rows written beside the verdicts.
+
+    Exactly-once commits under foreachBatch's at-least-once contract: the
+    epoch→snapshot mapping is recorded in a TableIO manifest row AFTER the
+    append, so a replayed epoch finds its row and skips the append (the
+    batch content is deterministic for a file-source epoch, so the first
+    commit already holds exactly its data).  Gate reports re-run on replay
+    but overwrite their own epoch partition (idempotent sink)."""
+    from ..operators import snapshot_diff
+    from ..sources.tableio import ParquetTableIO
+
+    dim = spark.read.parquet(dim_path)
+    stream = stream_clips(spark, clips_dir)
+    io = ParquetTableIO(gate_root)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        v = micro_batch_verdicts(batch, dim) \
+            .withColumn("epoch", F.lit(epoch_id))
+        (v.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(out_dir))
+        if int(epoch_id) not in io.read_manifest(GATE_SCOPE):
+            snap = io.append(
+                batch.select("clip_id", "sr_hz", "dur_ms", "codec"),
+                GATE_TABLE, stats_cols=("sr_hz", "dur_ms"),
+                cat_cols=("codec",), key_cols=("clip_id",))
+            io.commit_manifest_row(GATE_SCOPE, int(epoch_id),
+                                   {"snap": snap})
+        rows = []
+        for r in snapshot_diff.stat_drift_report(
+                spark, io, GATE_TABLE).collect():
+            rows.append(("moments", r.column,
+                         f"effect={r.effect_size} escape={r.range_escape}",
+                         bool(r.flagged)))
+        for r in snapshot_diff.quantile_drift_report(
+                spark, io, GATE_TABLE).collect():
+            rows.append(("quantile", r.column, f"ks={r.ks}",
+                         bool(r.flagged)))
+        for r in snapshot_diff.category_drift_report(
+                spark, io, GATE_TABLE).collect():
+            rows.append(("category", f"{r.column}={r.item}",
+                         f"delta={r.delta} new={r.new_arrival}",
+                         bool(r.flagged)))
+        for r in snapshot_diff.uniqueness_drift_report(
+                spark, io, GATE_TABLE).collect():
+            rows.append(("uniqueness", r.column,
+                         f"cross={r.cross_dup_rate} intra={r.intra_dup_rate}",
+                         bool(r.flagged)))
+        gates = spark.createDataFrame(
+            rows, "gate string, subject string, detail string, "
+                  "flagged boolean") \
+            .withColumn("epoch", F.lit(epoch_id))
+        (gates.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(out_dir + "_gates"))
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -358,3 +358,48 @@ def test_stream_dedup_by_content(spark, tmp_path):
     # a2 is a content dup of a1@pcm16; a4 of a3 (null-tagged digest);
     # a1@mulaw is DIFFERENT content under a seen clip_id -> admitted
     assert got == ["a1", "a1", "a3"]
+
+
+def test_stream_gate_commits_and_flags_drift(spark, fixture_dir, tmp_path):
+    """Each micro-batch becomes one sidecar commit; later epochs (drifted
+    fixture parts 8+) must flag on the moment/quantile gates; a restart
+    from the checkpoint appends NO duplicate commits."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_validate)
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    gate_root = str(tmp_path / "g")
+    q = stream_validate.validate_stream_with_gate(
+        spark, f"{fixture_dir}/clips",
+        f"{fixture_dir}/allowed_codecs.parquet", out, ckpt, gate_root)
+    assert q.awaitTermination(300)
+
+    io = ParquetTableIO(gate_root)
+    snaps = io.snapshots(stream_validate.GATE_TABLE)
+    assert len(snaps) == 4          # 16 part files / maxFilesPerTrigger=4
+    sides = io.snapshot_stats(stream_validate.GATE_TABLE)
+    assert len(sides) == 4 and all(s["rows"] == 800 for s in sides)
+
+    gates = spark.read.parquet(out + "_gates")
+    rows = gates.collect()
+    # epoch 0 has a single commit -> every report is empty by contract
+    assert not [r for r in rows if r.epoch == 0]
+    flagged = {(r.epoch, r.gate, r.subject) for r in rows if r.flagged}
+    # dur_ms drift is injected in fixture parts 8-15 = epochs 2 and 3:
+    # epoch 2 trips the KS gate; by epoch 3 the rolling baseline has
+    # absorbed parts 8-11, so the mean effect dilutes but the commit's
+    # new duration range still escapes (moment gate)
+    assert any(e >= 2 and s == "dur_ms" for e, g, s in flagged)
+    # epoch 1 catches the 0.1%-injected 192 kHz outlier as a range escape
+    assert ((1, "moments", "sr_hz") in flagged)
+    # uniqueness stays quiet: every epoch's clip_ids are fresh
+    assert not any(g == "uniqueness" for _, g, _ in flagged)
+
+    # restart on the same checkpoint: no new epochs, no duplicate commits
+    q2 = stream_validate.validate_stream_with_gate(
+        spark, f"{fixture_dir}/clips",
+        f"{fixture_dir}/allowed_codecs.parquet", out, ckpt, gate_root)
+    assert q2.awaitTermination(300)
+    assert len(io.snapshots(stream_validate.GATE_TABLE)) == 4
