@@ -256,9 +256,20 @@ class ParquetTableIO:
     def snapshot_stats(self, name: str) -> list:
         """Commit-ordered stats sidecars for the table's LIVE snapshots
         (rolled-back/orphaned commits are excluded, mirroring
-        read_appended's membership).  O(commits) JSON reads — no scan."""
+        read_appended's membership), preceded by the compacted baseline
+        sidecar when one exists.  O(keep_last) JSON reads after a
+        compact_stats(), O(commits) before — never a scan."""
         out = []
+        covered: set = set()
+        bp = self._stats_path(name, "_baseline")
+        if os.path.exists(bp):
+            with open(bp) as f:
+                base = json.load(f)
+            covered = set(base.get("covers", ()))
+            out.append(base)
         for e in self.snapshots(name):
+            if e["snap"] in covered:
+                continue
             p = self._stats_path(name, e["snap"])
             if os.path.exists(p):
                 with open(p) as f:
@@ -266,6 +277,91 @@ class ParquetTableIO:
                 s["ts_ns"] = e["ts_ns"]
                 out.append(s)
         return out
+
+    def compact_stats(self, spark: SparkSession, name: str,
+                      keep_last: int = 8) -> int:
+        """Fold all but the newest ``keep_last`` sidecars into ONE baseline
+        sidecar and delete the folded files — bounding gate metadata at any
+        commit count.  Sound because every sidecar summary is mergeable:
+        moments add, KLL and Misra-Gries merge, HLL unions (JVM-side).
+        Re-compaction folds the existing baseline in again.  Returns the
+        number of sidecars folded.  Trade-off (documented contract): a
+        rollback INTO the compacted range loses per-commit stats history —
+        rollback() deletes a baseline that covers any retired snapshot, and
+        the gates resume fresh from the surviving per-commit sidecars."""
+        import base64
+
+        sides = self.snapshot_stats(name)
+        fold, keep = sides[:-keep_last] if keep_last else sides, \
+            sides[-keep_last:] if keep_last else []
+        if len(fold) < 2:
+            return 0
+        from ..functions.sketches import KLL, MisraGries
+
+        rows_total = sum(s["rows"] for s in fold)
+        covers = []
+        for s in fold:
+            covers += list(s.get("covers", ())) or (
+                [s["snap"]] if s["snap"] != "_baseline" else [])
+        cols: dict = {}
+        for s in fold:
+            for c, m in s.get("cols", {}).items():
+                t = cols.setdefault(c, {"n": 0, "nulls": 0, "sum": 0,
+                                        "sumsq": 0, "min": None, "max": None})
+                t["n"] += m["n"]
+                t["nulls"] += m["nulls"]
+                t["sum"] += m["sum"] or 0       # all-null commit -> sum None
+                t["sumsq"] += m["sumsq"] or 0
+                if m["n"]:
+                    t["min"] = m["min"] if t["min"] is None \
+                        else min(t["min"], m["min"])
+                    t["max"] = m["max"] if t["max"] is None \
+                        else max(t["max"], m["max"])
+
+        def _merge_b64(kind, cls):
+            merged: dict = {}
+            for s in fold:
+                for c, b in s.get(kind, {}).items():
+                    sk = cls.deserialize(base64.b64decode(b))
+                    merged[c] = sk if c not in merged \
+                        else merged[c].merge(sk)
+            return {c: base64.b64encode(sk.serialize()).decode()
+                    for c, sk in merged.items()}
+
+        hll: dict = {}
+        hll_cols = {c for s in fold for c in s.get("hll", {})}
+        for c in hll_cols:
+            blobs = [(base64.b64decode(s["hll"][c]["sketch"]),)
+                     for s in fold if c in s.get("hll", {})]
+            union = (spark.createDataFrame(blobs, "sketch binary")
+                     .agg(F.expr("hll_union_agg(sketch, true)"))
+                     .collect()[0][0])
+            hll[c] = {"n": sum(s["hll"][c]["n"] for s in fold
+                               if c in s.get("hll", {})),
+                      "sketch": base64.b64encode(bytes(union)).decode()}
+
+        payload = {
+            "baseline": True,
+            "snap": "_baseline",
+            "covers": covers,
+            "rows": rows_total,
+            "cols": cols,
+            "kll": _merge_b64("kll", KLL),
+            "mg": _merge_b64("mg", MisraGries),
+            "hll": hll,
+            "schema": fold[-1].get("schema", {}),
+        }
+        dest = self._stats_path(name, "_baseline")
+        tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, dest)
+        for s in fold:
+            if s["snap"] != "_baseline":
+                p = self._stats_path(name, s["snap"])
+                if os.path.exists(p):
+                    os.remove(p)
+        return len(fold)
 
     def read_appended(self, spark: SparkSession, name: str,
                       as_of: str = None) -> DataFrame:
@@ -315,6 +411,18 @@ class ParquetTableIO:
         for e in victims:
             p = os.path.join(d, f"{e['ts_ns']:020d}-{e['snap']}.json")
             os.replace(p, p[:-len(".json")] + ".orphan")
+            # retired commits must leave the stats history too
+            sp = self._stats_path(name, e["snap"])
+            if os.path.exists(sp):
+                os.remove(sp)
+        # a compacted baseline covering a retired snapshot is stale and
+        # cannot be unfolded — drop it (documented compact_stats contract)
+        bp = self._stats_path(name, "_baseline")
+        if victims and os.path.exists(bp):
+            with open(bp) as f:
+                covered = set(json.load(f).get("covers", ()))
+            if covered & {e["snap"] for e in victims}:
+                os.remove(bp)
         return len(victims)
 
     def vacuum(self, name: str) -> int:

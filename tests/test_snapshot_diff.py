@@ -224,3 +224,89 @@ def test_clips_commit_drift_query_flags_dur_not_sr(spark):
     # fixture parts 8+ carry the injected dur_ms drift; sr_hz is stable
     assert rep["dur_ms"].flagged
     assert not rep["sr_hz"].flagged
+
+
+# -- sidecar compaction ----------------------------------------------------
+
+def _commit_keyed(spark, io, name, n, start, dup_from=None):
+    """n keyed rows [start, start+n) with optional re-ingested key range."""
+    df = spark.range(start, start + n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        (F.pmod(F.col("id"), F.lit(5)) + 50).cast("int").alias("v"),
+        F.when(F.pmod(F.col("id"), F.lit(2)) == 0, "mp3")
+        .otherwise("wav").alias("codec"))
+    if dup_from is not None:
+        df = df.unionByName(df.limit(0)).unionByName(
+            spark.range(dup_from, dup_from + n // 2).select(
+                F.concat(F.lit("k"), F.col("id")).alias("key"),
+                F.lit(50).cast("int").alias("v"),
+                F.lit("mp3").alias("codec")))
+    return io.append(df, name, stats_cols=("v",), cat_cols=("codec",),
+                     key_cols=("key",))
+
+
+def test_compact_stats_fold_matches_uncompacted(spark, io):
+    for m in (50, 50, 50, 50):
+        _commit(spark, io, "t", 100, m)
+    before = snapshot_diff._fold_col(io.snapshot_stats("t")[:-1], "v")
+    assert io.compact_stats(spark, "t", keep_last=1) == 3
+    sides = io.snapshot_stats("t")
+    assert [s["snap"] for s in sides][0] == "_baseline" and len(sides) == 2
+    after = snapshot_diff._fold_col(sides[:-1], "v")
+    for k in ("n", "mean", "std", "min", "max", "null_rate"):
+        assert after[k] == pytest.approx(before[k], abs=1e-12), k
+    # the drift gate reads straight through the baseline
+    _commit(spark, io, "t", 100, 60, nulls=5)
+    rep = {r.column: r for r in
+           snapshot_diff.stat_drift_report(spark, io, "t").collect()}
+    assert rep["v"].flagged and rep["v"].n_before == 400
+
+
+def test_compact_stats_noop_below_two_foldable(spark, io):
+    _commit(spark, io, "t", 50, 10)
+    _commit(spark, io, "t", 50, 10)
+    assert io.compact_stats(spark, "t", keep_last=2) == 0
+    assert len(io.snapshot_stats("t")) == 2
+
+
+def test_compact_stats_merges_hll_mg_kll(spark, io):
+    for i in range(4):
+        _commit_keyed(spark, io, "u", 200, 200 * i)
+    assert io.compact_stats(spark, "u", keep_last=1) == 3
+    # uniqueness gate: re-ingest keys 0..99 -> cross-commit dup flagged
+    _commit_keyed(spark, io, "u", 200, 800, dup_from=0)
+    rep = {r.column: r for r in
+           snapshot_diff.uniqueness_drift_report(spark, io, "u").collect()}
+    assert rep["key"].flagged and rep["key"].cross_dup_rate > 0.2
+    # category gate still sees the merged Misra-Gries baseline
+    cat = snapshot_diff.category_drift_report(spark, io, "u")
+    assert {r.column for r in cat.collect()} <= {"codec"}
+    # quantile gate folds baseline KLL + fresh commits without error
+    q = snapshot_diff.quantile_drift_report(spark, io, "u")
+    assert q.count() >= 0
+
+
+def test_compact_stats_recompacts_existing_baseline(spark, io):
+    for m in (50, 50, 50):
+        _commit(spark, io, "t", 100, m)
+    assert io.compact_stats(spark, "t", keep_last=1) == 2
+    for m in (50, 50):
+        _commit(spark, io, "t", 100, m)
+    # baseline + 2 fresh sidecars fold into one again
+    assert io.compact_stats(spark, "t", keep_last=1) == 3
+    sides = io.snapshot_stats("t")
+    assert len(sides) == 2
+    assert len(sides[0]["covers"]) == 4 and sides[0]["rows"] == 400
+
+
+def test_rollback_into_compacted_range_drops_baseline(spark, io):
+    snaps = [_commit(spark, io, "t", 100, 50) for _ in range(4)]
+    io.compact_stats(spark, "t", keep_last=1)
+    io.rollback("t", snaps[1])
+    # baseline covered retired snaps -> dropped; survivors carry no sidecar
+    # history inside the folded range (documented contract), gates go quiet
+    assert io.snapshot_stats("t") == []
+    _commit(spark, io, "t", 100, 50)
+    _commit(spark, io, "t", 100, 50)
+    rows = snapshot_diff.stat_drift_report(spark, io, "t").collect()
+    assert len(rows) == 1 and rows[0].n_before == 100
