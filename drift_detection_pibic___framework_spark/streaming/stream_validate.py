@@ -89,7 +89,9 @@ GATE_SCOPE = "stream_gate_epochs"
 def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
                               dim_path: str, out_dir: str,
                               checkpoint_dir: str, gate_root: str,
-                              available_now: bool = True):
+                              available_now: bool = True,
+                              compact_after: int = 0,
+                              compact_keep: int = 8):
     """Streaming validation + commit-time drift gates: every micro-batch
     becomes ONE sidecar-profiled TableIO commit (moments + KLL + MG + HLL,
     operators/snapshot_diff.py), gated against the fold of all prior
@@ -100,7 +102,15 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
     append, so a replayed epoch finds its row and skips the append (the
     batch content is deterministic for a file-source epoch, so the first
     commit already holds exactly its data).  Gate reports re-run on replay
-    but overwrite their own epoch partition (idempotent sink)."""
+    but overwrite their own epoch partition (idempotent sink).
+
+    ``compact_after`` > 0 bounds gate metadata for unbounded ingest: once
+    more than that many stats sidecars are live, all but the newest
+    ``compact_keep`` fold into one baseline sidecar (tableio.compact_stats)
+    — per-epoch gate cost stays O(compact_after) instead of O(epochs),
+    and gate VERDICTS are unchanged because every gate compares the latest
+    commit against the FOLD of all earlier summaries, and fold(baseline +
+    kept) == fold(all) for these mergeable summaries."""
     from ..operators import snapshot_diff
     from ..sources.tableio import ParquetTableIO
 
@@ -150,6 +160,9 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("epoch")
          .parquet(out_dir + "_gates"))
+        if compact_after and \
+                len(io.snapshot_stats(GATE_TABLE)) > compact_after:
+            io.compact_stats(spark, GATE_TABLE, keep_last=compact_keep)
 
     writer = (stream.writeStream.foreachBatch(handle)
               .option("checkpointLocation", checkpoint_dir))

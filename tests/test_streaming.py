@@ -403,3 +403,38 @@ def test_stream_gate_commits_and_flags_drift(spark, fixture_dir, tmp_path):
         f"{fixture_dir}/allowed_codecs.parquet", out, ckpt, gate_root)
     assert q2.awaitTermination(300)
     assert len(io.snapshots(stream_validate.GATE_TABLE)) == 4
+
+
+def test_stream_gate_compaction_bounds_sidecars_same_flags(
+        spark, fixture_dir, tmp_path):
+    """compact_after bounds gate metadata at O(compact_keep) sidecar files
+    while leaving the per-epoch gate verdicts unchanged (fold(baseline +
+    kept) == fold(all) for mergeable summaries)."""
+    import os
+
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_validate)
+
+    def run(sub, **kw):
+        q = stream_validate.validate_stream_with_gate(
+            spark, f"{fixture_dir}/clips",
+            f"{fixture_dir}/allowed_codecs.parquet",
+            str(tmp_path / sub / "o"), str(tmp_path / sub / "c"),
+            str(tmp_path / sub / "g"), **kw)
+        assert q.awaitTermination(300)
+        flags = {(r.epoch, r.gate, r.subject) for r in
+                 spark.read.parquet(str(tmp_path / sub / "o_gates"))
+                 .collect() if r.flagged}
+        stats_dir = os.path.join(str(tmp_path / sub / "g"),
+                                 stream_validate.GATE_TABLE, "_stats")
+        return flags, sorted(os.listdir(stats_dir))
+
+    plain_flags, plain_files = run("plain")
+    compact_flags, compact_files = run("compact", compact_after=2,
+                                       compact_keep=1)
+    assert compact_flags == plain_flags
+    assert len(plain_files) == 4                      # one per epoch
+    assert len(compact_files) <= 3                    # baseline + keep + new
+    assert "_baseline.json" in compact_files
