@@ -2515,6 +2515,79 @@ def doc_temperature_mix(spark, sf_dir):
 
 
 # =========================================================================
+# Row-level quarantine (expectations-with-drop-rows over the check suite)
+# =========================================================================
+
+@register("clips_quarantine", f"""
+WITH lab AS (
+  SELECT clip_id, part, transcript, sr_hz, codec,
+         row_number() OVER (PARTITION BY part, clip_id ORDER BY rid) AS rk
+  FROM read_parquet('{CLIPS_SF001_GLOB}'))
+SELECT clip_id, part,
+       array_to_string(list_filter([
+         CASE WHEN transcript IS NULL THEN 'null_transcript' END,
+         CASE WHEN sr_hz NOT BETWEEN 8000 AND 48000 OR sr_hz IS NULL
+              THEN 'sr_out_of_range' END,
+         CASE WHEN codec NOT IN ('pcm_s16le', 'mulaw', 'alaw')
+              THEN 'unknown_codec' END,
+         CASE WHEN rk > 1 THEN 'duplicate_clip_id' END
+       ], x -> x IS NOT NULL), ',') AS reasons
+FROM lab
+WHERE transcript IS NULL
+   OR sr_hz NOT BETWEEN 8000 AND 48000 OR sr_hz IS NULL
+   OR codec NOT IN ('pcm_s16le', 'mulaw', 'alaw')
+   OR rk > 1
+""")
+def clips_quarantine(spark, sf_dir):
+    """Sink-side row quarantine (operators/quarantine.py): every row any
+    suite check would reject, with its reason list — null transcript, sr
+    range escape, unknown codec (broadcast referential), non-first
+    duplicate clip_id.  ONE (part, clip_id) window shuffle + broadcast dim
+    join; reason order is fixed so the joined string is engine-portable."""
+    from .operators import quarantine as QR
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
+    _, bad = QR.quarantine(clips_df(spark, sf_dir), dim)
+    return bad.select("clip_id", "part",
+                      F.array_join("reasons", ",").alias("reasons"))
+
+
+@register("clips_quarantine_summary", f"""
+WITH lab AS (
+  SELECT part,
+         (transcript IS NULL) AS r_null,
+         (sr_hz NOT BETWEEN 8000 AND 48000 OR sr_hz IS NULL) AS r_sr,
+         (codec NOT IN ('pcm_s16le', 'mulaw', 'alaw')) AS r_codec,
+         (row_number() OVER (PARTITION BY part, clip_id ORDER BY rid) > 1)
+           AS r_dup
+  FROM read_parquet('{CLIPS_SF001_GLOB}'))
+SELECT part,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN r_null OR r_sr OR r_codec OR r_dup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS quarantined,
+       CAST(sum(CASE WHEN r_null THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_transcript,
+       CAST(sum(CASE WHEN r_sr THEN 1 ELSE 0 END) AS BIGINT)
+         AS sr_out_of_range,
+       CAST(sum(CASE WHEN r_codec THEN 1 ELSE 0 END) AS BIGINT)
+         AS unknown_codec,
+       CAST(sum(CASE WHEN r_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS duplicate_clip_id,
+       ROUND(1.0 - sum(CASE WHEN r_null OR r_sr OR r_codec OR r_dup
+                            THEN 1 ELSE 0 END) / count(*), 6) AS admit_rate
+FROM lab GROUP BY part ORDER BY part
+""")
+def clips_quarantine_summary(spark, sf_dir):
+    """Per-partition admission report for the quarantine split: totals,
+    per-reason counts, admit rate — the operational dashboard row the
+    runner would emit per Iceberg partition at ingest time."""
+    from .operators import quarantine as QR
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
+    return QR.quarantine_summary(clips_df(spark, sf_dir), dim)
+
+
+# =========================================================================
 # Driver-gate ordering
 # =========================================================================
 # The driver's correctness gate covers only the FIRST 50 entries of this
@@ -2576,6 +2649,11 @@ _DEMOTED_ORACLED = [
     # doc_minhash_lsh_dups / doc_dedup_corpus verify the same Jaccard path
     # in-window); rotated out late-r4 to admit doc_length_buckets:
     "doc_jaccard_high_pairs",
+    # driver-green r1-r3 text-feature rows (siblings doc_token_counts /
+    # doc_quality stay in-window); rotated out late-r4 to admit the
+    # quarantine pair (clips_quarantine, clips_quarantine_summary):
+    "doc_lang_scores",
+    "doc_fingerprints",
 ]
 
 _oracled = [n for n in QUERIES

@@ -50,6 +50,11 @@ def main() -> int:
                          "per-snapshot stats sidecars and print the "
                          "zero-rescan commit-drift report (exit 1 if the "
                          "last commit drifts)")
+    ap.add_argument("--quarantine", default=None, metavar="OUT_DIR",
+                    help="split the clips table into admitted/quarantined "
+                         "parquet sinks with per-row reasons and print the "
+                         "per-partition admission report (exit 1 if any "
+                         "row was quarantined)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -91,6 +96,39 @@ def main() -> int:
         dt = time.time() - t0
         print(f"\n{len(summary)} grid cells (x{args.reps} reps) in {dt:.1f}s")
         return 0
+
+    if args.quarantine:
+        from drift_detection_pibic___framework_spark.operators import (
+            quarantine as QR)
+
+        cp = os.path.join(args.data, "clips")
+        dp = os.path.join(args.data, "allowed_codecs.parquet")
+        if not os.path.isdir(cp):
+            print(f"error: no clips table at {cp}", file=sys.stderr)
+            return 2
+        clips = spark.read.parquet(cp)
+        dim = spark.read.parquet(dp)
+        clean, bad = QR.quarantine(clips, dim)
+        clean.write.mode("overwrite").partitionBy("part") \
+            .parquet(os.path.join(args.quarantine, "admitted"))
+        bad.withColumn("reasons", F.array_join("reasons", ",")) \
+            .write.mode("overwrite").partitionBy("part") \
+            .parquet(os.path.join(args.quarantine, "quarantined"))
+        rows = QR.quarantine_summary(clips, dim).collect()
+        print(f"{'part':>4} {'rows':>6} {'quar':>5} {'null_t':>6} "
+              f"{'sr_rng':>6} {'codec':>5} {'dup_id':>6} {'admit':>8}")
+        total = quar = 0
+        for r in rows:
+            total += r.n_rows
+            quar += r.quarantined
+            print(f"{r.part:>4} {r.n_rows:>6} {r.quarantined:>5} "
+                  f"{r.null_transcript:>6} {r.sr_out_of_range:>6} "
+                  f"{r.unknown_codec:>5} {r.duplicate_clip_id:>6} "
+                  f"{r.admit_rate:>8}")
+        dt = time.time() - t0
+        print(f"\n{total} rows -> {total - quar} admitted, {quar} "
+              f"quarantined in {dt:.1f}s; sinks under {args.quarantine}")
+        return 1 if quar else 0
 
     if args.commit_gate:
         import shutil
