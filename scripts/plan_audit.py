@@ -81,6 +81,15 @@ def main() -> int:
          stats.mad_outlier_screen(clips, "part", "dur_ms"),
          {"no_bytes_scan": True, "no_cartesian": True, "broadcast": True}),
     ]
+    # quarantine: one (part, clip_id) window shuffle + broadcast dim join;
+    # bytes rides through to the admitted sink by contract, so only the
+    # SUMMARY (which projects it away) asserts the pruned scan
+    from drift_detection_pibic___framework_spark.operators import (
+        quarantine as QRop)
+    cases.append((
+        "quarantine_summary (row labelling: broadcast dim, bytes pruned)",
+        QRop.quarantine_summary(clips, dim),
+        {"no_bytes_scan": True, "no_cartesian": True, "broadcast": True}))
     # sessionization: the groupBy(user_id, session_idx) must REUSE the
     # window's HashPartitioning(user_id) — a subset of the grouping keys
     # satisfies the clustering requirement, so the whole lag -> running
