@@ -87,14 +87,17 @@ class ParquetTableIO:
     def _snaplog_dir(self, name: str) -> str:
         return os.path.join(self.root, name, "_snaplog")
 
-    def _commit_snaplog(self, name: str, snap: str, ts_ns: int) -> None:
+    def _commit_snaplog(self, name: str, snap: str, ts_ns: int,
+                        extra: dict = None) -> None:
         d = self._snaplog_dir(name)
         os.makedirs(d, exist_ok=True)
         dest = os.path.join(d, f"{ts_ns:020d}-{snap}.json")
         tmp = dest + f".tmp-{uuid.uuid4().hex[:8]}"
+        entry = {"snap": snap, "ts_ns": ts_ns,
+                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
+        entry.update(extra or {})
         with open(tmp, "w") as f:
-            json.dump({"snap": snap, "ts_ns": ts_ns,
-                       "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
+            json.dump(entry, f)
         os.replace(tmp, dest)
 
     def _bootstrap_snaplog(self, name: str) -> None:
@@ -369,7 +372,16 @@ class ParquetTableIO:
         the table as of that commit (that snapshot and every earlier one).
         Log-tracked tables read exactly the logged membership, so an
         uncommitted (crashed) or rolled-back data dir is invisible; pre-log
-        tables fall back to the directory glob."""
+        tables fall back to the directory glob.
+
+        Merge-on-read: if the log contains equality-delete or upsert
+        commits (delete_keys / upsert), the read hides every data row whose
+        key matches a delete with a LATER sequence number — Iceberg v2
+        equality-delete semantics.  An upsert's own rows survive its own
+        delete marker (same sequence); a later plain append re-inserts the
+        key.  Cost: one keyed join against the folded delete set (tiny —
+        AQE broadcasts it under the threshold); tables with no delete
+        commits keep the plain multi-path scan."""
         d = os.path.join(self.root, name)
         snaps = self.snapshots(name)
         if not snaps:
@@ -387,8 +399,114 @@ class ParquetTableIO:
             if as_of not in ids:
                 raise ValueError(f"unknown snapshot {as_of} for {name}")
             snaps = snaps[:ids.index(as_of) + 1]
-        paths = [os.path.join(d, f"snap-{e['snap']}") for e in snaps]
-        return spark.read.parquet(*paths)
+        # a rewrite commit (compact_snapshots) supersedes everything before
+        # it — membership restarts there, so the compaction swap is atomic
+        # at the log-rename even if retiring the old entries was interrupted
+        rewrites = [i for i, e in enumerate(snaps)
+                    if e.get("kind") == "rewrite"]
+        if rewrites:
+            snaps = snaps[rewrites[-1]:]
+        dirs = [os.path.join(d, f"snap-{e['snap']}") for e in snaps]
+        kinds = [e.get("kind", "append") for e in snaps]
+        if "delete" not in kinds and "upsert" not in kinds:
+            return spark.read.parquet(*dirs)
+        data = None
+        for seq, (p, kind) in enumerate(zip(dirs, kinds)):
+            if kind == "delete":
+                continue
+            part = spark.read.parquet(p).withColumn("_seq", F.lit(seq))
+            data = part if data is None else \
+                data.unionByName(part, allowMissingColumns=True)
+        if data is None:
+            raise ValueError(f"table {name} has only delete commits")
+        out_cols = [c for c in data.columns if c != "_seq"]
+        # fold delete markers per key column: (key value -> max delete seq)
+        by_key: dict = {}
+        for seq, (e, p, kind) in enumerate(zip(snaps, dirs, kinds)):
+            if kind in ("delete", "upsert"):
+                by_key.setdefault(e["key"], []).append((seq, p))
+        for key, marks in by_key.items():
+            dels = None
+            for seq, p in marks:
+                one = (spark.read.parquet(p).select(key)
+                       .withColumn("_dseq", F.lit(seq)))
+                dels = one if dels is None else dels.unionByName(one)
+            dmax = dels.groupBy(key).agg(F.max("_dseq").alias("_dseq"))
+            data = (data.join(dmax, key, "left")
+                    .filter(F.col("_dseq").isNull()
+                            | (F.col("_seq") >= F.col("_dseq")))
+                    .drop("_dseq"))
+        return data.select(*out_cols)
+
+    def delete_keys(self, keys_df: DataFrame, name: str, key: str) -> str:
+        """Commit an equality-delete: every row of the table whose ``key``
+        matches (and which was committed BEFORE this delete) disappears
+        from reads.  O(deleted keys) write — no data file is touched
+        (Iceberg v2 merge-on-read equality deletes, compact_snapshots()
+        is the major compaction that physically applies them)."""
+        if key not in keys_df.columns:
+            raise ValueError(f"key column {key} not in frame")
+        self._bootstrap_snaplog(name)
+        snap = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, name, f"snap-{snap}")
+        keys_df.select(key).distinct().write.mode("overwrite").parquet(out)
+        self._commit_snaplog(name, snap, time.time_ns(),
+                             {"kind": "delete", "key": key})
+        return snap
+
+    def upsert(self, df: DataFrame, name: str, key: str,
+               stats_cols=None, cat_cols=None, key_cols=None) -> str:
+        """Replace-by-key in ONE atomic commit: the snapshot's rows both
+        supersede (delete) every earlier row sharing their ``key`` and
+        insert the new values.  The delete marker is the commit's own key
+        column read back at merge time, so there is no half-applied state —
+        a crash before the log rename leaves the table unchanged.
+        Profiling kwargs behave as in append()."""
+        if key not in df.columns:
+            raise ValueError(f"key column {key} not in frame")
+        self._bootstrap_snaplog(name)
+        snap = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, name, f"snap-{snap}")
+        df.write.mode("overwrite").parquet(out)
+        if stats_cols or cat_cols or key_cols:
+            spark = df.sparkSession
+            self._commit_snapshot_stats(
+                spark.read.parquet(out), name, snap,
+                stats_cols or (), cat_cols or (), key_cols or ())
+        self._commit_snaplog(name, snap, time.time_ns(),
+                             {"kind": "upsert", "key": key})
+        return snap
+
+    def compact_snapshots(self, spark: SparkSession, name: str) -> str:
+        """Major compaction: materialize the current merge-on-read state as
+        ONE rewrite commit and retire every earlier commit (delete markers
+        are physically applied and vanish from the log).  The swap is
+        atomic at the rewrite's log rename — read_appended restarts
+        membership at the latest rewrite, so an interruption mid-retirement
+        never doubles data.  Time travel to retired snapshots is lost —
+        Iceberg's expire_snapshots trade-off — and with it their
+        stats-sidecar history (rollback contract).  Returns the new
+        snapshot id; vacuum() collects the retired data."""
+        old = self.snapshots(name)
+        if not old:
+            raise ValueError(f"table {name} has no committed snapshot")
+        current = self.read_appended(spark, name)
+        snap = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, name, f"snap-{snap}")
+        current.write.mode("overwrite").parquet(out)
+        self._commit_snaplog(name, snap, time.time_ns(),
+                             {"kind": "rewrite"})
+        d = self._snaplog_dir(name)
+        for e in old:
+            p = os.path.join(d, f"{e['ts_ns']:020d}-{e['snap']}.json")
+            os.replace(p, p[:-len(".json")] + ".orphan")
+            sp = self._stats_path(name, e["snap"])
+            if os.path.exists(sp):
+                os.remove(sp)
+        bp = self._stats_path(name, "_baseline")
+        if os.path.exists(bp):
+            os.remove(bp)
+        return snap
 
     def has_appended(self, name: str) -> bool:
         if self.snapshots(name):

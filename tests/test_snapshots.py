@@ -76,3 +76,93 @@ def test_pre_log_table_bootstraps_on_append(spark, io):
     assert snaps == ["aaaa", "bbbb", s3]               # mtime order
     assert io.read_appended(spark, "t", as_of="aaaa").count() == 4
     assert io.read_appended(spark, "t").count() == 7
+
+
+# -- merge-on-read equality deletes / upsert / major compaction ------------
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "k string, v int")
+
+
+def test_delete_keys_hides_then_reinsert(spark, io):
+    io.append(_kv(spark, [("a", 1), ("b", 2)]), "t")
+    io.delete_keys(_kv(spark, [("a", 0)]), "t", "k")
+    got = {r.k: r.v for r in io.read_appended(spark, "t").collect()}
+    assert got == {"b": 2}
+    # a later plain append re-inserts the key
+    io.append(_kv(spark, [("a", 9)]), "t")
+    got = {r.k: r.v for r in io.read_appended(spark, "t").collect()}
+    assert got == {"a": 9, "b": 2}
+
+
+def test_upsert_replaces_atomically(spark, io):
+    io.append(_kv(spark, [("a", 1), ("b", 2)]), "t")
+    io.upsert(_kv(spark, [("b", 20), ("c", 30)]), "t", "k")
+    got = {r.k: r.v for r in io.read_appended(spark, "t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 30}
+    # a second upsert supersedes the first's rows
+    io.upsert(_kv(spark, [("b", 200)]), "t", "k")
+    got = {r.k: r.v for r in io.read_appended(spark, "t").collect()}
+    assert got == {"a": 1, "b": 200, "c": 30}
+
+
+def test_delete_time_travel_sees_pre_delete_state(spark, io):
+    s1 = io.append(_kv(spark, [("a", 1), ("b", 2)]), "t")
+    io.delete_keys(_kv(spark, [("a", 0)]), "t", "k")
+    assert {r.k for r in
+            io.read_appended(spark, "t", as_of=s1).collect()} == {"a", "b"}
+    assert {r.k for r in
+            io.read_appended(spark, "t").collect()} == {"b"}
+
+
+def test_rollback_of_delete_restores_rows(spark, io):
+    s1 = io.append(_kv(spark, [("a", 1), ("b", 2)]), "t")
+    io.delete_keys(_kv(spark, [("b", 0)]), "t", "k")
+    io.rollback("t", s1)
+    assert {r.k for r in
+            io.read_appended(spark, "t").collect()} == {"a", "b"}
+
+
+def test_plain_table_keeps_multi_path_scan(spark, io):
+    io.append(_kv(spark, [("a", 1)]), "t")
+    io.append(_kv(spark, [("b", 2)]), "t")
+    plan = io.read_appended(spark, "t") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan          # no merge machinery without deletes
+
+
+def test_compact_snapshots_applies_deletes_physically(spark, io):
+    io.append(_kv(spark, [("a", 1), ("b", 2)]), "t")
+    io.upsert(_kv(spark, [("b", 20)]), "t", "k")
+    io.delete_keys(_kv(spark, [("a", 0)]), "t", "k")
+    before = {(r.k, r.v) for r in io.read_appended(spark, "t").collect()}
+    io.compact_snapshots(spark, "t")
+    after = {(r.k, r.v) for r in io.read_appended(spark, "t").collect()}
+    assert after == before == {("b", 20)}
+    snaps = io.snapshots("t")
+    assert len(snaps) == 1 and snaps[0].get("kind") == "rewrite"
+    # compacted read is the plain scan again, and vacuum collects the old
+    plan = io.read_appended(spark, "t") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert io.vacuum("t") == 3
+    assert after == {(r.k, r.v)
+                     for r in io.read_appended(spark, "t").collect()}
+
+
+def test_compact_interrupted_retirement_never_doubles(spark, io, tmp_path):
+    """The rewrite commit supersedes earlier entries at READ time, so even
+    if retirement hadn't happened (simulated by re-committing a live entry
+    file), membership restarts at the rewrite."""
+    import json as J
+    import os as O
+
+    io.append(_kv(spark, [("a", 1)]), "t")
+    io.compact_snapshots(spark, "t")
+    # resurrect one retired entry, as an interrupted retirement would leave
+    d = io._snaplog_dir("t")
+    orphans = [f for f in O.listdir(d) if f.endswith(".orphan")]
+    O.replace(O.path.join(d, orphans[0]),
+              O.path.join(d, orphans[0][:-len(".orphan")] + ".json"))
+    rows = io.read_appended(spark, "t").collect()
+    assert [(r.k, r.v) for r in rows] == [("a", 1)]   # not doubled
