@@ -438,6 +438,65 @@ class ParquetTableIO:
                     .drop("_dseq"))
         return data.select(*out_cols)
 
+    def read_appended_between(self, spark: SparkSession, name: str,
+                              col: str, lo=None, hi=None) -> DataFrame:
+        """``read_appended`` restricted to rows with ``col`` in [lo, hi]
+        (inclusive; None = unbounded), SKIPPING every plain-append commit
+        whose stats sidecar proves the range can't match — Iceberg's
+        min/max metadata pruning at commit granularity, O(commits) JSON
+        reads and ZERO data IO for pruned commits.  Commits without a
+        sidecar (or without ``col`` in it) are conservatively read; delete
+        and upsert commits are never pruned (their markers must keep
+        applying to surviving rows).  For an append-only time-series table
+        profiled at ingest this turns a bounded-window query into a scan
+        of just the commits that overlap the window."""
+        snaps = self.snapshots(name)
+        rewrites = [i for i, e in enumerate(snaps)
+                    if e.get("kind") == "rewrite"]
+        if rewrites:                       # same membership rule as
+            snaps = snaps[rewrites[-1]:]   # read_appended
+        keep, pruned = [], 0
+        for e in snaps:
+            if e.get("kind", "append") not in ("append",):
+                keep.append(e)
+                continue
+            p = self._stats_path(name, e["snap"])
+            m = None
+            if os.path.exists(p):
+                with open(p) as f:
+                    m = json.load(f).get("cols", {}).get(col)
+            if m is not None and (
+                    m["n"] == 0
+                    or (hi is not None and m["min"] is not None
+                        and m["min"] > hi)
+                    or (lo is not None and m["max"] is not None
+                        and m["max"] < lo)):
+                pruned += 1
+                continue
+            keep.append(e)
+        if pruned == 0:
+            df = self.read_appended(spark, name)
+        elif not keep:
+            df = self.read_appended(spark, name).limit(0)
+        else:
+            d = os.path.join(self.root, name)
+            kinds = [e.get("kind", "append") for e in keep]
+            if "delete" not in kinds and "upsert" not in kinds:
+                df = spark.read.parquet(
+                    *[os.path.join(d, f"snap-{e['snap']}") for e in keep])
+            else:
+                # markers present: fall back to the full merge-on-read read
+                # (marker sequence numbers are positions in the FULL log,
+                # so a pruned membership would renumber them) — the row
+                # filter below still applies; only the scan-skip is lost
+                df = self.read_appended(spark, name)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return df.filter(cond)
+
     def delete_keys(self, keys_df: DataFrame, name: str, key: str) -> str:
         """Commit an equality-delete: every row of the table whose ``key``
         matches (and which was committed BEFORE this delete) disappears

@@ -166,3 +166,50 @@ def test_compact_interrupted_retirement_never_doubles(spark, io, tmp_path):
               O.path.join(d, orphans[0][:-len(".orphan")] + ".json"))
     rows = io.read_appended(spark, "t").collect()
     assert [(r.k, r.v) for r in rows] == [("a", 1)]   # not doubled
+
+
+# -- sidecar min/max commit pruning ----------------------------------------
+
+def test_read_between_prunes_commits_zero_io(spark, io):
+    """Three profiled commits with disjoint v ranges: a bounded read must
+    return the right rows AND physically scan only the overlapping
+    commit's files (inputFiles is the mechanical proof)."""
+    def batch(lo):
+        return spark.range(lo, lo + 10).selectExpr(
+            "cast(id as int) as v", "cast(id as string) as k")
+    s = [io.append(batch(lo), "t", stats_cols=("v",))
+         for lo in (0, 100, 200)]
+    df = io.read_appended_between(spark, "t", "v", 100, 109)
+    assert sorted(r.v for r in df.collect()) == list(range(100, 110))
+    files = df.inputFiles()
+    assert files and all(f"snap-{s[1]}" in f for f in files)
+    # boundary overlap: [105, 205] must read commits 2 and 3, not 1
+    df2 = io.read_appended_between(spark, "t", "v", 105, 205)
+    assert {f.split("snap-")[1].split("/")[0] for f in df2.inputFiles()} \
+        == {s[1], s[2]}
+    assert df2.count() == 11
+
+
+def test_read_between_conservative_without_sidecar(spark, io):
+    io.append(spark.range(5).selectExpr("cast(id as int) as v"), "t")
+    io.append(spark.range(100, 105).selectExpr("cast(id as int) as v"),
+              "t", stats_cols=("v",))
+    # first commit unprofiled -> must still be read (conservative)
+    df = io.read_appended_between(spark, "t", "v", 0, 4)
+    assert sorted(r.v for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_read_between_with_markers_falls_back_correct(spark, io):
+    io.append(_kv(spark, [("a", 1), ("b", 200)]), "t")
+    io.delete_keys(_kv(spark, [("a", 0)]), "t", "k")
+    got = io.read_appended_between(spark, "t", "v", 100, 300).collect()
+    assert [(r.k, r.v) for r in got] == [("b", 200)]
+
+
+def test_read_between_unbounded_sides(spark, io):
+    for lo in (0, 100):
+        io.append(spark.range(lo, lo + 10).selectExpr(
+            "cast(id as int) as v"), "t", stats_cols=("v",))
+    assert io.read_appended_between(spark, "t", "v", lo=100).count() == 10
+    assert io.read_appended_between(spark, "t", "v", hi=9).count() == 10
+    assert io.read_appended_between(spark, "t", "v").count() == 20
