@@ -213,3 +213,37 @@ def test_read_between_unbounded_sides(spark, io):
     assert io.read_appended_between(spark, "t", "v", lo=100).count() == 10
     assert io.read_appended_between(spark, "t", "v", hi=9).count() == 10
     assert io.read_appended_between(spark, "t", "v").count() == 20
+
+
+def test_mor_random_op_sequence_matches_model(spark, io):
+    """Differential test: a seeded random append/upsert/delete sequence
+    must match a pure-python sequence-number model of the equality-delete
+    semantics (rows survive iff no delete/upsert marker with a LATER seq
+    shares their key; an upsert's own rows survive their own marker)."""
+    import random
+
+    rng = random.Random(42)
+    keys = list("abcdef")
+    rows, marks = [], []            # (seq, k, v) / (seq, k)
+    for seq in range(24):
+        op = rng.choice(("append", "upsert", "delete"))
+        picked = rng.sample(keys, rng.randint(1, 3))
+        vals = [(k, seq * 100 + i) for i, k in enumerate(picked)]
+        if op == "append":
+            io.append(_kv(spark, vals), "t")
+            rows += [(seq, k, v) for k, v in vals]
+        elif op == "upsert":
+            io.upsert(_kv(spark, vals), "t", "k")
+            rows += [(seq, k, v) for k, v in vals]
+            marks += [(seq, k) for k, _ in vals]
+        else:
+            io.delete_keys(_kv(spark, vals), "t", "k")
+            marks += [(seq, k) for k, _ in vals]
+    dmax = {}
+    for seq, k in marks:
+        dmax[k] = max(dmax.get(k, -1), seq)
+    expect = sorted((k, v) for seq, k, v in rows
+                    if seq >= dmax.get(k, -1))
+    got = sorted((r.k, r.v)
+                 for r in io.read_appended(spark, "t").collect())
+    assert got == expect
