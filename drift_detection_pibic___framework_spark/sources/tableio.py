@@ -367,7 +367,8 @@ class ParquetTableIO:
         return len(fold)
 
     def read_appended(self, spark: SparkSession, name: str,
-                      as_of: str = None) -> DataFrame:
+                      as_of: str = None,
+                      merge_schema: bool = False) -> DataFrame:
         """Read the appended table; ``as_of`` = snapshot id time-travels to
         the table as of that commit (that snapshot and every earlier one).
         Log-tracked tables read exactly the logged membership, so an
@@ -381,7 +382,12 @@ class ParquetTableIO:
         delete marker (same sequence); a later plain append re-inserts the
         key.  Cost: one keyed join against the folded delete set (tiny —
         AQE broadcasts it under the threshold); tables with no delete
-        commits keep the plain multi-path scan."""
+        commits keep the plain multi-path scan.
+
+        ``merge_schema``: read evolved tables (columns added by later
+        commits, as schema_diff_report detects) with the UNION schema,
+        older rows null-filled — parquet mergeSchema on the plain path;
+        the merge-on-read path always unions by name."""
         d = os.path.join(self.root, name)
         snaps = self.snapshots(name)
         if not snaps:
@@ -409,7 +415,10 @@ class ParquetTableIO:
         dirs = [os.path.join(d, f"snap-{e['snap']}") for e in snaps]
         kinds = [e.get("kind", "append") for e in snaps]
         if "delete" not in kinds and "upsert" not in kinds:
-            return spark.read.parquet(*dirs)
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*dirs)
         data = None
         for seq, (p, kind) in enumerate(zip(dirs, kinds)):
             if kind == "delete":

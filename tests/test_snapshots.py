@@ -247,3 +247,14 @@ def test_mor_random_op_sequence_matches_model(spark, io):
     got = sorted((r.k, r.v)
                  for r in io.read_appended(spark, "t").collect())
     assert got == expect
+
+
+def test_merge_schema_reads_evolved_table(spark, io):
+    io.append(_kv(spark, [("a", 1)]), "t")
+    io.append(_kv(spark, [("b", 2)]).withColumn(
+        "w", __import__("pyspark.sql.functions", fromlist=["F"])
+        .lit(7)), "t")
+    df = io.read_appended(spark, "t", merge_schema=True)
+    assert set(df.columns) == {"k", "v", "w"}
+    got = {r.k: r.w for r in df.collect()}
+    assert got == {"a": None, "b": 7}
