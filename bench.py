@@ -18,6 +18,7 @@ Headline queries (each is an end-to-end action, fresh from parquet):
   q_dedup_corpus   — end-to-end dedup: exact digest + LSH closure, keep-one
   q_knn            — brute-force cosine top-5 for 10 queries over embeddings
   q_audio_features — rms/zcr/spectral-centroid extraction over bytes
+  q_quarantine     — row-level admit/divert labelling + per-part report
 
 `--scaling` runs q_batch_checks + q_invariant at local[8] and local[32] in
 subprocesses and appends the efficiency table to BENCH/BASELINE.md
@@ -166,6 +167,11 @@ def bench_queries(spark, sf_dir: str) -> tuple:
         return multimodal.audio_features(clips).agg(
             F.avg("rms")).collect()[0][0]
 
+    def q_quarantine():
+        from drift_detection_pibic___framework_spark.operators import (
+            quarantine as QR)
+        return QR.quarantine_summary(clips, dim).count()
+
     _ = Q  # registry imported for completeness
     core_only = os.environ.get("SPARK_GRAFT_CORE_ONLY") == "1"
     # each query runs twice; the WARM (min) time is reported: this sandbox
@@ -182,7 +188,8 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_hll_global", q_hll_global),
                   ("q_minhash_lsh", q_minhash_lsh),
                   ("q_dedup_corpus", q_dedup_corpus),
-                  ("q_knn", q_knn)]
+                  ("q_knn", q_knn),
+                  ("q_quarantine", q_quarantine)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
     # (2 warm laps so a single throttle blip cannot own the reported number)
     timings, cold, canaries = {}, {}, {}
