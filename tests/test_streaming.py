@@ -438,3 +438,48 @@ def test_stream_gate_compaction_bounds_sidecars_same_flags(
     assert len(plain_files) == 4                      # one per epoch
     assert len(compact_files) <= 3                    # baseline + keep + new
     assert "_baseline.json" in compact_files
+
+
+def test_stream_upsert_applies_changes_latest_wins(spark, tmp_path):
+    """Change-feed files -> one upsert commit per micro-batch; the merged
+    table must equal latest-wins per key across the whole feed, and a
+    checkpoint restart must not duplicate commits."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_upsert)
+
+    feed = str(tmp_path / "feed")
+    # two files = two availableNow micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [("a", 1, 10), ("b", 1, 20), ("a", 2, 11)],   # in-batch retry of a
+        "k string, ver int, v int").coalesce(1) \
+        .write.parquet(feed + "/f1")
+    spark.createDataFrame(
+        [("b", 3, 21), ("c", 1, 30)],
+        "k string, ver int, v int").coalesce(1) \
+        .write.parquet(feed + "/f2")
+    stream = (spark.readStream.schema("k string, ver int, v int")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(feed + "/*"))
+    io = ParquetTableIO(str(tmp_path / "t"))
+    q = stream_upsert.apply_changes_into(
+        spark, stream, io, "state", "k", "ver",
+        str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+
+    got = {r.k: (r.ver, r.v)
+           for r in io.read_appended(spark, "state").collect()}
+    assert got == {"a": (2, 11), "b": (3, 21), "c": (1, 30)}
+    n_commits = len(io.snapshots("state"))
+    assert n_commits == 2
+
+    # restart from the same checkpoint: no new commits
+    stream2 = (spark.readStream.schema("k string, ver int, v int")
+               .option("maxFilesPerTrigger", 1)
+               .parquet(feed + "/*"))
+    q2 = stream_upsert.apply_changes_into(
+        spark, stream2, io, "state", "k", "ver",
+        str(tmp_path / "ckpt"))
+    assert q2.awaitTermination(300)
+    assert len(io.snapshots("state")) == n_commits
