@@ -356,3 +356,80 @@ def _chunk_audio_quality(b: pd.DataFrame) -> pd.DataFrame:
         "rms_dbfs": np.round(dbfs, 4),
         "silence_ratio": np.round(silence, 6),
         "clip_ratio": np.round(clipr, 6)})
+
+
+AUDIO_TRIM_SCHEMA = ("rid long, clip_id string, part int, "
+                     "n_samples int, trim_start int, trim_end int, "
+                     "lead_ms double, trail_ms double")
+
+
+def audio_trim_reference(pcm: np.ndarray, sr_hz: int) -> tuple:
+    """Per-row reference (trim_start, trim_end, lead_ms, trail_ms) —
+    parity target for the batched kernel.  trim_end is EXCLUSIVE; an
+    all-silent clip reports (0, 0) and its full duration as lead."""
+    voiced = np.flatnonzero(np.abs(pcm) >= SILENCE_THRESHOLD)
+    if not len(voiced):
+        return 0, 0, round(len(pcm) / sr_hz * 1000.0, 3), 0.0
+    s, e = int(voiced[0]), int(voiced[-1]) + 1
+    return (s, e, round(s / sr_hz * 1000.0, 3),
+            round((len(pcm) - e) / sr_hz * 1000.0, 3))
+
+
+def audio_trim_offsets(clips: DataFrame) -> DataFrame:
+    """Leading/trailing silence-trim boundaries per clip — the standard
+    pre-training audio curation step (dead air at the edges wastes
+    sequence budget and skews duration stats).  Emits the first/last
+    voiced sample (|x| >= SILENCE_THRESHOLD) and the trimmed-away edge
+    durations in ms.
+
+    Same execution shape as audio_features/audio_quality: mapInPandas
+    over pruned columns, 1,024-row sub-chunks, scratch-pool buffers.  The
+    per-row search is vectorized across the whole chunk: ONE flatnonzero
+    over the flat |signal| mask + two searchsorted calls recover each
+    row's first/last voiced index — no per-row Python loop."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_trim(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+
+    cols = clips.select("rid", "clip_id", "part", "sr_hz", "bytes", "codec")
+    return cols.mapInPandas(gen, AUDIO_TRIM_SCHEMA)
+
+
+def _chunk_audio_trim(b: pd.DataFrame) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32),
+            "n_samples": pd.Series(dtype=np.int32),
+            "trim_start": pd.Series(dtype=np.int32),
+            "trim_end": pd.Series(dtype=np.int32),
+            "lead_ms": pd.Series(dtype=np.float64),
+            "trail_ms": pd.Series(dtype=np.float64)})
+    flat, starts, ns, total = _decode_rows(b)
+    ab = _scratch("tabs", total, np.float64)
+    np.absolute(flat, out=ab)
+    voiced = np.flatnonzero(ab >= SILENCE_THRESHOLD)
+    ends = starts + ns
+    lo_i = np.searchsorted(voiced, starts)
+    hi_i = np.searchsorted(voiced, ends)
+    has = hi_i > lo_i
+    trim_s = np.zeros(n, dtype=np.int64)
+    trim_e = np.zeros(n, dtype=np.int64)
+    trim_s[has] = voiced[lo_i[has]] - starts[has]
+    trim_e[has] = voiced[hi_i[has] - 1] + 1 - starts[has]
+    sr = b["sr_hz"].to_numpy().astype(np.float64)
+    lead = np.where(has, trim_s, ns) / sr * 1000.0
+    trail = np.where(has, ns - trim_e, 0) / sr * 1000.0
+    return pd.DataFrame({
+        "rid": b["rid"].to_numpy(),
+        "clip_id": b["clip_id"].to_numpy(),
+        "part": b["part"].to_numpy(),
+        "n_samples": ns.astype(np.int32),
+        "trim_start": trim_s.astype(np.int32),
+        "trim_end": trim_e.astype(np.int32),
+        "lead_ms": np.round(lead, 3),
+        "trail_ms": np.round(trail, 3)})

@@ -1122,6 +1122,22 @@ def clips_audio_quality(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+@register("clips_audio_trim")  # audio decode: no SQL equivalent
+def clips_audio_trim(spark, sf_dir):
+    """Silence-trim boundaries (lead/trail dead air per clip), aggregated
+    per partition — the edge-trim curation screen (correctness pinned by
+    the per-row parity test in tests/test_pipeline_ops.py)."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir)
+    t = multimodal.audio_trim_offsets(c)
+    return t.groupBy("part").agg(
+        F.round(F.avg("lead_ms"), 3).alias("lead_ms_mean"),
+        F.round(F.avg("trail_ms"), 3).alias("trail_ms_mean"),
+        F.sum((F.col("trim_end") == F.col("trim_start"))
+              .cast("bigint")).alias("all_silent"),
+        F.count(F.lit(1)).alias("n"))
+
+
 @register("clips_validation_verdicts")  # composite runner output: rows-only
 def clips_validation_verdicts(spark, sf_dir):
     """The flagship composite: full check-suite verdict matrix."""

@@ -876,3 +876,40 @@ def test_pack_sequences_invariants_and_shard_invariance(spark, docs):
             assert (r["n_seqs_spanned"]
                     == (start + ntok - 1) // budget - start // budget + 1)
         start += ntok
+
+
+def test_audio_trim_matches_per_row_reference(spark, clips):
+    """The batched trim kernel (flatnonzero + searchsorted across the
+    chunk) must match the per-row reference exactly."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 1").limit(80)
+    got = multimodal.audio_trim_offsets(sub).toPandas().set_index("rid")
+    pdf = sub.select("rid", "sr_hz", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        s, e, lead, trail = multimodal.audio_trim_reference(
+            pcm, int(r["sr_hz"]))
+        g = got.loc[r["rid"]]
+        assert (g["trim_start"], g["trim_end"]) == (s, e)
+        assert abs(g["lead_ms"] - lead) < 1e-9
+        assert abs(g["trail_ms"] - trail) < 1e-9
+
+
+def test_audio_trim_silent_and_padded_clips(spark):
+    """All-silent -> (0, 0), full duration as lead; a voiced middle with
+    silent edges trims to the voiced span."""
+    sr = 16000
+    silent = bytearray(b"\x00" * 320)                  # 160 samples
+    padded = np.zeros(160, dtype=np.int16)
+    padded[40:120] = 16000                             # voiced 40..119
+    df = spark.createDataFrame([
+        Row(rid=1, clip_id="s", part=0, sr_hz=sr,
+            bytes=silent, codec="pcm_s16le"),
+        Row(rid=2, clip_id="v", part=0, sr_hz=sr,
+            bytes=bytearray(padded.tobytes()), codec="pcm_s16le")])
+    g = {r.rid: r for r in multimodal.audio_trim_offsets(df).collect()}
+    assert (g[1].trim_start, g[1].trim_end) == (0, 0)
+    assert g[1].lead_ms == 10.0 and g[1].trail_ms == 0.0
+    assert (g[2].trim_start, g[2].trim_end) == (40, 120)
+    assert g[2].lead_ms == 2.5 and g[2].trail_ms == 2.5
