@@ -90,6 +90,19 @@ def main() -> int:
         "quarantine_summary (row labelling: broadcast dim, bytes pruned)",
         QRop.quarantine_summary(clips, dim),
         {"no_bytes_scan": True, "no_cartesian": True, "broadcast": True}))
+    # merge-on-read: the folded delete set is tiny, so AQE must resolve the
+    # equality-delete join to a broadcast, never a cartesian
+    import tempfile
+
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    tio = ParquetTableIO(tempfile.mkdtemp(prefix="plan_audit_mor_"))
+    tio.append(clips.select("rid", "clip_id", "part").limit(2000), "t")
+    tio.delete_keys(clips.select("clip_id").limit(50), "t", "clip_id")
+    cases.append((
+        "read_appended merge-on-read (equality-delete broadcast join)",
+        tio.read_appended(spark, "t"),
+        {"no_cartesian": True, "broadcast": True}))
     # sessionization: the groupBy(user_id, session_idx) must REUSE the
     # window's HashPartitioning(user_id) — a subset of the grouping keys
     # satisfies the clustering requirement, so the whole lag -> running
