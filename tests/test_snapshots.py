@@ -258,3 +258,25 @@ def test_merge_schema_reads_evolved_table(spark, io):
     assert set(df.columns) == {"k", "v", "w"}
     got = {r.k: r.w for r in df.collect()}
     assert got == {"a": None, "b": 7}
+
+
+def test_read_between_random_bounds_match_full_filter(spark, io):
+    """Differential: for seeded random commit ranges and query bounds,
+    the pruned read must equal filtering the full read — including
+    exact-boundary and empty-result cases."""
+    import random
+
+    rng = random.Random(7)
+    los = [rng.randrange(0, 900, 25) for _ in range(6)]
+    for lo in los:
+        io.append(spark.range(lo, lo + 25).selectExpr(
+            "cast(id as int) as v"), "t", stats_cols=("v",))
+    full = io.read_appended(spark, "t")
+    for _ in range(10):
+        a = rng.randrange(-50, 950)
+        b = a + rng.randrange(0, 200)
+        want = sorted(r.v for r in full.filter(
+            (full.v >= a) & (full.v <= b)).collect())
+        got = sorted(r.v for r in io.read_appended_between(
+            spark, "t", "v", a, b).collect())
+        assert got == want, (a, b)
