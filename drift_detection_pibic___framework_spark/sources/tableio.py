@@ -545,6 +545,54 @@ class ParquetTableIO:
                              {"kind": "upsert", "key": key})
         return snap
 
+    def expire_snapshots(self, spark: SparkSession, name: str,
+                         keep_last: int = 8) -> int:
+        """Bounded-history retention: fold every commit EXCEPT the newest
+        ``keep_last`` into one prefix rewrite, keeping recent time travel
+        (and rollback) intact — compact_snapshots for the tail only.
+
+        Correctness with merge-on-read markers: the prefix is materialized
+        via an ``as_of`` read (markers inside the prefix applied), and the
+        rewrite entry takes the last folded commit's timestamp slot, so it
+        sorts BEFORE the kept suffix.  Suffix delete/upsert markers keep
+        hiding prefix rows afterwards because every prefix row now carries
+        the rewrite's sequence number — the lowest in the sliced log.
+        Time travel to folded commits is lost (their stats sidecars too,
+        rollback contract).  Returns the number of commits folded."""
+        snaps = self.snapshots(name)
+        # never fold across a suffix boundary that starts with markers:
+        # the first kept entry must be a data commit, else its markers
+        # would have nothing... they'd still apply to the rewrite (lower
+        # seq) — marker-first suffixes are fine; only an ALL-marker prefix
+        # is degenerate (nothing to materialize)
+        fold, kept = (snaps[:-keep_last], snaps[-keep_last:]) \
+            if keep_last else (snaps, [])
+        if len(fold) < 2:
+            return 0
+        if all(e.get("kind") == "delete" for e in fold):
+            return 0
+        boundary = fold[-1]
+        prefix = self.read_appended(spark, name, as_of=boundary["snap"])
+        snap = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, name, f"snap-{snap}")
+        prefix.write.mode("overwrite").parquet(out)
+        self._commit_snaplog(name, snap, boundary["ts_ns"] + 1,
+                             {"kind": "rewrite"})
+        d = self._snaplog_dir(name)
+        for e in fold:
+            p = os.path.join(d, f"{e['ts_ns']:020d}-{e['snap']}.json")
+            os.replace(p, p[:-len(".json")] + ".orphan")
+            sp = self._stats_path(name, e["snap"])
+            if os.path.exists(sp):
+                os.remove(sp)
+        bp = self._stats_path(name, "_baseline")
+        if os.path.exists(bp):
+            with open(bp) as f:
+                covered = set(json.load(f).get("covers", ()))
+            if covered & {e["snap"] for e in fold}:
+                os.remove(bp)
+        return len(fold)
+
     def compact_snapshots(self, spark: SparkSession, name: str) -> str:
         """Major compaction: materialize the current merge-on-read state as
         ONE rewrite commit and retire every earlier commit (delete markers

@@ -10,6 +10,8 @@ bounds each of those at production commit counts:
 - ``--rewrite``: major compaction — materialize the merge-on-read state
   as ONE rewrite commit (physically applying equality deletes / upserts)
   and retire the history.  Time travel to retired snapshots is lost.
+- ``--expire N``: bounded-history retention — fold everything except the
+  newest N commits into a prefix rewrite; recent time travel survives.
 - ``--compact-stats N``: fold all but the newest N stats sidecars into
   the mergeable baseline sidecar (gate metadata becomes O(N)).
 - ``--vacuum``: delete data dirs no live log entry references (rolled
@@ -33,6 +35,7 @@ def main() -> int:
                     help="TableIO root directory")
     ap.add_argument("--table", required=True)
     ap.add_argument("--rewrite", action="store_true")
+    ap.add_argument("--expire", type=int, default=0, metavar="N")
     ap.add_argument("--compact-stats", type=int, default=0, metavar="N")
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--master",
@@ -66,6 +69,9 @@ def main() -> int:
         before = len(io.snapshots(args.table))
         snap = io.compact_snapshots(spark, args.table)
         print(f"rewrite: {before} commits -> 1 (snap-{snap})")
+    if args.expire:
+        n = io.expire_snapshots(spark, args.table, keep_last=args.expire)
+        print(f"expire: folded {n} commits (keep_last={args.expire})")
     if args.compact_stats:
         n = io.compact_stats(spark, args.table,
                              keep_last=args.compact_stats)

@@ -280,3 +280,41 @@ def test_read_between_random_bounds_match_full_filter(spark, io):
         got = sorted(r.v for r in io.read_appended_between(
             spark, "t", "v", a, b).collect())
         assert got == want, (a, b)
+
+
+def test_expire_snapshots_keeps_recent_time_travel(spark, io):
+    snaps = [io.append(_kv(spark, [(c, i)]), "t")
+             for i, c in enumerate("abcde")]
+    before = {(r.k, r.v) for r in io.read_appended(spark, "t").collect()}
+    assert io.expire_snapshots(spark, "t", keep_last=2) == 3
+    after = {(r.k, r.v) for r in io.read_appended(spark, "t").collect()}
+    assert after == before
+    # recent time travel intact: as of the 4th commit, e is absent
+    tt = {r.k for r in
+          io.read_appended(spark, "t", as_of=snaps[3]).collect()}
+    assert tt == {"a", "b", "c", "d"}
+    # folded commits are gone from the timeline
+    with pytest.raises(ValueError):
+        io.read_appended(spark, "t", as_of=snaps[0])
+    assert io.vacuum("t") == 3
+
+
+def test_expire_then_suffix_delete_still_hides_prefix_rows(spark, io):
+    io.append(_kv(spark, [("a", 1), ("b", 2)]), "t")
+    io.append(_kv(spark, [("c", 3)]), "t")
+    io.delete_keys(_kv(spark, [("a", 0)]), "t", "k")
+    assert io.expire_snapshots(spark, "t", keep_last=1) == 2
+    got = {r.k: r.v for r in io.read_appended(spark, "t").collect()}
+    assert got == {"b": 2, "c": 3}     # kept marker still hides prefix a
+    # and folding the marker in later applies it physically
+    io.append(_kv(spark, [("d", 4)]), "t")
+    assert io.expire_snapshots(spark, "t", keep_last=1) == 2
+    got = {r.k: r.v for r in io.read_appended(spark, "t").collect()}
+    assert got == {"b": 2, "c": 3, "d": 4}
+
+
+def test_expire_noop_cases(spark, io):
+    io.append(_kv(spark, [("a", 1)]), "t")
+    io.append(_kv(spark, [("b", 2)]), "t")
+    assert io.expire_snapshots(spark, "t", keep_last=2) == 0
+    assert io.expire_snapshots(spark, "t", keep_last=8) == 0
