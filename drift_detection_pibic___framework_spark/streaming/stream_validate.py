@@ -91,7 +91,8 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
                               checkpoint_dir: str, gate_root: str,
                               available_now: bool = True,
                               compact_after: int = 0,
-                              compact_keep: int = 8):
+                              compact_keep: int = 8,
+                              quarantine: bool = False):
     """Streaming validation + commit-time drift gates: every micro-batch
     becomes ONE sidecar-profiled TableIO commit (moments + KLL + MG + HLL,
     operators/snapshot_diff.py), gated against the fold of all prior
@@ -110,7 +111,15 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
     — per-epoch gate cost stays O(compact_after) instead of O(epochs),
     and gate VERDICTS are unchanged because every gate compares the latest
     commit against the FOLD of all earlier summaries, and fold(baseline +
-    kept) == fold(all) for these mergeable summaries."""
+    kept) == fold(all) for these mergeable summaries.
+
+    ``quarantine`` completes the ingest pipeline: each micro-batch is
+    split by the row-level suite predicates (operators/quarantine.py)
+    BEFORE the commit — only admitted rows enter the gate table (so the
+    drift baselines never learn from rejected rows), and the diverted
+    rows land beside the verdicts under ``<out_dir>_quarantined`` with
+    their reason strings, epoch-partitioned with the same idempotent
+    dynamic overwrite."""
     from ..operators import snapshot_diff
     from ..sources.tableio import ParquetTableIO
 
@@ -125,9 +134,20 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("epoch")
          .parquet(out_dir))
+        admit = batch
+        if quarantine:
+            from ..operators import quarantine as QR
+            admit, bad = QR.quarantine(batch, dim)
+            (bad.select("clip_id", "part",
+                        F.array_join("reasons", ",").alias("reasons"))
+             .withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(out_dir + "_quarantined"))
         if int(epoch_id) not in io.read_manifest(GATE_SCOPE):
             snap = io.append(
-                batch.select("clip_id", "sr_hz", "dur_ms", "codec"),
+                admit.select("clip_id", "sr_hz", "dur_ms", "codec"),
                 GATE_TABLE, stats_cols=("sr_hz", "dur_ms"),
                 cat_cols=("codec",), key_cols=("clip_id",))
             io.commit_manifest_row(GATE_SCOPE, int(epoch_id),

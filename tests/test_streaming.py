@@ -483,3 +483,41 @@ def test_stream_upsert_applies_changes_latest_wins(spark, tmp_path):
         str(tmp_path / "ckpt"))
     assert q2.awaitTermination(300)
     assert len(io.snapshots("state")) == n_commits
+
+
+def test_stream_gate_quarantine_diverts_before_commit(
+        spark, fixture_dir, tmp_path):
+    """With quarantine on, each epoch's rejected rows land in the
+    _quarantined sink and ONLY admitted rows enter the gate table, so
+    admitted + quarantined == ingested and the gate baselines never see
+    rejected rows (the injected 192 kHz sr outlier is diverted, not
+    committed)."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_validate)
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    gate_root = str(tmp_path / "g")
+    q = stream_validate.validate_stream_with_gate(
+        spark, f"{fixture_dir}/clips",
+        f"{fixture_dir}/allowed_codecs.parquet", out, ckpt, gate_root,
+        quarantine=True)
+    assert q.awaitTermination(300)
+
+    io = ParquetTableIO(gate_root)
+    committed = sum(s["rows"] for s in
+                    io.snapshot_stats(stream_validate.GATE_TABLE))
+    bad = spark.read.parquet(out + "_quarantined")
+    n_bad = bad.count()
+    total = spark.read.parquet(f"{fixture_dir}/clips").count()
+    assert n_bad > 0 and committed + n_bad == total
+    # diverted reasons match the fixture defect classes
+    reasons = set()
+    for r in bad.collect():
+        reasons.update(r.reasons.split(","))
+    assert "null_transcript" in reasons and "duplicate_clip_id" in reasons
+    # the gate table now contains zero out-of-range sr rows
+    mx = io.read_appended(spark, stream_validate.GATE_TABLE) \
+        .agg({"sr_hz": "max"}).collect()[0][0]
+    assert mx <= 48000
