@@ -545,6 +545,46 @@ class ParquetTableIO:
                              {"kind": "upsert", "key": key})
         return snap
 
+    def describe_table(self, name: str) -> dict:
+        """Metadata-only table health report (no Spark, no data IO):
+        commit counts by kind, profiled-rows total from sidecars, stats
+        coverage, live/orphaned data dirs, and which maintenance action
+        (jobs/maintain.py) the state calls for."""
+        snaps = self.snapshots(name)
+        kinds = {}
+        for e in snaps:
+            k = e.get("kind", "append")
+            kinds[k] = kinds.get(k, 0) + 1
+        sides = self.snapshot_stats(name)
+        d = os.path.join(self.root, name)
+        dirs = [f for f in os.listdir(d) if f.startswith("snap-")] \
+            if os.path.isdir(d) else []
+        live = {e["snap"] for e in snaps}
+        orphan_dirs = [f for f in dirs if f[len("snap-"):] not in live]
+        markers = kinds.get("delete", 0) + kinds.get("upsert", 0)
+        recs = []
+        if markers >= 8:
+            recs.append("rewrite (many delete/upsert markers slow reads)")
+        if len(snaps) >= 64:
+            recs.append("expire (long commit log)")
+        if len(sides) >= 32:
+            recs.append("compact-stats (gate fold reads many sidecars)")
+        if orphan_dirs:
+            recs.append("vacuum (unreferenced data dirs on disk)")
+        return {
+            "table": name,
+            "commits": len(snaps),
+            "by_kind": kinds,
+            "delete_or_upsert_markers": markers,
+            "stats_sidecars": len(sides),
+            "has_stats_baseline": any(
+                s.get("snap") == "_baseline" for s in sides),
+            "profiled_rows": sum(s["rows"] for s in sides),
+            "data_dirs": len(dirs),
+            "orphaned_data_dirs": len(orphan_dirs),
+            "recommend": recs,
+        }
+
     def expire_snapshots(self, spark: SparkSession, name: str,
                          keep_last: int = 8) -> int:
         """Bounded-history retention: fold every commit EXCEPT the newest

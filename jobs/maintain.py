@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--expire", type=int, default=0, metavar="N")
     ap.add_argument("--compact-stats", type=int, default=0, metavar="N")
     ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--describe", action="store_true",
+                    help="print the metadata-only table health report")
     ap.add_argument("--master",
                     default=os.environ.get("SPARK_MASTER", "local[8]"))
     args = ap.parse_args()
@@ -80,6 +82,9 @@ def main() -> int:
     if args.vacuum:
         n = io.vacuum(args.table)
         print(f"vacuum: removed {n} unreferenced data dirs")
+    if args.describe:
+        import json
+        print(json.dumps(io.describe_table(args.table), indent=2))
     print(f"done in {time.time() - t0:.1f}s")
     return 0
 

@@ -318,3 +318,20 @@ def test_expire_noop_cases(spark, io):
     io.append(_kv(spark, [("b", 2)]), "t")
     assert io.expire_snapshots(spark, "t", keep_last=2) == 0
     assert io.expire_snapshots(spark, "t", keep_last=8) == 0
+
+
+def test_describe_table_reports_state_and_recommendations(spark, io):
+    for i in range(3):
+        io.append(_kv(spark, [("a", i)]), "t", stats_cols=("v",))
+    io.delete_keys(_kv(spark, [("a", 0)]), "t", "k")
+    rep = io.describe_table("t")
+    assert rep["commits"] == 4
+    assert rep["by_kind"] == {"append": 3, "delete": 1}
+    assert rep["delete_or_upsert_markers"] == 1
+    assert rep["stats_sidecars"] == 3 and rep["profiled_rows"] == 3
+    assert not rep["has_stats_baseline"] and rep["recommend"] == []
+    # an orphaned dir triggers the vacuum recommendation
+    io.rollback("t", io.snapshots("t")[1]["snap"])
+    rep2 = io.describe_table("t")
+    assert rep2["orphaned_data_dirs"] == 2
+    assert any(r.startswith("vacuum") for r in rep2["recommend"])
