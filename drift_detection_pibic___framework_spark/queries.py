@@ -2603,6 +2603,40 @@ def clips_quarantine_summary(spark, sf_dir):
     return QR.quarantine_summary(clips_df(spark, sf_dir), dim)
 
 
+@register("clips_speech_rate_outliers", f"""
+WITH r AS (
+  SELECT clip_id, part,
+         ROUND(length(transcript) / (dur_ms / 1000.0), 4) AS chars_per_sec
+  FROM read_parquet('{CLIPS_SF001_GLOB}')
+  WHERE transcript IS NOT NULL AND dur_ms > 0)
+SELECT clip_id, part, chars_per_sec,
+       CASE WHEN chars_per_sec < 20.0 THEN 'too_slow'
+            ELSE 'too_fast' END AS flag
+FROM r
+WHERE chars_per_sec < 20.0 OR chars_per_sec > 600.0
+""")
+def clips_speech_rate_outliers(spark, sf_dir):
+    """Transcript-audio agreement screen: characters per second of audio.
+    Rates far outside the corpus' own speech-rate envelope mean the
+    transcript doesn't belong to the clip — truncated text, wrong file,
+    or placeholder garbage — the standard ASR-corpus mismatch filter.
+    Bounds sit at the synthetic fixture's ~p01/p99 (real speech is
+    ~2-35 chars/s; the fixture's transcripts are denser by design, so
+    the screen is calibrated to ITS distribution and flags the tails).  Pure narrow projection + filter, no shuffle; at 100 TB this
+    is a pushed-filter scan emitting only offenders."""
+    c = clips_df(spark, sf_dir)
+    r = (c.filter(F.col("transcript").isNotNull() & (F.col("dur_ms") > 0))
+         .select("clip_id", "part",
+                 F.round(F.length("transcript")
+                         / (F.col("dur_ms") / F.lit(1000.0)), 4)
+                 .alias("chars_per_sec")))
+    return (r.filter((F.col("chars_per_sec") < 20.0)
+                     | (F.col("chars_per_sec") > 600.0))
+            .withColumn("flag",
+                        F.when(F.col("chars_per_sec") < 20.0, "too_slow")
+                        .otherwise("too_fast")))
+
+
 # =========================================================================
 # Merge-on-read upsert replay (tableio equality-delete semantics)
 # =========================================================================
@@ -2718,6 +2752,9 @@ _DEMOTED_ORACLED = [
     # driver-green r1-r3 (sibling doc_quality stays in-window); rotated
     # out late-r4 to admit events_upsert_user_state (merge-on-read):
     "doc_token_counts",
+    # driver-green r1-r3 (drift family's PSI twin clips_psi_drift stays
+    # in-window); rotated out late-r4 to admit clips_speech_rate_outliers:
+    "clips_dur_histogram",
 ]
 
 _oracled = [n for n in QUERIES
