@@ -175,11 +175,53 @@ class ValidationRunner:
             blob = manifest[max(done)].get("detector_state")
             if blob:
                 return self._steppers_from_blob(blob)
+        return self._fresh_steppers()
+
+    @staticmethod
+    def _fresh_steppers() -> dict:
         return {
             name: PrequentialStepper(name, tamanho_batch=SERIES_SEED_PARTS,
                                      params=cfg["params"],
                                      bin_threshold=cfg["bin_threshold"])
             for name, cfg in SERIES_DETECTORS.items()}
+
+    def invalidate_from(self, part: int) -> list:
+        """Re-open validation from ``part`` onward — the correction path
+        after an upsert/backfill touches already-validated partitions.
+
+        The sequential-series contract (SURVEY §2.9 T3: detectors consume
+        the ORDERED per-partition stat series) forbids re-inserting a
+        middle partition alone, so a correction rolls the series back to
+        the correction point: every done partition >= ``part`` gets an
+        O(1) 'invalidated' override row (overlays rows folded into the
+        consolidated manifest too), and the detector-state sidecar is
+        rebuilt by replaying the surviving prefix's stored metrics from
+        fresh seeds (same z inputs -> byte-identical state, the resume
+        repair guarantee).  The next run() then re-validates exactly the
+        invalidated suffix with correct series state; outputs are
+        idempotent per (part, scope).  Returns the re-opened partitions."""
+        manifest = self.io.read_manifest(self.scope)
+        done = sorted(p for p, v in manifest.items()
+                      if v.get("status") == "done")
+        victims = [p for p in done if p >= part]
+        for p in victims:
+            self.io.commit_manifest_row(
+                self.scope, p, {"status": "invalidated"})
+        keep = [p for p in done if p < part]
+        if keep:
+            steppers = self._fresh_steppers()
+            base_mean, base_std = self._baseline_moments({})
+            for p in keep:
+                stat = json.loads(manifest[p]["metrics_json"])
+                z = abs((stat[f"{MONITOR_COL}_mean"] - base_mean) /
+                        (base_std or 1.0))
+                self._advance_steppers(steppers, p, z)
+            self.io.commit_state(self.scope, {
+                "part": max(keep),
+                "detector_state": self._dump_steppers(steppers)})
+        else:
+            self.io.clear_state(self.scope)
+        return victims
 
     @staticmethod
     def _dump_steppers(steppers: dict) -> str:

@@ -852,6 +852,11 @@ class ParquetTableIO:
         with open(p) as f:
             return json.load(f)
 
+    def clear_state(self, scope: str) -> None:
+        p = self._state_path(scope)
+        if os.path.exists(p):
+            os.remove(p)
+
     def pending_partitions(self, name: str, scope: str) -> list:
         """Resume path: partitions with no committed 'done' manifest row —
         the driver-side equivalent of

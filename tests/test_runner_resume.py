@@ -264,3 +264,35 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert res3["rows"] == 4000
     assert sorted((r.id, r.v)
                   for r in spark.read.parquet(d).collect()) == before
+
+
+def test_invalidate_from_reopens_suffix_identical(spark, io):
+    """The correction path: after a full run, invalidate_from(10) must
+    re-open exactly parts 10..15 with the detector series rolled back to
+    part 9 (state rebuilt by metric replay), and the re-run must
+    reproduce the uninterrupted run byte-identically."""
+    a = ValidationRunner(io, scope="canon")
+    a.run(spark)
+    b = ValidationRunner(io, scope="corr")
+    b.run(spark)
+    victims = b.invalidate_from(10)
+    assert victims == list(range(10, 16))
+    assert io.pending_partitions("clips", "corr") == list(range(10, 16))
+    # series state rolled back to the surviving prefix
+    assert io.read_state("corr")["part"] == 9
+    b.run(spark)
+
+    ma, mb = io.read_manifest("canon"), io.read_manifest("corr")
+    for p in range(16):
+        for k in ("verdict", "state", "checks", "series_drift",
+                  "metrics_json"):
+            assert ma[p][k] == mb[p][k], (p, k)
+    assert io.read_state("corr")["part"] == 15
+
+
+def test_invalidate_from_zero_resets_everything(spark, io):
+    r = ValidationRunner(io, scope="wipe")
+    r.run(spark)
+    assert len(r.invalidate_from(0)) == 16
+    assert io.read_state("wipe") is None
+    assert io.pending_partitions("clips", "wipe") == list(range(16))
