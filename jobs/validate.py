@@ -50,6 +50,21 @@ def main() -> int:
                          "per-snapshot stats sidecars and print the "
                          "zero-rescan commit-drift report (exit 1 if the "
                          "last commit drifts)")
+    ap.add_argument("--runner", action="store_true",
+                    help="manifest-resumable per-partition flow "
+                         "(ValidationRunner): validates only pending "
+                         "partitions, commits O(1) manifest rows, "
+                         "advances the sequential series monitor")
+    ap.add_argument("--scope", default="cli",
+                    help="manifest scope for --runner (resume key)")
+    ap.add_argument("--limit-parts", type=int, default=None,
+                    help="with --runner: stop after N partitions "
+                         "(kill/resume simulation)")
+    ap.add_argument("--invalidate-from", type=int, default=None,
+                    metavar="P",
+                    help="with --runner: re-open validation from "
+                         "partition P before running (correction path "
+                         "after an upsert/backfill)")
     ap.add_argument("--quarantine", default=None, metavar="OUT_DIR",
                     help="split the clips table into admitted/quarantined "
                          "parquet sinks with per-row reasons and print the "
@@ -96,6 +111,37 @@ def main() -> int:
         dt = time.time() - t0
         print(f"\n{len(summary)} grid cells (x{args.reps} reps) in {dt:.1f}s")
         return 0
+
+    if args.runner:
+        from drift_detection_pibic___framework_spark.plans.runner import (
+            ValidationRunner)
+        from drift_detection_pibic___framework_spark.sources.tableio import (
+            ParquetTableIO)
+
+        if not os.path.isdir(os.path.join(args.data, "clips")):
+            print(f"error: no clips table at {args.data}/clips",
+                  file=sys.stderr)
+            return 2
+        r = ValidationRunner(ParquetTableIO(args.data), scope=args.scope)
+        if args.invalidate_from is not None:
+            reopened = r.invalidate_from(args.invalidate_from)
+            print(f"invalidated {len(reopened)} partitions "
+                  f">= {args.invalidate_from}")
+        res = r.run(spark, limit_parts=args.limit_parts)
+        if res["skipped"]:
+            print("nothing pending — manifest is complete")
+            return 0
+        m = r.io.read_manifest(args.scope)
+        for p in sorted(res["validated"] + res["failed"]):
+            row = m[p]
+            print(f"part={p:>3} verdict={row['verdict']:<4} "
+                  f"state={row['state']:<8} "
+                  f"series_drift={row['series_drift']}")
+        dt = time.time() - t0
+        print(f"\n{len(res['validated'])} passed, {len(res['failed'])} "
+              f"failed of {len(res['validated']) + len(res['failed'])} "
+              f"partitions in {dt:.1f}s (scope={args.scope})")
+        return 1 if res["failed"] else 0
 
     if args.quarantine:
         from drift_detection_pibic___framework_spark.operators import (
