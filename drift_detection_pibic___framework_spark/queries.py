@@ -2682,6 +2682,44 @@ def events_upsert_user_state(spark, sf_dir):
                     F.round("value", 6).alias("value")))
 
 
+@register("events_upsert_expired_state", """
+SELECT user_id, event_id, event_type, ROUND(value, 6) AS value
+FROM (SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""")
+def events_upsert_expired_state(spark, sf_dir):
+    """The upsert replay of events_upsert_user_state followed by
+    bounded-history retention (expire_snapshots keep_last=1): the prefix
+    rewrite must preserve the merged state EXACTLY, so the same
+    latest-wins oracle applies.  Gates the retention path's correctness
+    against SQL, not just unit tests."""
+    import tempfile
+
+    from .sources.tableio import ParquetTableIO
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    c1, c2 = hi // 3, 2 * hi // 3
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    latest = (lambda df: df.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").drop("rn"))
+    io = ParquetTableIO(tempfile.mkdtemp(prefix="dpf_expire_q_"))
+    io.append(latest(ev.filter(F.col("event_id") <= c1)), "state")
+    io.upsert(latest(ev.filter((F.col("event_id") > c1)
+                               & (F.col("event_id") <= c2))),
+              "state", "user_id")
+    io.upsert(latest(ev.filter(F.col("event_id") > c2)), "state", "user_id")
+    folded = io.expire_snapshots(spark, "state", keep_last=1)
+    assert folded == 2, folded
+    return (io.read_appended(spark, "state")
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 6).alias("value")))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -2755,6 +2793,10 @@ _DEMOTED_ORACLED = [
     # driver-green r1-r3 (drift family's PSI twin clips_psi_drift stays
     # in-window); rotated out late-r4 to admit clips_speech_rate_outliers:
     "clips_dur_histogram",
+    # registered with the window already full (certified sibling
+    # events_upsert_user_state covers the merge-on-read read path
+    # in-window); verified every round via scripts/check_entry.py:
+    "events_upsert_expired_state",
 ]
 
 _oracled = [n for n in QUERIES
