@@ -1732,6 +1732,48 @@ def events_sessionized(spark, sf_dir):
                      / F.lit(1000000.0), 3).alias("dur_sec")))
 
 
+@register("events_session_windows", """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(date_diff('microsecond', min(ts), max(ts)) / 1000000.0, 3)
+         AS dur_sec
+FROM s GROUP BY user_id, sid
+""")
+def events_session_windows(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window (the streaming-
+    capable merging-window operator), 30-minute gap — the declarative
+    twin of the manual lag->flag->sum chain (events_sessionized): one
+    keyed shuffle, sessions merged by the engine's own interval-merge
+    logic.  Oracle is the gaps-and-islands SQL with Spark's boundary
+    rule (a gap of EXACTLY the duration starts a new session).  Start
+    times compare wall-clock-formatted (NTZ-safe), durations compare
+    microsecond integers."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(
+                     F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+                     / F.lit(1000000.0), 3).alias("dur_sec"))
+            .select("user_id",
+                    F.date_format("session_window.start",
+                                  "yyyy-MM-dd HH:mm:ss")
+                    .alias("session_start"),
+                    "n_events", "dur_sec"))
+
+
 @register("doc_top_ngrams", f"""
 WITH sh AS (SELECT {_shingles_sql()} AS s FROM documents)
 SELECT g.g AS ngram, CAST(count(*) AS BIGINT) AS n_docs
@@ -2797,6 +2839,10 @@ _DEMOTED_ORACLED = [
     # events_upsert_user_state covers the merge-on-read read path
     # in-window); verified every round via scripts/check_entry.py:
     "events_upsert_expired_state",
+    # window full; manual-chain twin events_sessionized is in-window and
+    # certifies the same semantics — this one pins the NATIVE
+    # session_window operator via check_entry:
+    "events_session_windows",
 ]
 
 _oracled = [n for n in QUERIES
