@@ -419,21 +419,34 @@ class ParquetTableIO:
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
             return reader.parquet(*dirs)
+        # Marker-count sequencing keeps the PLAN size O(markers), not
+        # O(commits): a data row's sequence number is the count of marker
+        # commits at or before it (an upsert counts itself), a marker's is
+        # the count at or before it — the keep rule `row >= marker` is
+        # unchanged, and every run of consecutive marker-free commits
+        # shares one number, so it reads as ONE multi-path scan.  At 1e5
+        # commits with a handful of markers this is a handful of scans
+        # unioned, vs 1e5 union branches.  (Trade-off: commits inside one
+        # segment read with the plain multi-path schema; segments union
+        # by name, so evolution ACROSS marker boundaries is tolerated.)
+        segments: dict = {}          # marker-count -> [data dirs]
+        by_key: dict = {}            # key column -> [(marker seq, dir)]
+        mcount = 0
+        for e, p, kind in zip(snaps, dirs, kinds):
+            if kind in ("delete", "upsert"):
+                mcount += 1
+                by_key.setdefault(e["key"], []).append((mcount, p))
+            if kind != "delete":
+                segments.setdefault(mcount, []).append(p)
         data = None
-        for seq, (p, kind) in enumerate(zip(dirs, kinds)):
-            if kind == "delete":
-                continue
-            part = spark.read.parquet(p).withColumn("_seq", F.lit(seq))
+        for s, paths in segments.items():
+            part = spark.read.parquet(*paths).withColumn("_seq", F.lit(s))
             data = part if data is None else \
                 data.unionByName(part, allowMissingColumns=True)
         if data is None:
             raise ValueError(f"table {name} has only delete commits")
         out_cols = [c for c in data.columns if c != "_seq"]
         # fold delete markers per key column: (key value -> max delete seq)
-        by_key: dict = {}
-        for seq, (e, p, kind) in enumerate(zip(snaps, dirs, kinds)):
-            if kind in ("delete", "upsert"):
-                by_key.setdefault(e["key"], []).append((seq, p))
         for key, marks in by_key.items():
             dels = None
             for seq, p in marks:

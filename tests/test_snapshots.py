@@ -335,3 +335,19 @@ def test_describe_table_reports_state_and_recommendations(spark, io):
     rep2 = io.describe_table("t")
     assert rep2["orphaned_data_dirs"] == 2
     assert any(r.startswith("vacuum") for r in rep2["recommend"])
+
+
+def test_mor_plan_size_scales_with_markers_not_commits(spark, io):
+    """20 data commits around ONE delete marker must plan as segment
+    scans (one per marker-free run) plus the marker scan — not one union
+    branch per commit."""
+    for i in range(10):
+        io.append(_kv(spark, [(f"a{i}", i)]), "t")
+    io.delete_keys(_kv(spark, [("a3", 0)]), "t", "k")
+    for i in range(10, 20):
+        io.append(_kv(spark, [(f"a{i}", i)]), "t")
+    df = io.read_appended(spark, "t")
+    assert df.count() == 19
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 3, f"{n_scans} scans for 21 commits"
