@@ -333,15 +333,21 @@ class ParquetTableIO:
 
         hll: dict = {}
         hll_cols = {c for s in fold for c in s.get("hll", {})}
-        for c in hll_cols:
-            blobs = [(base64.b64decode(s["hll"][c]["sketch"]),)
+        if hll_cols:
+            # ONE job for every key column: tag blobs and group-union
+            blobs = [(c, base64.b64decode(s["hll"][c]["sketch"]))
+                     for c in hll_cols
                      for s in fold if c in s.get("hll", {})]
-            union = (spark.createDataFrame(blobs, "sketch binary")
-                     .agg(F.expr("hll_union_agg(sketch, true)"))
-                     .collect()[0][0])
-            hll[c] = {"n": sum(s["hll"][c]["n"] for s in fold
-                               if c in s.get("hll", {})),
-                      "sketch": base64.b64encode(bytes(union)).decode()}
+            unions = (spark.createDataFrame(
+                blobs, "col string, sketch binary")
+                .groupBy("col")
+                .agg(F.expr("hll_union_agg(sketch, true)").alias("u"))
+                .collect())
+            for r in unions:
+                hll[r["col"]] = {
+                    "n": sum(s["hll"][r["col"]]["n"] for s in fold
+                             if r["col"] in s.get("hll", {})),
+                    "sketch": base64.b64encode(bytes(r["u"])).decode()}
 
         payload = {
             "baseline": True,
