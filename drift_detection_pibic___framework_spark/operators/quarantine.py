@@ -1,7 +1,8 @@
 """Row-level quarantine: split a commit into admitted vs quarantined rows.
 
-The reference emits violation ROWS per failed check (framework/validacao
-prints per-window verdicts and offending samples); production ingest needs
+The reference drops offending rows before processing (its NaN-row drop,
+/root/reference/framework_experiments.ipynb cell 38 ``dropna()`` — SURVEY
+§2.2 P9) and emits per-window verdicts; production ingest needs
 the complementary sink-side action — admit the clean rows, divert the
 offenders WITH their reasons (the "expectations with drop rows" pattern).
 This operator lifts the suite's row-level predicates (plans/suite.py) into

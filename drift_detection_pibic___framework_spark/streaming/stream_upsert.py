@@ -1,6 +1,10 @@
 """CDC-style streaming upsert sink: apply a change feed into a TableIO
 table, latest-per-key wins.
 
+(Extension beyond the reference's replay-only stream simulation —
+/root/reference/utils/StreamProcessor.py processes a fixed stream once
+and never revises a past observation; a production feed does.)
+
 The batch engine owns corpus state in TableIO tables; this sink is the
 continuous path for feeds that CORRECT earlier rows (re-transcribed
 clips, fixed metadata, late-arriving replacements) rather than append new
