@@ -188,6 +188,7 @@ class ParquetTableIO:
         kll, mg = self._snapshot_sketches(snap_df, cols, cat_cols)
         payload = {
             "snap": snap,
+            "files": self._harvest_file_stats(name, snap, cols),
             "rows": row["_rows"],
             "cols": {c: {k: row[f"{c}_{k}"]
                          for k in ("n", "nulls", "sum", "sumsq", "min", "max")}
@@ -207,6 +208,59 @@ class ParquetTableIO:
         with open(tmp, "w") as f:
             json.dump(payload, f)
         os.replace(tmp, dest)
+
+    def _harvest_file_stats(self, name: str, snap: str, cols) -> dict:
+        """Per-file min/max/value-count for ``cols``, read from the parquet
+        FOOTERS of the just-committed snapshot — the statistics the writer
+        already embedded, so this is O(files) metadata reads and ZERO data
+        IO.  This is the Iceberg manifest-file role: ``read_where`` prunes
+        individual files against a predicate before Spark ever lists them
+        into a scan, which cuts task count as well as bytes.  A file whose
+        footer lacks stats for a column simply omits it (reads stay
+        conservative).  At real scale this harvest runs where the writer
+        ran (it is per-commit, not per-table); driver-side here because a
+        commit is at most a few hundred files in this sandbox."""
+        if not cols:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        d = os.path.join(self.root, name, f"snap-{snap}")
+        out = {}
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fn)).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            per = {}
+            for c in cols:
+                j = idx.get(c)
+                if j is None:
+                    continue
+                mn = mx = None
+                n = 0
+                ok = True
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(j).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                    n += st.num_values
+                # JSON sidecar: keep only plainly-serializable stat types
+                # (timestamp/binary footer stats are skipped -> conservative)
+                if ok and isinstance(mn, (int, float, str)) \
+                        and not isinstance(mn, bool):
+                    per[c] = {"min": mn, "max": mx, "n": n}
+            # EVERY parquet file gets an entry (possibly empty): the dict
+            # is the snapshot's complete file membership, so read_where can
+            # treat it as authoritative — a stat-less file is kept, never
+            # lost.
+            out[fn] = per
+        return out
 
     @staticmethod
     def _snapshot_sketches(snap_df: DataFrame, num_cols, cat_cols,
@@ -524,6 +578,156 @@ class ParquetTableIO:
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
         return df.filter(cond)
+
+    def write_clustered(self, df: DataFrame, name: str, by,
+                        n_files: int = 16, zorder_bits: int = 8,
+                        stats_cols=None, cat_cols=None,
+                        key_cols=None) -> str:
+        """Append ``df`` physically clustered on ``by`` so that file-level
+        min/max pruning (``read_where``) is SELECTIVE on those columns.
+
+        One column -> range clustering (``repartitionByRange`` + sort
+        within partitions: each file covers a narrow contiguous slice).
+        Several columns -> z-order: rows are laid out along the Morton
+        curve of the columns' bucket codes (``functions/zorder.py``), so
+        each file covers a small hyper-rectangle and its footer min/max
+        is tight on EVERY clustered column at once.
+
+        The clustered columns are always added to ``stats_cols`` so the
+        commit sidecar carries the per-file footer ranges.  Cost: one
+        range shuffle (+ one min/max aggregate pass for z-order bounds) at
+        write time — paid once, amortized over every pruned read.  At
+        10^12 clips this is the difference between a bounded-predicate
+        query scanning ~predicate-selectivity of the table versus all of
+        it."""
+        by = list(by)
+        stats_cols = sorted(set(by) | set(stats_cols or ()))
+        if len(by) == 1:
+            out = (df.repartitionByRange(n_files, by[0])
+                   .sortWithinPartitions(by[0]))
+        else:
+            from ..functions.zorder import cluster_bounds, zvalue
+            bounds = cluster_bounds(df, by)
+            out = (df.withColumn("_z", zvalue(by, bounds, zorder_bits))
+                   .repartitionByRange(n_files, "_z")
+                   .sortWithinPartitions("_z")
+                   .drop("_z"))
+        return self.append(out, name, stats_cols=stats_cols,
+                           cat_cols=cat_cols, key_cols=key_cols)
+
+    _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+    @staticmethod
+    def _range_excluded(colstats: dict, preds: dict, trust=None) -> bool:
+        """True if ``colstats`` ({col: {n, min, max, ...}}) PROVES no row
+        can satisfy every predicate in ``preds`` ({col: (lo, hi)},
+        inclusive, None = unbounded).  A column absent from ``colstats``
+        (or from ``trust`` when given) never excludes — unknown stats read
+        conservatively."""
+        for c, (lo, hi) in preds.items():
+            if trust is not None and c not in trust:
+                continue
+            m = colstats.get(c)
+            if not m:
+                continue
+            if m.get("n", 1) == 0:
+                return True
+            if m.get("min") is None or m.get("max") is None:
+                continue
+            if hi is not None and m["min"] > hi:
+                return True
+            if lo is not None and m["max"] < lo:
+                return True
+        return False
+
+    def plan_where(self, name: str, preds: dict):
+        """Prune plan for ``read_where``: returns ``(paths, report)``.
+
+        ``paths`` is the surviving scan list (snapshot dirs for commits
+        without file stats, individual parquet files where footer ranges
+        were harvested); ``None`` means markers are present and the read
+        must fall back to the full merge-on-read path; ``[]`` means the
+        sidecars PROVE the result is empty.  ``report`` counts commits /
+        files considered, pruned and kept — the test- and ops-visible
+        evidence of what the layout bought."""
+        snaps = self.snapshots(name)
+        rewrites = [i for i, e in enumerate(snaps)
+                    if e.get("kind") == "rewrite"]
+        if rewrites:                       # same membership rule as
+            snaps = snaps[rewrites[-1]:]   # read_appended
+        report = {"commits": len(snaps), "commits_pruned": 0,
+                  "files_total": 0, "files_kept": 0, "fallback": False}
+        if any(e.get("kind", "append") in ("delete", "upsert")
+               for e in snaps):
+            # marker sequence numbers are positions in the FULL log — a
+            # pruned membership would renumber them (same rule as
+            # read_appended_between); only the scan-skip is lost
+            report["fallback"] = True
+            return None, report
+        d = os.path.join(self.root, name)
+        paths = []
+        for e in snaps:
+            sdir = os.path.join(d, f"snap-{e['snap']}")
+            sp = self._stats_path(name, e["snap"])
+            side = None
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    side = json.load(f)
+            if side is None:
+                paths.append(sdir)  # no sidecar: read whole commit
+                continue
+            # commit-level stats are computed on a bigint CAST of the
+            # column — exact for integral columns only, so only those may
+            # prune here (file-level footer stats are exact for any type)
+            schema = side.get("schema", {})
+            trust = {c for c, t in schema.items()
+                     if t in self._INTEGRAL_TYPES}
+            if self._range_excluded(side.get("cols", {}), preds, trust):
+                report["commits_pruned"] += 1
+                continue
+            files = side.get("files")
+            if not files:
+                paths.append(sdir)  # pre-files sidecar: whole commit
+                continue
+            report["files_total"] += len(files)
+            kept = [fn for fn, st in files.items()
+                    if not self._range_excluded(st, preds)]
+            report["files_kept"] += len(kept)
+            if kept:
+                paths += [os.path.join(sdir, fn) for fn in sorted(kept)]
+            else:
+                report["commits_pruned"] += 1
+        return paths, report
+
+    def read_where(self, spark: SparkSession, name: str,
+                   preds: dict) -> DataFrame:
+        """Read rows satisfying every range predicate in ``preds``
+        ({col: (lo, hi)}, inclusive bounds, None = unbounded), skipping
+        whole commits AND individual parquet files whose stats sidecar
+        proves they cannot match — Iceberg's manifest min/max pruning at
+        file granularity, zero data IO for skipped files and fewer scan
+        tasks (the pruned files are never even listed into the plan).
+
+        The residual predicate is ALWAYS re-applied to the surviving scan,
+        so correctness never depends on the stats: a missing sidecar, a
+        stat-less file or a non-integral commit profile just reads
+        conservatively.  Tables with delete/upsert markers fall back to
+        the full merge-on-read read plus the filter.  Pair with
+        ``write_clustered`` — pruning is only as selective as the layout
+        lets the footer ranges be."""
+        paths, _ = self.plan_where(name, preds)
+        if paths is None:
+            df = self.read_appended(spark, name)
+        elif not paths:
+            df = self.read_appended(spark, name).limit(0)
+        else:
+            df = spark.read.parquet(*paths)
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
 
     def delete_keys(self, keys_df: DataFrame, name: str, key: str) -> str:
         """Commit an equality-delete: every row of the table whose ``key``
