@@ -2762,6 +2762,64 @@ def events_upsert_expired_state(spark, sf_dir):
                     F.round("value", 6).alias("value")))
 
 
+@register("clips_pruned_dur_band", f"""
+SELECT clip_id, part, dur_ms, sr_hz, codec
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+WHERE dur_ms BETWEEN 400 AND 500
+""")
+def clips_pruned_dur_band(spark, sf_dir):
+    """File-level min/max pruning end-to-end: the clips metadata is
+    re-committed through write_clustered (range layout on dur_ms, two
+    commits split by part parity), then read back with read_where — the
+    pruned scan must equal a plain full-table SQL filter row-for-row.
+    The plan report is asserted so the driver row also certifies that
+    pruning actually ENGAGED (files skipped, not just filtered).
+    Layout machinery: sources/tableio.py write_clustered/plan_where;
+    the reference has no storage layer (streams in-memory lists,
+    /root/reference/fluxo/StreamProcessor.py) — this is the 100-TB
+    north_rule path where bounded predicates must not scan the table."""
+    import tempfile
+
+    from .sources.tableio import ParquetTableIO
+
+    c = clips_df(spark, sf_dir).select(
+        "clip_id", "part", "dur_ms", "sr_hz", "codec")
+    io = ParquetTableIO(tempfile.mkdtemp(prefix="dpf_prune_q_"))
+    io.write_clustered(c.filter(F.col("part") % 2 == 0), "meta",
+                       ["dur_ms"], n_files=8)
+    io.write_clustered(c.filter(F.col("part") % 2 == 1), "meta",
+                       ["dur_ms"], n_files=8)
+    _, rep = io.plan_where("meta", {"dur_ms": (400, 500)})
+    assert rep["files_total"] == 16 and rep["files_kept"] < 16, rep
+    return io.read_where(spark, "meta", {"dur_ms": (400, 500)})
+
+
+@register("clips_pruned_zorder_box", f"""
+SELECT clip_id, part, dur_ms, sr_hz, codec
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+WHERE sr_hz BETWEEN 16000 AND 22050 AND dur_ms BETWEEN 400 AND 600
+""")
+def clips_pruned_zorder_box(spark, sf_dir):
+    """Z-order layout under a two-axis box predicate: clips metadata is
+    committed once clustered on the Morton interleave of (sr_hz, dur_ms)
+    bucket codes (functions/zorder.py), and read_where's box result must
+    equal the plain SQL conjunction.  Asserts file pruning engaged on the
+    box — the property a single-column range layout cannot provide for
+    the second axis."""
+    import tempfile
+
+    from .sources.tableio import ParquetTableIO
+
+    c = clips_df(spark, sf_dir).select(
+        "clip_id", "part", "dur_ms", "sr_hz", "codec")
+    io = ParquetTableIO(tempfile.mkdtemp(prefix="dpf_zorder_q_"))
+    io.write_clustered(c, "meta", ["sr_hz", "dur_ms"], n_files=16)
+    box = {"sr_hz": (16000, 22050), "dur_ms": (400, 600)}
+    _, rep = io.plan_where("meta", box)
+    assert rep["files_kept"] < rep["files_total"], rep
+    return io.read_where(spark, "meta", box)
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -2843,6 +2901,11 @@ _DEMOTED_ORACLED = [
     # certifies the same semantics — this one pins the NATIVE
     # session_window operator via check_entry:
     "events_session_windows",
+    # driver-green r1-r3 sampling-family rows rotated out late-r4 to admit
+    # the file-pruning pair (clips_pruned_dur_band, clips_pruned_zorder_box)
+    # — the family keeps doc_splits + doc_mixture_sample in-window:
+    "doc_hash_sample",
+    "doc_source_cap",
 ]
 
 _oracled = [n for n in QUERIES
