@@ -433,3 +433,131 @@ def _chunk_audio_trim(b: pd.DataFrame) -> pd.DataFrame:
         "trim_end": trim_e.astype(np.int32),
         "lead_ms": np.round(lead, 3),
         "trail_ms": np.round(trail, 3)})
+
+
+AUDIO_SEGMENT_SCHEMA = ("rid long, clip_id string, part int, "
+                        "n_frames int, voiced_frames int, n_segments int, "
+                        "speech_ratio double, longest_ms double")
+
+#: frame length (samples) for energy-based segmentation.  32 samples @ a
+#: 16 kHz nominal rate = 2 ms frames; at the 2 kHz store rate = 16 ms.
+#: Short enough that a single inter-word pause splits segments, long
+#: enough that frame RMS is a stable voicing statistic.
+SEG_FRAME_LEN = 32
+
+
+def audio_segments_reference(pcm: np.ndarray, sr_hz: int,
+                             frame_len: int = SEG_FRAME_LEN) -> tuple:
+    """Per-row reference (n_frames, voiced_frames, n_segments,
+    speech_ratio, longest_ms) — parity target for the batched kernel.
+    A frame is voiced when its RMS >= SILENCE_THRESHOLD; a segment is a
+    maximal run of voiced frames; the tail shorter than one frame is
+    ignored (clips shorter than one frame report all zeros)."""
+    k = len(pcm) // frame_len
+    if k == 0:
+        return 0, 0, 0, 0.0, 0.0
+    fr = pcm[: k * frame_len].reshape(k, frame_len)
+    v = np.sqrt((fr * fr).mean(axis=1)) >= SILENCE_THRESHOLD
+    rises = v & ~np.concatenate(([False], v[:-1]))
+    longest = cur = 0
+    for b in v:
+        cur = cur + 1 if b else 0
+        longest = max(longest, cur)
+    return (k, int(v.sum()), int(rises.sum()), float(v.mean()),
+            round(longest * frame_len / sr_hz * 1000.0, 3))
+
+
+def audio_segments(clips: DataFrame) -> DataFrame:
+    """Energy-based voiced-segment detection (VAD-style) per clip: frame
+    the signal into fixed SEG_FRAME_LEN-sample frames, mark frames whose
+    RMS clears SILENCE_THRESHOLD, and report the voiced-run structure —
+    segment count, voiced-frame ratio and the longest contiguous voiced
+    run in ms.  The curation screens this feeds: single-segment clips at
+    speech_ratio ~1.0 are wall-of-sound (music/noise) candidates, many
+    short segments at low ratio are choppy/faulty captures, and
+    longest_ms bounds the usable utterance length for sequence packing.
+
+    Same execution shape as the other audio kernels: mapInPandas over
+    pruned columns, 1,024-row sub-chunks, scratch-pool buffers.  The
+    run-length analysis is vectorized across the WHOLE chunk: one cumsum
+    of squares gives every frame energy via two gathers, and voiced runs
+    are recovered from rise/fall transition positions on a
+    sentinel-separated flat frame mask — no per-row Python loop.
+
+    Reference provenance: the reference framework has no audio layer (it
+    monitors scalar error streams, /root/reference/fluxo/
+    StreamProcessor.py); this operator exists for the audio payload of
+    the north_rule (graft axes A+B)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_segments(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+
+    cols = clips.select("rid", "clip_id", "part", "sr_hz", "bytes", "codec")
+    return cols.mapInPandas(gen, AUDIO_SEGMENT_SCHEMA)
+
+
+def _empty_segments() -> pd.DataFrame:
+    return pd.DataFrame({
+        "rid": pd.Series(dtype=np.int64),
+        "clip_id": pd.Series(dtype=object),
+        "part": pd.Series(dtype=np.int32),
+        "n_frames": pd.Series(dtype=np.int32),
+        "voiced_frames": pd.Series(dtype=np.int32),
+        "n_segments": pd.Series(dtype=np.int32),
+        "speech_ratio": pd.Series(dtype=np.float64),
+        "longest_ms": pd.Series(dtype=np.float64)})
+
+
+def _chunk_audio_segments(b: pd.DataFrame) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return _empty_segments()
+    L = SEG_FRAME_LEN
+    flat, starts, ns, total = _decode_rows(b)
+    k = ns // L                           # frames per row (tail ignored)
+    tf = int(k.sum())
+    nseg = np.zeros(n, dtype=np.int64)
+    vf = np.zeros(n, dtype=np.int64)
+    longest = np.zeros(n, dtype=np.int64)
+    if tf:
+        # frame energies: cumsum of squares, then two gathers per frame
+        sq = _scratch("segsq", total, np.float64)
+        np.multiply(flat, flat, out=sq)
+        cs = _scratch("segcs", total + 1, np.float64)
+        cs[0] = 0.0
+        np.cumsum(sq, out=cs[1:])
+        row_of = np.repeat(np.arange(n), k)
+        first_f = np.cumsum(k) - k        # first frame index per row
+        idx_in_row = np.arange(tf) - first_f[row_of]
+        fstarts = starts[row_of] + idx_in_row * L
+        voiced = np.sqrt((cs[fstarts + L] - cs[fstarts]) / L) \
+            >= SILENCE_THRESHOLD
+        vf = np.bincount(row_of, weights=voiced, minlength=n) \
+            .astype(np.int64)
+        # sentinel-separated mask: one False slot after each row's frames
+        # makes every voiced run start with a rise and end with a fall,
+        # and runs can never span rows
+        ext = np.zeros(tf + n, dtype=bool)
+        ext[np.arange(tf) + row_of] = voiced
+        prev = np.empty(tf + n, dtype=bool)
+        prev[0] = False
+        prev[1:] = ext[:-1]
+        rp = np.flatnonzero(ext & ~prev)  # run starts
+        fp = np.flatnonzero(prev & ~ext)  # run ends (exclusive)
+        off = first_f + np.arange(n)      # row start positions in ext
+        run_row = np.searchsorted(off, rp, side="right") - 1
+        nseg = np.bincount(run_row, minlength=n).astype(np.int64)
+        np.maximum.at(longest, run_row, fp - rp)
+    sr = b["sr_hz"].to_numpy().astype(np.float64)
+    ratio = np.where(k > 0, vf / np.maximum(k, 1), 0.0)
+    return pd.DataFrame({
+        "rid": b["rid"].to_numpy(),
+        "clip_id": b["clip_id"].to_numpy(),
+        "part": b["part"].to_numpy(),
+        "n_frames": k.astype(np.int32),
+        "voiced_frames": vf.astype(np.int32),
+        "n_segments": nseg.astype(np.int32),
+        "speech_ratio": np.round(ratio, 6),
+        "longest_ms": np.round(longest * L / sr * 1000.0, 3)})

@@ -1122,6 +1122,23 @@ def clips_audio_quality(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+@register("clips_audio_segments")  # audio decode: no SQL equivalent
+def clips_audio_segments(spark, sf_dir):
+    """Voiced-segment structure (VAD-style framed-RMS runs) per clip,
+    aggregated per partition — segment counts, speech ratio and longest
+    contiguous voiced run (correctness pinned by the per-row parity test
+    in tests/test_pipeline_ops.py)."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir)
+    s = multimodal.audio_segments(c)
+    return s.groupBy("part").agg(
+        F.round(F.avg("n_segments"), 6).alias("segments_mean"),
+        F.round(F.avg("speech_ratio"), 6).alias("speech_ratio_mean"),
+        F.round(F.avg("longest_ms"), 3).alias("longest_ms_mean"),
+        F.sum((F.col("n_segments") == 0).cast("bigint")).alias("silent"),
+        F.count(F.lit(1)).alias("n"))
+
+
 @register("clips_audio_trim")  # audio decode: no SQL equivalent
 def clips_audio_trim(spark, sf_dir):
     """Silence-trim boundaries (lead/trail dead air per clip), aggregated

@@ -913,3 +913,47 @@ def test_audio_trim_silent_and_padded_clips(spark):
     assert g[1].lead_ms == 10.0 and g[1].trail_ms == 0.0
     assert (g[2].trim_start, g[2].trim_end) == (40, 120)
     assert g[2].lead_ms == 2.5 and g[2].trail_ms == 2.5
+
+
+def test_audio_segments_match_per_row_reference(spark, clips):
+    """The chunk-vectorized segmentation kernel (cumsum energies +
+    sentinel-separated run transitions) must match the per-row reference
+    exactly on real fixture clips."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 2").limit(80)
+    got = multimodal.audio_segments(sub).toPandas().set_index("rid")
+    pdf = sub.select("rid", "sr_hz", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    assert (got["n_segments"] > 0).any()  # fixtures aren't all-silent
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        nf, vfr, nseg, ratio, lms = multimodal.audio_segments_reference(
+            pcm, int(r["sr_hz"]))
+        g = got.loc[r["rid"]]
+        assert (g["n_frames"], g["voiced_frames"], g["n_segments"]) \
+            == (nf, vfr, nseg)
+        assert abs(g["speech_ratio"] - round(ratio, 6)) < 1e-12
+        assert abs(g["longest_ms"] - lms) < 1e-9
+
+
+def test_audio_segments_synthetic_runs(spark):
+    """Constructed clips: all-silent -> 0 segments; two voiced bursts
+    separated by a silent gap -> 2 segments with the longer run reported;
+    a sub-frame clip -> all zeros."""
+    L = multimodal.SEG_FRAME_LEN
+    sr = 16000
+    two = np.zeros(20 * L, dtype=np.int16)
+    two[2 * L:5 * L] = 16000       # 3 voiced frames
+    two[10 * L:12 * L] = 16000     # 2 voiced frames
+    df = spark.createDataFrame([
+        Row(rid=1, clip_id="silent", part=0, sr_hz=sr,
+            bytes=bytearray(b"\x00" * (4 * L * 2)), codec="pcm_s16le"),
+        Row(rid=2, clip_id="two", part=0, sr_hz=sr,
+            bytes=bytearray(two.tobytes()), codec="pcm_s16le"),
+        Row(rid=3, clip_id="tiny", part=0, sr_hz=sr,
+            bytes=bytearray(b"\x00" * 10), codec="pcm_s16le")])
+    g = {r.rid: r for r in multimodal.audio_segments(df).collect()}
+    assert (g[1].n_frames, g[1].n_segments, g[1].voiced_frames) == (4, 0, 0)
+    assert (g[2].n_frames, g[2].n_segments, g[2].voiced_frames) == (20, 2, 5)
+    assert g[2].longest_ms == round(3 * L / sr * 1000.0, 3)
+    assert (g[3].n_frames, g[3].n_segments, g[3].longest_ms) == (0, 0, 0.0)
