@@ -602,18 +602,22 @@ class ParquetTableIO:
         it."""
         by = list(by)
         stats_cols = sorted(set(by) | set(stats_cols or ()))
-        if len(by) == 1:
-            out = (df.repartitionByRange(n_files, by[0])
-                   .sortWithinPartitions(by[0]))
-        else:
-            from ..functions.zorder import cluster_bounds, zvalue
-            bounds = cluster_bounds(df, by)
-            out = (df.withColumn("_z", zvalue(by, bounds, zorder_bits))
-                   .repartitionByRange(n_files, "_z")
-                   .sortWithinPartitions("_z")
-                   .drop("_z"))
-        return self.append(out, name, stats_cols=stats_cols,
+        return self.append(self._clustered(df, by, n_files, zorder_bits),
+                           name, stats_cols=stats_cols,
                            cat_cols=cat_cols, key_cols=key_cols)
+
+    @staticmethod
+    def _clustered(df: DataFrame, by: list, n_files: int,
+                   zorder_bits: int) -> DataFrame:
+        if len(by) == 1:
+            return (df.repartitionByRange(n_files, by[0])
+                    .sortWithinPartitions(by[0]))
+        from ..functions.zorder import cluster_bounds, zvalue
+        bounds = cluster_bounds(df, by)
+        return (df.withColumn("_z", zvalue(by, bounds, zorder_bits))
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z"))
 
     _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
@@ -856,7 +860,9 @@ class ParquetTableIO:
                 os.remove(bp)
         return len(fold)
 
-    def compact_snapshots(self, spark: SparkSession, name: str) -> str:
+    def compact_snapshots(self, spark: SparkSession, name: str,
+                          cluster_by=None, n_files: int = 16,
+                          zorder_bits: int = 8) -> str:
         """Major compaction: materialize the current merge-on-read state as
         ONE rewrite commit and retire every earlier commit (delete markers
         are physically applied and vanish from the log).  The swap is
@@ -865,14 +871,28 @@ class ParquetTableIO:
         never doubles data.  Time travel to retired snapshots is lost —
         Iceberg's expire_snapshots trade-off — and with it their
         stats-sidecar history (rollback contract).  Returns the new
-        snapshot id; vacuum() collects the retired data."""
+        snapshot id; vacuum() collects the retired data.
+
+        ``cluster_by``: also FIX THE LAYOUT while rewriting — range- or
+        z-order-cluster the rewrite (same rules as write_clustered) and
+        harvest per-file footer stats into the rewrite's sidecar, so
+        read_where pruning is selective again after upsert churn scattered
+        the key space (Iceberg's rewrite_data_files with a sort order:
+        the one moment the data is being rewritten anyway is the free
+        moment to restore clustering)."""
         old = self.snapshots(name)
         if not old:
             raise ValueError(f"table {name} has no committed snapshot")
         current = self.read_appended(spark, name)
         snap = uuid.uuid4().hex[:16]
         out = os.path.join(self.root, name, f"snap-{snap}")
+        if cluster_by:
+            current = self._clustered(current, list(cluster_by),
+                                      n_files, zorder_bits)
         current.write.mode("overwrite").parquet(out)
+        if cluster_by:
+            self._commit_snapshot_stats(
+                spark.read.parquet(out), name, snap, sorted(cluster_by))
         self._commit_snaplog(name, snap, time.time_ns(),
                              {"kind": "rewrite"})
         d = self._snaplog_dir(name)

@@ -35,6 +35,11 @@ def main() -> int:
                     help="TableIO root directory")
     ap.add_argument("--table", required=True)
     ap.add_argument("--rewrite", action="store_true")
+    ap.add_argument("--cluster-by", default=None, metavar="COL[,COL]",
+                    help="with --rewrite: restore clustering while "
+                         "rewriting (one col = range layout, several = "
+                         "z-order) and re-harvest per-file footer stats "
+                         "so read_where pruning is selective again")
     ap.add_argument("--expire", type=int, default=0, metavar="N")
     ap.add_argument("--compact-stats", type=int, default=0, metavar="N")
     ap.add_argument("--vacuum", action="store_true")
@@ -69,8 +74,10 @@ def main() -> int:
 
     if args.rewrite:
         before = len(io.snapshots(args.table))
-        snap = io.compact_snapshots(spark, args.table)
-        print(f"rewrite: {before} commits -> 1 (snap-{snap})")
+        by = args.cluster_by.split(",") if args.cluster_by else None
+        snap = io.compact_snapshots(spark, args.table, cluster_by=by)
+        tag = f", clustered by {by}" if by else ""
+        print(f"rewrite: {before} commits -> 1 (snap-{snap}{tag})")
     if args.expire:
         n = io.expire_snapshots(spark, args.table, keep_last=args.expire)
         print(f"expire: folded {n} commits (keep_last={args.expire})")

@@ -178,3 +178,22 @@ def test_compact_stats_keeps_pruning_for_kept_sidecars(
     assert rep["commits_pruned"] >= 1  # the kept [2000,3000) commit
     got = io.read_where(spark, "t", {"k": (3500, 3599)})
     assert got.count() == 100
+
+
+def test_recluster_on_compaction_restores_pruning(spark, tmp_path, seq_df):
+    io = ParquetTableIO(str(tmp_path))
+    io.write_clustered(seq_df, "t", ["k"], n_files=8)
+    # upsert churn: markers force read_where into the fallback path
+    io.upsert(seq_df.filter("k % 40 = 0").withColumn(
+        "payload", F.lit("v2")), "t", "k")
+    paths, rep = io.plan_where("t", {"k": (0, 99)})
+    assert rep["fallback"]
+    # major compaction WITH a cluster spec: markers applied, layout fixed,
+    # footer stats harvested on the rewrite -> pruning selective again
+    io.compact_snapshots(spark, "t", cluster_by=["k"], n_files=8)
+    paths, rep = io.plan_where("t", {"k": (0, 99)})
+    assert not rep["fallback"]
+    assert rep["files_total"] == 8 and rep["files_kept"] <= 2, rep
+    got = io.read_where(spark, "t", {"k": (0, 99)})
+    assert got.count() == 100
+    assert got.filter("payload = 'v2'").count() == 3  # k in {0, 40, 80}
