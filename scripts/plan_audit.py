@@ -103,6 +103,16 @@ def main() -> int:
         "read_appended merge-on-read (equality-delete broadcast join)",
         tio.read_appended(spark, "t"),
         {"no_cartesian": True, "broadcast": True}))
+    # file-level pruning: a range-clustered layout + bounded predicate
+    # must list only the overlapping files into the scan (fewer tasks,
+    # not just fewer bytes) — the Iceberg manifest-pruning contract
+    tio_p = ParquetTableIO(tempfile.mkdtemp(prefix="plan_audit_prune_"))
+    tio_p.write_clustered(clips.select("rid", "clip_id", "part", "dur_ms"),
+                          "t", ["dur_ms"], n_files=16)
+    cases.append((
+        "read_where (file-level min/max pruning on a 16-file layout)",
+        tio_p.read_where(spark, "t", {"dur_ms": (400, 500)}),
+        {"no_cartesian": True, "max_input_files": 4}))
     # sessionization: the groupBy(user_id, session_idx) must REUSE the
     # window's HashPartitioning(user_id) — a subset of the grouping keys
     # satisfies the clustering requirement, so the whole lag -> running
@@ -231,6 +241,12 @@ def main() -> int:
             ok = opt.count("array(") <= 2
             verdicts.append(
                 ("quantizer constant-folded to one literal", ok))
+        if "max_input_files" in checks:
+            nf = len(df.inputFiles())
+            cap = checks["max_input_files"]
+            ok = 0 < nf <= cap
+            verdicts.append(
+                (f"pruned scan lists {nf} files (bound {cap})", ok))
         if checks.get("single_exchange"):
             # one-pass aggregation: exactly one shuffle (partial agg ->
             # exchange -> final agg). ObjectHashAggregate is expected —
