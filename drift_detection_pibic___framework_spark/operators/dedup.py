@@ -261,6 +261,21 @@ def simhash_near_duplicates(docs: DataFrame, col: str = "text",
     (13x the expression form on transcripts — BENCH/BASELINE.md SimHash
     A/B) instead of the SQL-oracle-checkable expression form; results are
     identical (bit-for-bit parity is test-pinned)."""
+    sh = (simhash_kernel(docs, col) if use_kernel else simhash(docs, col))
+    return (hamming_near_duplicates(sh, "doc_id", "simhash", max_hamming)
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b"), "hamming"))
+
+
+def hamming_near_duplicates(df: DataFrame, id_col: str, hash_col: str,
+                            max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance <= ``max_hamming`` on ANY 64-bit
+    hash column — the chunk-pigeonhole equi-join simhash_near_duplicates
+    is built on, factored out so other 64-bit signatures (e.g. the audio
+    energy-envelope fingerprint, operators/multimodal.py
+    audio_fingerprint) reuse the same scale path.  Returns
+    (id_a, id_b, hamming) with id_a < id_b.  See
+    simhash_near_duplicates for the radius-derived chunk-count proof."""
     if not 0 <= max_hamming < 64:
         raise ValueError("max_hamming must be in [0, 64) for the "
                          "chunk-pigeonhole candidate join")
@@ -270,29 +285,28 @@ def simhash_near_duplicates(docs: DataFrame, col: str = "text",
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
     def chunk_val(i):
-        v = F.shiftrightunsigned("simhash", offsets[i])
+        v = F.shiftrightunsigned(hash_col, offsets[i])
         if widths[i] < 64:
             v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
         return v
 
-    sh = (simhash_kernel(docs, col) if use_kernel else simhash(docs, col))
-    chunks = sh.select(
-        "doc_id", "simhash",
+    chunks = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk_idx"),
                      chunk_val(i).alias("chunk_val"))
             for i in range(n_chunks)])).alias("c")
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select("_id", "_h", "c.chunk_idx", "c.chunk_val")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, ["chunk_idx", "chunk_val"])
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("sh_a"),
-                    F.col("b.simhash").alias("sh_b"))
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a._h").alias("h_a"),
+                    F.col("b._h").alias("h_b"))
             .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 
 

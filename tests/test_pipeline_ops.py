@@ -957,3 +957,68 @@ def test_audio_segments_synthetic_runs(spark):
     assert (g[2].n_frames, g[2].n_segments, g[2].voiced_frames) == (20, 2, 5)
     assert g[2].longest_ms == round(3 * L / sr * 1000.0, 3)
     assert (g[3].n_frames, g[3].n_segments, g[3].longest_ms) == (0, 0, 0.0)
+
+
+def test_audio_fingerprint_matches_reference(spark, clips):
+    """The batched envelope-fingerprint kernel (cumsum energies + one
+    (rows, 66) boundary gather) must match the per-row reference
+    bit-for-bit."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 3").limit(80)
+    got = {r.rid: r.fp for r in multimodal.audio_fingerprint(sub).collect()}
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        assert got[r["rid"]] == multimodal.audio_fingerprint_reference(pcm)
+    assert len(set(got.values())) > 1  # envelopes differ across clips
+
+
+def test_audio_fingerprint_transcode_near_dup(spark):
+    """The same recording re-encoded (s16le vs G.711 mulaw) must land
+    within a few fingerprint bits and be found by audio_near_duplicates;
+    an unrelated recording must not pair with either."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    rng = np.random.default_rng(11)
+    n = 6500  # 100 samples per fingerprint segment
+    t = np.arange(n)
+    env = np.repeat(rng.uniform(0.05, 0.8, 66), 100)[:n]
+    sig = audio.float_to_int16(env * np.sin(2 * np.pi * 180.0 * t / 2000.0))
+    other = audio.float_to_int16(
+        np.repeat(rng.uniform(0.05, 0.8, 66), 100)[:n]
+        * np.sin(2 * np.pi * 240.0 * t / 2000.0))
+    df = spark.createDataFrame([
+        Row(rid=1, clip_id="a_s16", part=0,
+            bytes=bytearray(audio.encode(sig, "pcm_s16le")),
+            codec="pcm_s16le"),
+        Row(rid=2, clip_id="a_mulaw", part=0,
+            bytes=bytearray(audio.encode(sig, "mulaw")), codec="mulaw"),
+        Row(rid=3, clip_id="b_s16", part=0,
+            bytes=bytearray(audio.encode(other, "pcm_s16le")),
+            codec="pcm_s16le")])
+    pairs = {(r.clip_a, r.clip_b): r.hamming
+             for r in multimodal.audio_near_duplicates(
+                 df, max_hamming=4).collect()}
+    assert ("a_mulaw", "a_s16") in pairs
+    assert pairs[("a_mulaw", "a_s16")] <= 4
+    assert not any("b_s16" in p for p in pairs)
+
+
+def test_hamming_near_duplicates_generic(spark):
+    """The factored-out 64-bit Hamming join: finds pairs within radius
+    (including ones differing in the SIGN bit, i.e. negative bigints),
+    excludes pairs beyond it."""
+    from drift_detection_pibic___framework_spark.operators.dedup import (
+        hamming_near_duplicates)
+    def s64(v):  # wrap Python's infinite two's complement back into int64
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = -(1 << 63) | (1 << 10) | 7      # negative 64-bit value
+    rows = [Row(id="x", h=base),
+            Row(id="y", h=s64(base ^ (1 << 63) ^ 2)),   # hamming 2 (sign!)
+            Row(id="z", h=s64(base ^ ((1 << 40) - 1)))]  # hamming 40
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_near_duplicates(
+               spark.createDataFrame(rows), "id", "h", 3).collect()}
+    assert got == {("x", "y"): 2}
