@@ -2838,6 +2838,73 @@ def clips_pruned_zorder_box(spark, sf_dir):
 
 
 # =========================================================================
+# Skew-salted join + audio payload near-dups (r4 late additions)
+# =========================================================================
+
+_ALLOWED_SF001 = "/root/repo/data/sf0.01/allowed_codecs.parquet"
+
+
+@register("clips_salted_codec_join", f"""
+SELECT c.codec,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(c.dur_ms AS BIGINT) * d.bits_per_sample) AS BIGINT)
+           AS bit_ms
+FROM read_parquet('{CLIPS_SF001_GLOB}') c
+JOIN read_parquet('{_ALLOWED_SF001}') d USING (codec)
+GROUP BY c.codec
+""")
+def clips_salted_codec_join(spark, sf_dir):
+    """Skew-salted equi-join on the deliberately hot codec key (80/15/5,
+    clips_codec_skew): fact rows salt on xxhash64(rid) % 8, the dim
+    replicates 8x, and the shuffle-hash join lands on (codec, salt) so
+    the hot key fans out over 8 reducers instead of one
+    (operators/skewjoin.py — north_rule "skew handled explicitly", the
+    JOIN counterpart of the salted two-phase KLL).  Salting must not
+    change the join output, so the oracle is the PLAIN SQL join; the
+    inner join also drops the injected 'opus' rows (p5/p11), making the
+    per-codec bit-milliseconds rollup non-trivial."""
+    from .operators.skewjoin import salted_join
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    c = clips_df(spark, sf_dir).select("rid", "codec", "dur_ms")
+    dim = spark.read.parquet(f"{d}/allowed_codecs.parquet")
+    j = salted_join(c, dim, "codec", salt_from="rid", n_salts=8)
+    return j.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("dur_ms").cast("bigint")
+              * F.col("bits_per_sample").cast("bigint")).alias("bit_ms"))
+
+
+@register("clips_audio_near_dups")  # audio decode: no SQL equivalent
+def clips_audio_near_dups(spark, sf_dir):
+    """Duplicate AUDIO PAYLOAD detection — the re-upload case the id-dup
+    check cannot see: 64-bit energy-envelope fingerprints
+    (operators/multimodal.py audio_fingerprint) through the same
+    chunk-pigeonhole Hamming join as text SimHash.  De-vacuated in-query
+    (the fixture's dup injections duplicate IDs, not payloads): a
+    deterministic 10-row slice of part 0 is unioned back under 're-' ids
+    with identical bytes, so those pairs match at hamming 0.  Returned as
+    the per-hamming pair histogram (with the re-upload pairs counted
+    separately) rather than raw pairs: the fixture's synth clips are
+    constant-amplitude sines, so clips at nearby frequencies are GENUINE
+    envelope near-duplicates and legitimately land within the radius —
+    hundreds of true-positive rows that would drown the injected signal.
+    Transcode/releveling robustness is pinned by
+    tests/test_pipeline_ops.py::test_audio_fingerprint_transcode_near_dup."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir).filter("part = 0").select(
+        "rid", "clip_id", "part", "bytes", "codec")
+    dup = (c.orderBy("rid").limit(10)
+           .withColumn("clip_id", F.concat(F.lit("re-"), "clip_id")))
+    pairs = multimodal.audio_near_duplicates(
+        c.unionByName(dup), max_hamming=4)
+    return (pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("clip_b").startswith("re-").cast("bigint"))
+        .alias("n_reupload"))
+        .orderBy("hamming"))
+
+
+# =========================================================================
 # Driver-gate ordering
 # =========================================================================
 # The driver's correctness gate covers only the FIRST 50 entries of this
@@ -2923,6 +2990,11 @@ _DEMOTED_ORACLED = [
     # — the family keeps doc_splits + doc_mixture_sample in-window:
     "doc_hash_sample",
     "doc_source_cap",
+    # driver-green r1-r3 brute-force ANN baseline (the scale-path twins
+    # emb_lsh_knn / emb_ivf_knn stay in-window and join through the same
+    # cosine math); rotated out late-r4 to admit the skew-salted join
+    # (clips_salted_codec_join):
+    "emb_knn_bruteforce",
 ]
 
 _oracled = [n for n in QUERIES

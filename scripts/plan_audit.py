@@ -62,6 +62,16 @@ def main() -> int:
         ("referential_violations (broadcast anti-join)",
          referential.referential_violations(clips, dim),
          {"no_bytes_scan": True, "no_cartesian": True, "broadcast": True}),
+        # skew-salted join: the hot codec key must land on a SHUFFLED hash
+        # join over (codec, salt) — a broadcast here would erase the
+        # fan-out (and mean the caller should have used F.broadcast)
+        ("salted_join (hot-key fan-out: shuffled hash join on (key, salt))",
+         __import__(
+             "drift_detection_pibic___framework_spark.operators.skewjoin",
+             fromlist=["salted_join"]).salted_join(
+             clips.select("rid", "codec", "dur_ms"), dim, "codec",
+             salt_from="rid", n_salts=8),
+         {"no_bytes_scan": True, "no_cartesian": True, "hash_join": True}),
         ("minhash_lsh_candidates (banded equi-join)",
          dedup.lsh_candidate_pairs(
              dedup.minhash_signatures(docs, num_hashes=8), bands=4),
