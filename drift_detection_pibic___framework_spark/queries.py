@@ -2904,6 +2904,54 @@ def clips_audio_near_dups(spark, sf_dir):
         .orderBy("hamming"))
 
 
+@register("q17_small_qty_revenue", """
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey),
+sel AS (
+  SELECT l.l_extendedprice
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN pq    ON pq.l_partkey = l.l_partkey
+  WHERE p.p_brand = 'Brand#4' AND p.p_size < 20
+    AND 5 * CAST(l.l_quantity AS BIGINT) * pq.cnt < pq.qty_sum)
+SELECT ROUND(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS DOUBLE) / 700.0, 4) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM sel
+""")
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped correlated-subquery: revenue from lineitems whose
+    quantity is below 20% of their part's average, for one brand/size
+    slice.  Spark-first decorrelation: the filtered part list broadcasts
+    onto lineitem, and because an equi-join on l_partkey keeps EVERY
+    lineitem of a matched part, the per-part average is ONE window over
+    the joined subset — no second lineitem scan, no subquery re-execution
+    per row (Catalyst would decorrelate a literal subquery the same way;
+    the window form makes the single-shuffle plan explicit).  The 20%
+    threshold compares in exact integer math (5 * qty * cnt < qty_sum —
+    l_quantity is integral) so the boundary can't flip on float summation
+    order, and revenue is cent-quantized as in q5/orders_topk."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    pt = (_t(spark, sf_dir, "part")
+          .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") < 20))
+          .select("p_partkey"))
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).drop(
+        "p_partkey")
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("bigint")
+    j = (j.withColumn("qty_sum", F.sum(qty).over(w))
+          .withColumn("cnt", F.count(F.lit(1)).over(w)))
+    sel = j.filter(F.lit(5) * qty * F.col("cnt") < F.col("qty_sum"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return sel.agg(
+        F.round(F.sum(cents).cast("double") / 700.0, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -2995,6 +3043,10 @@ _DEMOTED_ORACLED = [
     # cosine math); rotated out late-r4 to admit the skew-salted join
     # (clips_salted_codec_join):
     "emb_knn_bruteforce",
+    # driver-green r1-r3 (siblings clips_duplicate_violations +
+    # doc_exact_dup_groups certify the dup-group windows in-window);
+    # rotated out late-r4 to admit q17_small_qty_revenue:
+    "clips_transcript_dup_groups",
 ]
 
 _oracled = [n for n in QUERIES
