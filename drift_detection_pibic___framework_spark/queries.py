@@ -2952,6 +2952,44 @@ def q17_small_qty_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_small"))
 
 
+@register("clips_audio_resample16")  # audio decode/re-encode: no SQL oracle
+def clips_audio_resample16(spark, sf_dir):
+    """Rate-unification pass: resample every clip's stored PCM to a
+    uniform target rate (linear interpolation, chunk-vectorized) and
+    pin the result per partition — row counts, sample counts in/out and
+    a crc32 content fold over the re-encoded pcm_s16le payloads
+    (correctness pinned by byte-exact per-row parity + sine-SNR tests
+    in tests/test_pipeline_ops.py)."""
+    from .operators import multimodal
+    from .sources.generators import STORE_RATE
+    c = clips_df(spark, sf_dir)
+    r = multimodal.audio_resample(c, STORE_RATE // 2)
+    return (r.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_in").cast("bigint")).alias("samples_in"),
+        F.sum(F.col("n_out").cast("bigint")).alias("samples_out"),
+        F.sum(F.crc32(F.col("bytes")).cast("bigint")).alias("content_crc"))
+        .orderBy("part"))
+
+
+@register("clips_audio_loudnorm")  # audio decode/re-encode: no SQL oracle
+def clips_audio_loudnorm(spark, sf_dir):
+    """Loudness-unification pass: gain every clip to -20 dBFS RMS under
+    a hard peak limiter, summarized per partition — mean applied gain,
+    mean output loudness, limiter engagements and a crc32 content fold
+    (parity + limiter-edge tests in tests/test_pipeline_ops.py)."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir)
+    r = multimodal.audio_loudness_normalize(c, target_dbfs=-20.0)
+    return (r.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("gain_db"), 4).alias("gain_db_mean"),
+        F.round(F.avg("rms_dbfs_out"), 4).alias("rms_out_mean"),
+        F.sum(F.col("limited").cast("bigint")).alias("n_limited"),
+        F.sum(F.crc32(F.col("bytes")).cast("bigint")).alias("content_crc"))
+        .orderBy("part"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================

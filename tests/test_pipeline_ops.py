@@ -1022,3 +1022,106 @@ def test_hamming_near_duplicates_generic(spark):
            for r in hamming_near_duplicates(
                spark.createDataFrame(rows), "id", "h", 3).collect()}
     assert got == {("x", "y"): 2}
+
+
+# -------------------------------------------------------------------------
+# audio resample / loudness normalize (rate + loudness unification)
+# -------------------------------------------------------------------------
+
+def test_audio_resample_matches_per_row_reference(spark, clips):
+    """The chunk-vectorized linear resampler must be byte-exact against
+    the per-row reference (identical index math + identical int16
+    quantization), both down- and up-sampling."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    from drift_detection_pibic___framework_spark.sources.generators import (
+        STORE_RATE)
+    sub = clips.filter("part = 3").limit(60)
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    for target in (STORE_RATE // 2, STORE_RATE * 3 // 2):
+        got = (multimodal.audio_resample(sub, target)
+               .toPandas().set_index("rid"))
+        assert len(got) == len(pdf)
+        for _, r in pdf.iterrows():
+            pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+            ref = audio.float_to_int16(
+                multimodal.resample_reference(pcm, STORE_RATE, target))
+            g = got.loc[r["rid"]]
+            assert g["n_in"] == len(pcm)
+            assert g["n_out"] == len(ref)
+            out = np.frombuffer(bytes(g["bytes"]), dtype="<i2")
+            assert np.array_equal(out, ref)
+
+
+def test_audio_resample_sine_snr(spark):
+    """Downsampling a 50 Hz sine from the 2 kHz store rate to 1 kHz must
+    reproduce the analytic 1 kHz-rate sine at >= 30 dB SNR (the
+    north-rule invariant bar for decoded-PCM fidelity)."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sr_in, sr_out, f = 2000, 1000, 50.0
+    t_in = np.arange(4000) / sr_in
+    pcm = 0.7 * np.sin(2 * np.pi * f * t_in)
+    df = spark.createDataFrame(
+        [Row(rid=1, clip_id="sine", part=0,
+             bytes=bytearray(audio.pcm_s16le_encode(
+                 audio.float_to_int16(pcm))),
+             codec="pcm_s16le")])
+    g = multimodal.audio_resample(df, sr_out).collect()[0]
+    out = np.frombuffer(bytes(g["bytes"]), dtype="<i2") / 32767.0
+    t_out = np.arange(g["n_out"]) / sr_out
+    ref = 0.7 * np.sin(2 * np.pi * f * t_out)
+    assert audio.snr_db(ref, out) >= 30.0
+
+
+def test_audio_loudnorm_matches_reference_and_hits_target(spark, clips):
+    """Per-row parity on gain/limited, and the re-encoded payload's RMS
+    must sit at the target loudness (within int16 quantization) whenever
+    the limiter did not engage."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    target = -20.0
+    sub = clips.filter("part = 4").limit(60)
+    got = (multimodal.audio_loudness_normalize(sub, target)
+           .toPandas().set_index("rid"))
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    checked_target = 0
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        gain, limited = multimodal.loudnorm_reference(pcm, target)
+        g = got.loc[r["rid"]]
+        assert abs(g["gain_db"] - round(20.0 * np.log10(gain), 4)) < 1e-9
+        assert bool(g["limited"]) == limited
+        out = np.frombuffer(bytes(g["bytes"]), dtype="<i2") / 32767.0
+        assert np.abs(out).max() <= 1.0
+        if not limited and g["rms_dbfs_in"] > multimodal.DBFS_FLOOR:
+            out_dbfs = 20.0 * np.log10(np.sqrt(np.mean(out ** 2)))
+            assert abs(out_dbfs - target) < 0.1
+            checked_target += 1
+    assert checked_target > 0
+
+
+def test_audio_loudnorm_silent_and_limited_edges(spark):
+    """A silent clip passes through at unity gain; a near-full-scale
+    quiet-RMS clip requesting a big boost hits the peak limiter and the
+    output peak stays under full scale."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    spiky = np.zeros(2000)
+    spiky[::100] = 0.95           # huge peak, low RMS -> limiter engages
+    rows = [
+        Row(rid=1, clip_id="silent", part=0,
+            bytes=bytearray(b"\x00" * 640), codec="pcm_s16le"),
+        Row(rid=2, clip_id="spiky", part=0,
+            bytes=bytearray(audio.pcm_s16le_encode(
+                audio.float_to_int16(spiky))),
+            codec="pcm_s16le"),
+    ]
+    got = (multimodal.audio_loudness_normalize(spark.createDataFrame(rows),
+                                               target_dbfs=-10.0)
+           .toPandas().set_index("rid"))
+    s = got.loc[1]
+    assert s["gain_db"] == 0.0 and not s["limited"]
+    assert bytes(s["bytes"]) == b"\x00" * 640
+    k = got.loc[2]
+    assert k["limited"]
+    out = np.frombuffer(bytes(k["bytes"]), dtype="<i2") / 32767.0
+    assert np.abs(out).max() <= multimodal.PEAK_CEILING + 1e-4
+    assert k["rms_dbfs_out"] < -10.0   # limiter kept it below target
