@@ -856,3 +856,148 @@ def _chunk_audio_loudnorm(b: pd.DataFrame, target_dbfs: float
         "rms_dbfs_out": np.round(np.maximum(dbfs_out, DBFS_FLOOR), 4),
         "limited": limited,
         "bytes": payloads})
+
+
+# ---------------------------------------------------------------------------
+# fused standardize: trim -> resample -> loudness gain in ONE decode/encode
+# ---------------------------------------------------------------------------
+
+AUDIO_STANDARDIZE_SCHEMA = ("rid long, clip_id string, part int, "
+                            "n_in int, n_out int, lead_trim_ms double, "
+                            "trail_trim_ms double, gain_db double, "
+                            "limited boolean, bytes binary")
+
+
+def standardize_reference(pcm: np.ndarray, sr_in: int, sr_out: int,
+                          target_dbfs: float) -> tuple:
+    """Per-row reference: compose the three stage references in kernel
+    order (trim span -> linear resample -> peak-limited gain).  A clip
+    with no voiced sample keeps its full span (there is no voiced core
+    to trim toward).  Returns (out_float, lead_ms, trail_ms, gain,
+    limited)."""
+    s, e, lead, trail = audio_trim_reference(pcm, sr_in)
+    if e <= s:
+        s, e, lead, trail = 0, len(pcm), 0.0, 0.0
+    rs = resample_reference(pcm[s:e], sr_in, sr_out)
+    gain, limited = loudnorm_reference(rs, target_dbfs)
+    return rs * gain, lead, trail, gain, limited
+
+
+def audio_standardize(clips: DataFrame, target_rate: int,
+                      target_dbfs: float = -20.0,
+                      store_rate: int = STORE_RATE) -> DataFrame:
+    """The fused audio-standardization pass: edge-silence trim, resample
+    to a uniform rate, gain to a target loudness (hard peak limiter) —
+    ONE decode and ONE encode per clip.  Chaining the three standalone
+    operators costs three decode/encode round-trips plus two joins; at
+    100 TB the payload moves dominate, so the production curation write
+    runs this fused kernel (the standalone operators remain the audited
+    references — the parity test composes them per row and requires
+    byte-exact agreement).
+
+    Same execution shape as every audio kernel here: mapInPandas over
+    pruned columns, 1,024-row sub-chunks, scratch-pool buffers, all math
+    vectorized across the chunk's flat sample vector."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_standardize(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS],
+                    store_rate, target_rate, target_dbfs)
+
+    cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
+    return cols.mapInPandas(gen, AUDIO_STANDARDIZE_SCHEMA)
+
+
+def _chunk_audio_standardize(b: pd.DataFrame, store_rate: int,
+                             target_rate: int, target_dbfs: float
+                             ) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32),
+            "n_in": pd.Series(dtype=np.int32),
+            "n_out": pd.Series(dtype=np.int32),
+            "lead_trim_ms": pd.Series(dtype=np.float64),
+            "trail_trim_ms": pd.Series(dtype=np.float64),
+            "gain_db": pd.Series(dtype=np.float64),
+            "limited": pd.Series(dtype=np.bool_),
+            "bytes": pd.Series(dtype=object)})
+    flat, starts, ns, total = _decode_rows(b)
+
+    # --- stage 1: trim bounds (audio_trim_offsets math; silent rows
+    # keep their full span)
+    ab = _scratch("stabs", total, np.float64)
+    np.absolute(flat, out=ab)
+    voiced = np.flatnonzero(ab >= SILENCE_THRESHOLD)
+    lo_i = np.searchsorted(voiced, starts)
+    hi_i = np.searchsorted(voiced, starts + ns)
+    has = hi_i > lo_i
+    trim_s = np.zeros(n, dtype=np.int64)
+    trim_e = ns.copy()
+    trim_s[has] = voiced[lo_i[has]] - starts[has]
+    trim_e[has] = voiced[hi_i[has] - 1] + 1 - starts[has]
+    sr = float(store_rate)
+    lead = np.where(has, trim_s, 0) / sr * 1000.0
+    trail = np.where(has, ns - trim_e, 0) / sr * 1000.0
+    ns_t = trim_e - trim_s
+    starts_t = starts + trim_s
+
+    # --- stage 2: linear resample of the trimmed spans (audio_resample
+    # math over (starts_t, ns_t) instead of the full rows)
+    ratio = store_rate / target_rate
+    n_out = np.maximum(np.round(ns_t * (target_rate / store_rate)), 1
+                       ).astype(np.int64)
+    out_total = int(n_out.sum())
+    out_starts = np.empty(n, dtype=np.int64)
+    out_starts[0] = 0
+    np.cumsum(n_out[:-1], out=out_starts[1:])
+    p = np.arange(out_total, dtype=np.float64)
+    p -= np.repeat(out_starts, n_out)
+    p *= ratio
+    last = np.repeat(ns_t - 1, n_out)
+    i0 = np.minimum(np.floor(p).astype(np.int64), last)
+    frac = np.clip(p - i0, 0.0, 1.0)
+    i1 = np.minimum(i0 + 1, last)
+    row0 = np.repeat(starts_t, n_out)
+    out = _scratch("stout", out_total, np.float64)
+    np.multiply(flat[row0 + i1], frac, out=out)
+    frac -= 1.0
+    frac *= -1.0
+    out += flat[row0 + i0] * frac
+
+    # --- stage 3: peak-limited loudness gain (audio_loudness_normalize
+    # math over the resampled vector)
+    sq = _scratch("stsq", out_total, np.float64)
+    np.multiply(out, out, out=sq)
+    rms = np.sqrt(np.add.reduceat(sq, out_starts) / n_out)
+    np.absolute(out, out=sq)          # reuse as |out|
+    peak = np.maximum.reduceat(sq, out_starts)
+    nz = rms > 0
+    dbfs_in = np.full(n, DBFS_FLOOR)
+    np.maximum(20.0 * np.log10(rms, where=nz, out=dbfs_in), DBFS_FLOOR,
+               out=dbfs_in, where=nz)
+    want = 10.0 ** ((target_dbfs - dbfs_in) / 20.0)
+    lim = np.where(peak > 0, PEAK_CEILING / np.where(peak > 0, peak, 1.0),
+                   want)
+    gain = np.where(nz, np.minimum(want, lim), 1.0)
+    limited = nz & (lim < want)
+    out *= np.repeat(gain, n_out)
+
+    enc = audio.pcm_s16le_encode(audio.float_to_int16(out))
+    oe = (out_starts + n_out) * 2
+    ob = out_starts * 2
+    payloads = [enc[ob[i]:oe[i]] for i in range(n)]
+    return pd.DataFrame({
+        "rid": b["rid"].to_numpy(),
+        "clip_id": b["clip_id"].to_numpy(),
+        "part": b["part"].to_numpy(),
+        "n_in": ns.astype(np.int32),
+        "n_out": n_out.astype(np.int32),
+        "lead_trim_ms": np.round(lead, 3),
+        "trail_trim_ms": np.round(trail, 3),
+        "gain_db": np.round(20.0 * np.log10(gain), 4),
+        "limited": limited,
+        "bytes": payloads})

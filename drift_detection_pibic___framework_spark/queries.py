@@ -2990,6 +2990,26 @@ def clips_audio_loudnorm(spark, sf_dir):
         .orderBy("part"))
 
 
+@register("clips_audio_standardize")  # fused decode/encode: no SQL oracle
+def clips_audio_standardize(spark, sf_dir):
+    """The fused curation write — trim -> resample -> loudness gain in
+    ONE decode/encode pass (multimodal.audio_standardize; byte-exact
+    parity against the composed stage references in
+    tests/test_pipeline_ops.py).  Per-partition content pin."""
+    from .operators import multimodal
+    from .sources.generators import STORE_RATE
+    c = clips_df(spark, sf_dir)
+    r = multimodal.audio_standardize(c, STORE_RATE // 2, -20.0)
+    return (r.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_out").cast("bigint")).alias("samples_out"),
+        F.sum(F.col("limited").cast("bigint")).alias("n_limited"),
+        F.round(F.sum(F.col("lead_trim_ms") + F.col("trail_trim_ms")), 3)
+        .alias("trimmed_ms"),
+        F.sum(F.crc32(F.col("bytes")).cast("bigint")).alias("content_crc"))
+        .orderBy("part"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================

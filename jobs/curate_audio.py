@@ -1,0 +1,151 @@
+"""Audio curation job — ``spark-submit jobs/curate_audio.py [options]``.
+
+The AUDIO counterpart of jobs/curate.py (which curates the text corpus):
+takes the clips table and produces the standardized training-audio table
+the way a speech-pretraining pipeline does —
+
+  1. quarantine       row-level admit/divert over the validation suite's
+                      predicates (null transcript, sr range, unknown
+                      codec, duplicate clip_id) — operators/quarantine.py
+  2. quality screen   drop clips that are mostly silence, digitally
+                      clipped, or mastered below a loudness floor
+                      (operators/multimodal.py audio_quality)
+  3. standardize      fused trim -> resample -> loudness-gain kernel:
+                      ONE decode and ONE encode per clip
+                      (multimodal.audio_standardize)
+  4. write            curated clips (pcm_s16le at the target rate, target
+                      loudness, edge silence removed) + metadata re-joined
+
+Stage row counts are printed so attrition is attributable; the final
+write re-joins transcript metadata by rid (an equi-join on the scan key —
+co-partitioned at scale, broadcast-sized here).
+
+The reference drops offending rows before processing and re-scales
+features to its baseline window (/root/reference/framework.py
+MudancaDeConceito.normalizar — SURVEY §2.2 P3/P9); this job is the
+payload-side analog: the rows that survive validation are normalized to
+one rate and one loudness before entering a training mix.
+
+Usage:
+    spark-submit jobs/curate_audio.py --data data/sf0.001 \
+        [--out /tmp/curated_audio] [--target-rate 1000] \
+        [--target-dbfs -20] [--max-silence 0.9] [--max-clip 0.1] \
+        [--min-dbfs -60] [--master local[8]]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="data/sf0.001",
+                    help="fixture dir with clips/ + allowed_codecs.parquet")
+    ap.add_argument("--out", default=None,
+                    help="write curated clips parquet here")
+    ap.add_argument("--target-rate", type=int, default=1000)
+    ap.add_argument("--target-dbfs", type=float, default=-20.0)
+    ap.add_argument("--max-silence", type=float, default=0.9,
+                    help="drop clips with silence_ratio >= this")
+    ap.add_argument("--max-clip", type=float, default=0.1,
+                    help="drop clips with clip_ratio >= this")
+    ap.add_argument("--min-dbfs", type=float, default=-60.0,
+                    help="drop clips with rms_dbfs < this")
+    ap.add_argument("--master",
+                    default=os.environ.get("SPARK_MASTER", "local[8]"))
+    ap.add_argument("--shuffle-partitions", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from drift_detection_pibic___framework_spark.operators import (
+        multimodal, quarantine)
+
+    clips_path = os.path.join(args.data, "clips")
+    dim_path = os.path.join(args.data, "allowed_codecs.parquet")
+    if not os.path.isdir(clips_path):
+        print(f"error: {clips_path} not found", file=sys.stderr)
+        return 2
+
+    t0 = time.time()
+    spark = (SparkSession.builder.master(args.master)
+             .appName("dpf-curate-audio")
+             .config("spark.sql.shuffle.partitions",
+                     str(args.shuffle_partitions))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    clips = spark.read.parquet(clips_path)
+    dim = spark.read.parquet(dim_path)
+    n_in = clips.count()
+
+    # 1. quarantine: the validation suite's row predicates
+    clean, bad = quarantine.quarantine(clips, dim)
+    n_clean = clean.count()
+
+    # 2. quality screen over the admitted rows (silence / clipping /
+    # loudness floor); bytes is read once here and once in standardize —
+    # both are full-payload passes by necessity
+    q = multimodal.audio_quality(clean).select(
+        "rid", "silence_ratio", "clip_ratio", "rms_dbfs")
+    keep_ids = q.filter(
+        (F.col("silence_ratio") < args.max_silence)
+        & (F.col("clip_ratio") < args.max_clip)
+        & (F.col("rms_dbfs") >= args.min_dbfs)).select("rid")
+    screened = clean.join(keep_ids, "rid")
+    n_screen = screened.count()
+
+    # 3. fused standardize (one decode + one encode per clip)
+    std = multimodal.audio_standardize(
+        screened, args.target_rate, args.target_dbfs)
+
+    # 4. re-join transcript metadata and write
+    meta = screened.select("rid", "transcript")
+    curated = (std.join(meta, "rid")
+               .select("clip_id", "part",
+                       F.col("bytes"),
+                       F.lit(args.target_rate).alias("sr_hz"),
+                       F.round(F.col("n_out") * 1000.0 / args.target_rate)
+                       .cast("int").alias("dur_ms"),
+                       F.lit("pcm_s16le").alias("codec"),
+                       "transcript", "gain_db", "limited",
+                       "lead_trim_ms", "trail_trim_ms"))
+
+    summary = std.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("gain_db"), 3).alias("gain_db_mean"),
+        F.sum(F.col("limited").cast("bigint")).alias("n_limited"),
+        F.round(F.sum(F.col("lead_trim_ms") + F.col("trail_trim_ms"))
+                / 1000.0, 3).alias("trimmed_s"),
+        F.sum(F.col("n_out").cast("bigint")).alias("samples_out"),
+    ).collect()[0]
+
+    if args.out:
+        curated.write.mode("overwrite").parquet(args.out)
+        n_final = spark.read.parquet(args.out).count()
+    else:
+        n_final = curated.count()
+
+    dt = time.time() - t0
+    print(f"curate_audio: in={n_in} admitted={n_clean} "
+          f"screened={n_screen} curated={n_final}")
+    print(f"standardized: rate={args.target_rate}Hz "
+          f"loudness={args.target_dbfs}dBFS "
+          f"gain_mean={summary['gain_db_mean']}dB "
+          f"limited={summary['n_limited']} "
+          f"trimmed={summary['trimmed_s']}s "
+          f"samples_out={summary['samples_out']}")
+    print(f"done in {dt:.1f}s ({n_in / dt:.0f} clips/sec)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

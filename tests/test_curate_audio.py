@@ -1,0 +1,44 @@
+"""End-to-end audio curation job: quarantine -> quality screen ->
+fused standardize -> curated write (jobs/curate_audio.py)."""
+
+import sys
+
+import numpy as np
+
+from drift_detection_pibic___framework_spark.functions import audio
+from drift_detection_pibic___framework_spark.operators import quarantine as QR
+
+
+def test_curate_audio_job_end_to_end(spark, fixture_dir, tmp_path,
+                                     monkeypatch):
+    """The job must admit exactly the quarantine-clean rows (at default
+    screen thresholds the fixture loses nothing further), and every
+    curated payload must be pcm_s16le at the target rate, peak-bounded,
+    with dur_ms consistent with the payload length."""
+    import jobs.curate_audio as J
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_audio.py", "--data", fixture_dir, "--out", out,
+        "--target-rate", "1000", "--target-dbfs", "-20"])
+    assert J.main() == 0
+
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    dim = spark.read.parquet(f"{fixture_dir}/allowed_codecs.parquet")
+    clean, _ = QR.quarantine(clips, dim)
+    n_clean = clean.count()
+
+    cur = spark.read.parquet(out)
+    assert cur.count() == n_clean
+    assert cur.filter("codec <> 'pcm_s16le' or sr_hz <> 1000").count() == 0
+
+    sample = cur.limit(20).collect()
+    for r in sample:
+        pcm = audio.pcm_s16le_decode(bytes(r["bytes"]))
+        assert r["dur_ms"] == round(len(pcm) * 1000.0 / 1000)
+        assert np.abs(pcm).max() <= 32767 * 0.9995
+    # loudness actually unified: every non-limited clip sits at -20 dBFS
+    lvl = [20 * np.log10(np.sqrt(np.mean(
+        (audio.pcm_s16le_decode(bytes(r["bytes"])) / 32767.0) ** 2)))
+        for r in sample if not r["limited"]]
+    assert lvl and max(abs(v + 20.0) for v in lvl) < 0.1

@@ -1125,3 +1125,43 @@ def test_audio_loudnorm_silent_and_limited_edges(spark):
     out = np.frombuffer(bytes(k["bytes"]), dtype="<i2") / 32767.0
     assert np.abs(out).max() <= multimodal.PEAK_CEILING + 1e-4
     assert k["rms_dbfs_out"] < -10.0   # limiter kept it below target
+
+
+def test_audio_standardize_matches_composed_references(spark, clips):
+    """The fused trim->resample->gain kernel must be byte-exact against
+    the composition of the three per-row stage references, including
+    trim bookkeeping and the limiter flag."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    from drift_detection_pibic___framework_spark.sources.generators import (
+        STORE_RATE)
+    target_rate, target_dbfs = STORE_RATE // 2, -20.0
+    sub = clips.filter("part = 5").limit(80)
+    got = (multimodal.audio_standardize(sub, target_rate, target_dbfs)
+           .toPandas().set_index("rid"))
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        ref, lead, trail, gain, limited = multimodal.standardize_reference(
+            pcm, STORE_RATE, target_rate, target_dbfs)
+        g = got.loc[r["rid"]]
+        assert g["n_in"] == len(pcm)
+        assert g["n_out"] == len(ref)
+        assert abs(g["lead_trim_ms"] - round(lead, 3)) < 1e-9
+        assert abs(g["trail_trim_ms"] - round(trail, 3)) < 1e-9
+        assert abs(g["gain_db"] - round(20.0 * np.log10(gain), 4)) < 1e-9
+        assert bool(g["limited"]) == limited
+        out = np.frombuffer(bytes(g["bytes"]), dtype="<i2")
+        assert np.array_equal(out, audio.float_to_int16(ref))
+
+
+def test_audio_standardize_silent_clip_full_span(spark):
+    """An all-silent clip keeps its full (resampled) span at unity gain —
+    nothing to trim toward, nothing to normalize."""
+    df = spark.createDataFrame(
+        [Row(rid=1, clip_id="s", part=0,
+             bytes=bytearray(b"\x00" * 800), codec="pcm_s16le")])
+    g = multimodal.audio_standardize(df, 1000).collect()[0]
+    assert g["n_in"] == 400 and g["n_out"] == 200
+    assert g["lead_trim_ms"] == 0.0 and g["trail_trim_ms"] == 0.0
+    assert g["gain_db"] == 0.0 and not g["limited"]
