@@ -172,6 +172,12 @@ def bench_queries(spark, sf_dir: str) -> tuple:
             quarantine as QR)
         return QR.quarantine_summary(clips, dim).count()
 
+    def q_standardize():
+        # fused trim -> resample -> loudness write (one decode+encode);
+        # sum(n_out) forces full payload materialization
+        return multimodal.audio_standardize(clips, 1000).agg(
+            F.sum("n_out")).collect()[0][0]
+
     _ = Q  # registry imported for completeness
     core_only = os.environ.get("SPARK_GRAFT_CORE_ONLY") == "1"
     # each query runs twice; the WARM (min) time is reported: this sandbox
@@ -189,7 +195,8 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_minhash_lsh", q_minhash_lsh),
                   ("q_dedup_corpus", q_dedup_corpus),
                   ("q_knn", q_knn),
-                  ("q_quarantine", q_quarantine)]
+                  ("q_quarantine", q_quarantine),
+                  ("q_standardize", q_standardize)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
     # (2 warm laps so a single throttle blip cannot own the reported number)
     timings, cold, canaries = {}, {}, {}
