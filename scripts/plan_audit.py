@@ -39,7 +39,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from drift_detection_pibic___framework_spark.operators import (
-        dedup, referential, similarity, stats)
+        dedup, multimodal, referential, similarity, stats)
     from drift_detection_pibic___framework_spark.plans import suite as SU
     from drift_detection_pibic___framework_spark.sources import generators as G
 
@@ -100,6 +100,15 @@ def main() -> int:
         "quarantine_summary (row labelling: broadcast dim, bytes pruned)",
         QRop.quarantine_summary(clips, dim),
         {"no_bytes_scan": True, "no_cartesian": True, "broadcast": True}))
+    # fused standardize: the payload IS the work here, so bytes must be
+    # scanned — but nothing else beyond the kernel's input contract may
+    # be (transcript / sr_hz / dur_ms pruned: at 100 TB the transcript
+    # column riding along an audio rewrite is pure wasted I/O)
+    cases.append((
+        "audio_standardize (fused curation write: metadata pruned)",
+        multimodal.audio_standardize(clips, 1000),
+        {"no_cartesian": True,
+         "scan_cols_subset": {"rid", "clip_id", "part", "bytes", "codec"}}))
     # merge-on-read: the folded delete set is tiny, so AQE must resolve the
     # equality-delete join to a broadcast, never a cartesian
     import tempfile
@@ -251,6 +260,18 @@ def main() -> int:
             ok = opt.count("array(") <= 2
             verdicts.append(
                 ("quantizer constant-folded to one literal", ok))
+        if "scan_cols_subset" in checks:
+            allowed = checks["scan_cols_subset"]
+            scanned = {
+                c.strip() for line in plan.splitlines()
+                if "ReadSchema" in line
+                for c in line.split("struct<")[-1].rstrip(">").split(",")
+                for c in [c.split(":")[0]]}
+            extra = scanned - allowed
+            ok = not extra and bool(scanned)
+            verdicts.append(
+                (f"scan reads only {sorted(scanned)}"
+                 + (f" — EXTRA {sorted(extra)}" if extra else ""), ok))
         if "max_input_files" in checks:
             nf = len(df.inputFiles())
             cap = checks["max_input_files"]
