@@ -172,6 +172,84 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k))
 
 
+# -------------------------------------------------------------------------
+# semantic dedup (SemDeDup) — embedding-cluster near-duplicate removal
+# -------------------------------------------------------------------------
+
+def semantic_dup_pairs(emb: DataFrame, centroids: np.ndarray,
+                       threshold: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Within-cluster cosine near-dup pairs — the candidate stage of
+    SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embeddings are bucketed
+    into k-means cells and exact cosine runs ONLY within a cell, so the
+    pair volume is sum(|cell|^2) instead of N^2 — the trade that makes
+    embedding-level dedup feasible at corpus scale (pairs split across
+    two cells are missed by design; cluster granularity tunes the
+    recall/cost point).
+
+    Scale shape: cell assignment is a narrow codegen projection (one
+    folded centroid literal — see _centroid_scores); the pair join is
+    equi on ivf_cell.  Returns (vec_a, vec_b, cosine) with vec_a < vec_b
+    and cosine (rounded 4dp) >= threshold."""
+    base = with_ivf_cell(
+        emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+        centroids, "v")
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(_dot(F.col("a.v"), F.col("b.v")) /
+                  (_norm(F.col("a.v")) * _norm(F.col("b.v"))), 4)
+    return (a.join(b, "ivf_cell")
+            .filter(F.col("a.vid") < F.col("b.vid"))
+            .select(F.col("a.vid").alias("vec_a"),
+                    F.col("b.vid").alias("vec_b"),
+                    cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def semantic_dup_groups(emb: DataFrame, centroids: np.ndarray,
+                        threshold: float = 0.95, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Semantic-duplicate GROUPS: the within-cell pair graph closed into
+    connected components (cosine similarity is not transitive), one row
+    per group — (component, n_members, members) with component = the
+    min member id (the canonical representative ``semantic_dedup``
+    keeps) and members a sorted comma-joined id list.  The audit
+    artifact behind semantic_dedup's drop decisions."""
+    from .dedup import connected_components
+    pairs = semantic_dup_pairs(emb, centroids, threshold, id_col, vec_col)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list("node")),
+                     lambda x: x.cast("string"))).alias("members")))
+
+
+def semantic_dedup(emb: DataFrame, centroids: np.ndarray = None,
+                   threshold: float = 0.95, n_centroids: int = 16,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup: drop every embedding row that is NOT its semantic-dup
+    group's canonical (min-id) member.  Groups are within-cell cosine
+    pairs (semantic_dup_pairs) closed via connected_components, so chains
+    of pairwise-similar vectors collapse to one survivor.  ``centroids``
+    overrides the fitted quantizer (e.g. random_unit_centroids for a
+    SQL-checkable literal index); by default a seeded spherical k-means
+    is fitted on a bounded unbiased sample (ivf_fit_centroids).
+
+    The drop set is tiny relative to the corpus (near-dup members only),
+    so the final left-anti join broadcasts it in practice — the corpus
+    is scanned once for assignment and once for the anti-join."""
+    C = centroids if centroids is not None else ivf_fit_centroids(
+        emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
+    from .dedup import connected_components
+    pairs = semantic_dup_pairs(emb, C, threshold, id_col, vec_col)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    drop = (comp.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col)))
+    return emb.join(drop, id_col, "left_anti")
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(0.0, 1.0, (n_planes, dim))
 

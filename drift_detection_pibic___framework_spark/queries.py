@@ -1369,6 +1369,73 @@ def emb_injected_near_dups(spark, sf_dir):
     return D.embedding_near_duplicates(emb, threshold=0.95)
 
 
+def _semantic_dedup_sql(n_centroids: int = 8, dim: int = 16,
+                        seed: int = 42, threshold: float = 0.95) -> str:
+    """Full SemDeDup pipeline in SQL over literal centroids: cell
+    assignment (argmax dot, first occurrence both engines), within-cell
+    cosine pairs >= threshold, recursive-CTE transitive closure into
+    duplicate groups — the whole cluster-bucketed semantic-dedup path is
+    oracle-checked, candidate generation included."""
+    from .operators.similarity import random_unit_centroids
+
+    C = random_unit_centroids(dim, n_centroids, seed)
+
+    def dot_sql(c) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> v[j] * ({lit})[j]))")
+
+    scores = "list_value(" + ", ".join(dot_sql(c) for c in C) + ")"
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding AS v
+                     FROM read_parquet('{NEAR_EMB_SF001}')),
+sc AS (SELECT vec_id, v, {scores} AS scores FROM e),
+cells AS (
+  SELECT vec_id, v,
+         CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+           AS cell
+  FROM sc),
+p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM cells a JOIN cells b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}),
+edges AS (SELECT va AS s, vb AS d FROM p
+          UNION SELECT vb AS s, va AS d FROM p),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+comp AS (SELECT s AS vec_id, LEAST(s, MIN(d)) AS component
+         FROM reach GROUP BY s)
+SELECT component, COUNT(*) AS n_members,
+       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS members
+FROM comp GROUP BY component
+"""
+
+
+@register("emb_semantic_dedup")  # oracle attached below (needs helper)
+def emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) duplicate groups over the injected
+    near-dup fixture: k-means-cell bucketing -> within-cell cosine pairs
+    -> connected-components closure -> one group row per canonical.  The
+    seeded literal centroids make cell assignment, the equi-keyed
+    candidate join, and the closure deterministic, so DuckDB reproduces
+    the entire cluster-bucketed path (the missed-cross-cell-pair
+    approximation included).  No reference analogue (the reference never
+    dedups); this is the training-data-pipeline extension — the
+    embedding-level twin of doc_dedup_corpus."""
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    emb = spark.read.parquet(f"{d}/near_embeddings.parquet")
+    C = S.random_unit_centroids(16, 8, seed=42)
+    return S.semantic_dup_groups(emb, C, threshold=0.95)
+
+
+ORACLES["emb_semantic_dedup"] = _semantic_dedup_sql()
+
+
 @register("events_window_metrics", f"""
 WITH f AS (
   SELECT stream_id, seq, value,
@@ -3105,6 +3172,11 @@ _DEMOTED_ORACLED = [
     # doc_exact_dup_groups certify the dup-group windows in-window);
     # rotated out late-r4 to admit q17_small_qty_revenue:
     "clips_transcript_dup_groups",
+    # driver-green r1-r3 usage-count rows (the codec grouping key is
+    # exercised in-window by clips_part_stats and
+    # clips_salted_codec_join); rotated out late-r4 to admit the
+    # SemDeDup groups query (emb_semantic_dedup):
+    "clips_codec_skew",
 ]
 
 _oracled = [n for n in QUERIES

@@ -258,6 +258,66 @@ def test_ivf_knn_recall_and_candidate_bound(spark, emb):
     assert len(cells) == emb.count()
 
 
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def sem_emb(spark):
+    """12 well-separated base vectors + near-copies of the first three:
+    two copies of #0 (a chain through the group) and one copy each of
+    #1, #2 — known group structure for SemDeDup assertions."""
+    rng = np.random.default_rng(4242)
+    base = rng.normal(0.0, 1.0, (12, 16))
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v])
+            for i, v in enumerate(base)]
+    for j, src in enumerate([0, 0, 1, 2]):
+        near = base[src] + rng.normal(0.0, 0.01, 16)
+        rows.append(Row(vec_id=100 + j,
+                        embedding=[float(x) for x in near]))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_semantic_dedup_drops_noncanonical(spark, sem_emb):
+    """semantic_dedup keeps exactly one (min-id) member per near-dup
+    group and every unduplicated vector."""
+    C = similarity.random_unit_centroids(16, 4, seed=1)
+    kept = sorted(r.vec_id for r in similarity.semantic_dedup(
+        sem_emb, centroids=C, threshold=0.99).collect())
+    # dropped: the four injected copies (101 joins 0's group via 100)
+    assert kept == list(range(12))
+
+
+def test_semantic_dup_groups_structure(spark, sem_emb):
+    """Group closure: {0,100,101} collapse into one component with
+    canonical 0 even if 100-101 is the only strong edge to 101."""
+    C = similarity.random_unit_centroids(16, 4, seed=1)
+    groups = {r.component: r for r in similarity.semantic_dup_groups(
+        sem_emb, C, threshold=0.99).collect()}
+    assert set(groups) == {0, 1, 2}
+    assert groups[0].members == "0,100,101"
+    assert groups[0].n_members == 3
+    assert groups[1].members == "1,102"
+    assert groups[2].members == "2,103"
+
+
+def test_semantic_pairs_join_is_equi_on_cell(spark, sem_emb):
+    """The candidate join must be equi on ivf_cell — never a cartesian
+    product (cross-cell pairs are out of scope by design)."""
+    C = similarity.random_unit_centroids(16, 4, seed=1)
+    plan = (similarity.semantic_dup_pairs(sem_emb, C, 0.99)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "ivf_cell" in plan
+
+
+def test_semantic_dedup_fitted_quantizer(spark, emb):
+    """The default (fitted k-means) quantizer path runs end-to-end and
+    only ever removes rows (never invents or duplicates survivors)."""
+    out = similarity.semantic_dedup(emb, threshold=0.999)
+    n_in, n_out = emb.count(), out.count()
+    assert n_out <= n_in
+    assert out.select("vec_id").distinct().count() == n_out
+
+
 # -- text ops --------------------------------------------------------------
 
 def test_token_counts_simple(spark):
