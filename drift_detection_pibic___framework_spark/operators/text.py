@@ -203,6 +203,93 @@ def repetition_metrics(docs: DataFrame, col: str = "text") -> DataFrame:
                 6).alias("dup_5gram_char_frac"))
 
 
+# -------------------------------------------------------------------------
+# bigram language-model scoring (the CCNet perplexity-filter analog)
+# -------------------------------------------------------------------------
+
+def _norm_tokens(col: str):
+    """Normalized token array (lower, trim, whitespace collapse) — shared
+    by the LM train and score paths so both sides tokenize identically."""
+    return F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))), " ")
+
+
+def _bigrams(col: str):
+    """Adjacent token pairs as structs (w1, w2); docs with < 2 tokens
+    yield an empty array (they carry no bigram evidence)."""
+    toks = _norm_tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    return F.when(F.size(toks) >= 2, F.transform(
+        idx, lambda i: F.struct(F.element_at(toks, i).alias("w1"),
+                                F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def train_bigram_lm(docs: DataFrame, col: str = "text",
+                    min_count: int = 1) -> tuple:
+    """Train an add-one-smoothed bigram LM on a corpus: returns
+    ``(bigrams, contexts, vocab_size)`` — (w1, w2, c12) counts,
+    (w1, c1) context counts, and the distinct-token vocabulary size.
+
+    This is the quality-model side of a CCNet-style perplexity filter
+    (Wenzek et al. 2020 train KenLM on a trusted corpus and drop
+    high-perplexity docs); a bigram model keeps the whole pipeline inside
+    DataFrame aggregations — no external LM artifact to ship.
+
+    Scale shape: both count tables come off ONE bigram explode with
+    map-side partial aggregation (narrow explode, two keyed shuffles);
+    ``min_count`` prunes the long tail so the model broadcasts in the
+    scoring join (the web-scale variant caps the model with a
+    Misra-Gries top-K pass — functions/sketches.py — instead of a raw
+    count threshold).  vocab_size is one bounded driver-side scalar."""
+    bg = docs.select(F.explode(_bigrams(col)).alias("b")) \
+             .select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = (docs.select(F.explode(_norm_tokens(col)).alias("tok"))
+                  .agg(F.countDistinct("tok")).collect()[0][0])
+    if min_count > 1:
+        c12 = c12.filter(F.col("c12") >= min_count)
+    return c12, c1, int(vocab_size)
+
+
+def lm_score(docs: DataFrame, model: tuple, col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-document add-one-smoothed bigram log-probability:
+    mean over a doc's bigrams of ln((c12 + 1) / (c1 + V)), plus the
+    perplexity exp(-avg_logp).  Low avg_logp (high ppl) = text unlike
+    the training corpus — the standard curation cut for gibberish,
+    boilerplate, and wrong-language slices.
+
+    Unseen bigrams/contexts fall back to the smoothed floor (c12=0 /
+    c1=0), so held-out text scores without error.  Docs with < 2 tokens
+    carry no evidence and are excluded.
+
+    Cross-engine determinism: each bigram's logp is rounded onto a 1e-6
+    integer grid BEFORE the per-doc sum (integer addition is
+    order-independent; a raw double sum would hash-drift between
+    engines), the same trick the windowed-metrics oracles use.
+
+    Scale shape: the doc side is one narrow explode; both model joins
+    broadcast (the model is count-pruned by contract); the only shuffle
+    is the per-doc aggregation."""
+    c12, c1, vocab_size = model
+    bg = (docs.filter(F.size(_norm_tokens(col)) >= 2)
+          .select(F.col(id_col), F.explode(_bigrams(col)).alias("b"))
+          .select(id_col, "b.w1", "b.w2"))
+    j = (bg.join(F.broadcast(c12), ["w1", "w2"], "left")
+         .join(F.broadcast(c1), ["w1"], "left"))
+    logp = F.log((F.coalesce(F.col("c12"), F.lit(0)) + 1.0) /
+                 (F.coalesce(F.col("c1"), F.lit(0)) + float(vocab_size)))
+    lpm = F.round(logp * 1e6).cast("bigint")
+    out = (j.select(id_col, lpm.alias("lpm"))
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.sum("lpm") / 1e6 / F.count(F.lit(1)), 6)
+                .alias("avg_logp")))
+    return out.withColumn("ppl", F.round(F.exp(-F.col("avg_logp")), 4))
+
+
 def charset_quality(docs: DataFrame, col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Encoding-health screen — the mojibake/binary-junk filter a curation

@@ -2158,6 +2158,46 @@ def doc_incremental_admit(spark, sf_dir):
             .select("doc_id"))
 
 
+@register("doc_lm_score", r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                      ' ') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+        FROM t WHERE len(w) >= 2)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(w) AS tok FROM t)),
+scored AS (
+  SELECT doc_id,
+         CAST(round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1000000)
+              AS BIGINT) AS lpm
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, count(*) AS n_bigrams,
+       ROUND(CAST(sum(lpm) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+""")
+def doc_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring, self-trained on the corpus — the CCNet
+    perplexity-filter analog (Wenzek et al. 2020) kept entirely inside
+    DataFrame aggregations: train add-one-smoothed bigram counts over the
+    corpus, then score each doc's mean bigram log-probability through two
+    broadcast model joins.  Per-bigram logp is micro-grid-rounded before
+    the per-doc sum so the double reduction is order-independent across
+    engines.  No reference analogue; training-data curation extension
+    (ppl column dropped here: exp() is libm-dependent at the last ulp —
+    it stays on the operator surface, pinned by pytest instead)."""
+    docs = _t(spark, sf_dir, "documents")
+    model = T.train_bigram_lm(docs)
+    return T.lm_score(docs, model).select("doc_id", "n_bigrams", "avg_logp")
+
+
 def _ngrams_sql_k(k: int) -> str:
     """ALL word k-grams, duplicates kept (non-distinct twin of
     _shingles_sql_k; mirrors text.word_ngrams incl. sub-k truncation)."""
@@ -3177,6 +3217,10 @@ _DEMOTED_ORACLED = [
     # clips_salted_codec_join); rotated out late-r4 to admit the
     # SemDeDup groups query (emb_semantic_dedup):
     "clips_codec_skew",
+    # driver-green r1-r3 range-check rows (the sr_hz range expectation is
+    # also certified in-window through clips_quarantine's reason arrays);
+    # rotated out late-r4 to admit the bigram-LM score (doc_lm_score):
+    "clips_sr_range_violations",
 ]
 
 _oracled = [n for n in QUERIES

@@ -338,6 +338,32 @@ def _ensure_aux_fixtures(d: str) -> None:
     p = os.path.join(d, "near_embeddings.parquet")
     if not os.path.exists(p):
         pq.write_table(near_embeddings_table(), p)
+    for sub in ("clips", "clips_ref"):
+        _normalize_part_mtimes(os.path.join(d, sub))
+
+
+def _normalize_part_mtimes(part_dir: str) -> None:
+    """Make file modification times strictly increasing in part order.
+
+    Spark's FileStreamSource assigns files to micro-batches by
+    MODIFICATION TIME, and the parallel partition writers finish in
+    arbitrary order — without this, a streaming read of the fixture
+    groups arbitrary parts into each epoch and every epoch-keyed
+    assertion (and any user of the documented "parts 8-15 = epochs 2-3"
+    drift layout) becomes order-of-generation flaky.  Idempotent: already
+    ordered => no-op; otherwise mtimes are re-anchored above the current
+    max so no file ever moves backwards under a live checkpoint."""
+    if not os.path.isdir(part_dir):
+        return
+    files = sorted(f for f in os.listdir(part_dir)
+                   if f.startswith("part-") and f.endswith(".parquet"))
+    paths = [os.path.join(part_dir, f) for f in files]
+    mtimes = [os.path.getmtime(p) for p in paths]
+    if all(a < b for a, b in zip(mtimes, mtimes[1:])):
+        return
+    base = int(max(mtimes)) + 1
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i, base + i))
 
 
 def sf_label_from_dir(sf_dir: str) -> str:

@@ -61,3 +61,27 @@ def test_codec_hot_key_skew():
     codecs = t.column("codec").to_pylist()
     frac = codecs.count("pcm_s16le") / len(codecs)
     assert 0.75 < frac < 0.85  # the 80% hot key (salting target)
+
+
+def test_fixture_mtimes_are_part_ordered(tmp_path):
+    """Streaming consumers batch files by MODIFICATION TIME, so the
+    fixture contract includes mtimes strictly increasing in part order —
+    even though partitions are written by parallel workers that finish
+    in arbitrary order (ensure_fixtures normalizes them; without it,
+    epoch-keyed assertions are order-of-generation flaky)."""
+    import os
+
+    d = G.ensure_fixtures("sf0.001")
+    for sub in ("clips", "clips_ref"):
+        pd_ = os.path.join(d, sub)
+        files = sorted(f for f in os.listdir(pd_)
+                       if f.startswith("part-") and f.endswith(".parquet"))
+        mt = [os.path.getmtime(os.path.join(pd_, f)) for f in files]
+        assert all(a < b for a, b in zip(mt, mt[1:])), (sub, mt)
+    # idempotent: a second call must not move any mtime
+    before = {f: os.path.getmtime(os.path.join(d, "clips", f))
+              for f in os.listdir(os.path.join(d, "clips"))}
+    G.ensure_fixtures("sf0.001")
+    after = {f: os.path.getmtime(os.path.join(d, "clips", f))
+             for f in os.listdir(os.path.join(d, "clips"))}
+    assert before == after

@@ -341,6 +341,50 @@ def test_lang_scores_pick_stopword_language(spark):
     assert out[1] == "en" and out[2] == "es"
 
 
+def test_bigram_lm_hand_computed(spark):
+    """Add-one-smoothed bigram LM on a 1-doc corpus, scored on itself:
+    corpus 'a b a b' has bigrams (a,b)x2 (b,a)x1, contexts a=2 b=1,
+    vocab {a,b} -> logp(a,b)=ln(3/4), logp(b,a)=ln(2/3)."""
+    import math
+    d = spark.createDataFrame([Row(doc_id=1, text="a b a b")])
+    model = text.train_bigram_lm(d)
+    c12, c1, v = model
+    assert v == 2
+    assert {(r.w1, r.w2): r.c12 for r in c12.collect()} == {
+        ("a", "b"): 2, ("b", "a"): 1}
+    r = text.lm_score(d, model).collect()[0]
+    expect = (2 * round(math.log(3 / 4) * 1e6) +
+              round(math.log(2 / 3) * 1e6)) / 1e6 / 3
+    assert r.n_bigrams == 3
+    assert r.avg_logp == round(expect, 6)
+    assert r.ppl == round(math.exp(-r.avg_logp), 4)
+
+
+def test_bigram_lm_unseen_falls_back_smoothed(spark):
+    """Held-out text with unseen bigrams/contexts scores through the
+    smoothed floor (ln(1/V) for an unseen context) instead of erroring,
+    and scores BELOW in-distribution text."""
+    import math
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(5)])
+    model = text.train_bigram_lm(train)
+    v = model[2]
+    held = spark.createDataFrame([
+        Row(doc_id=10, text="the cat sat"),      # in-distribution
+        Row(doc_id=11, text="zz qq zz qq zz"),   # fully unseen
+        Row(doc_id=12, text="one")])             # < 2 tokens: no evidence
+    out = {r.doc_id: r for r in text.lm_score(held, model).collect()}
+    assert 12 not in out
+    assert out[11].avg_logp == round(math.log(1 / v), 6)
+    assert out[10].avg_logp > out[11].avg_logp
+
+
+def test_bigram_lm_min_count_prunes_model(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="a b a b c d")])
+    c12, _, _ = text.train_bigram_lm(d, min_count=2)
+    assert {(r.w1, r.w2) for r in c12.collect()} == {("a", "b")}
+
+
 def test_repetition_metrics_hand_counted(spark):
     """Hand-counted Gopher-style repetition fractions, including the
     (count, chars) tie-break on the top 2-gram and a fully self-repeating

@@ -387,13 +387,27 @@ def test_stream_gate_commits_and_flags_drift(spark, fixture_dir, tmp_path):
     # epoch 0 has a single commit -> every report is empty by contract
     assert not [r for r in rows if r.epoch == 0]
     flagged = {(r.epoch, r.gate, r.subject) for r in rows if r.flagged}
-    # dur_ms drift is injected in fixture parts 8-15 = epochs 2 and 3:
-    # epoch 2 trips the KS gate; by epoch 3 the rolling baseline has
-    # absorbed parts 8-11, so the mean effect dilutes but the commit's
-    # new duration range still escapes (moment gate)
-    assert any(e >= 2 and s == "dur_ms" for e, g, s in flagged)
-    # epoch 1 catches the 0.1%-injected 192 kHz outlier as a range escape
-    assert ((1, "moments", "sr_hz") in flagged)
+    # Epochs are the fixture parts in order ([0-3],[4-7],[8-11],[12-15]):
+    # generators._normalize_part_mtimes makes file mtimes strictly
+    # increasing by part, and the file source batches by mtime.  (The
+    # original assertions here were written against one generation's
+    # accidental parallel-writer mtime scramble and encoded a layout
+    # that never deterministically held.)
+    # dur_ms drift is injected in parts 8-15 = epochs 2 and 3: both trip
+    # the moment AND the KS quantile gate vs the rolling baseline
+    assert {(2, "moments", "dur_ms"), (2, "quantile", "dur_ms"),
+            (3, "moments", "dur_ms"), (3, "quantile", "dur_ms")} <= flagged
+    # epoch 1 (parts 4-7): opus first appears in part 5 -> NEW-ARRIVAL
+    # category flag; and its dur min (111 ms) undercuts the baseline's
+    # 112 ms -> a (tiny but real) moment range escape
+    assert (1, "category", "codec=opus") in flagged
+    assert (1, "moments", "dur_ms") in flagged
+    # part 11's opus is already known by epoch 2 -> no repeat flag
+    assert (2, "category", "codec=opus") not in flagged
+    # sr_hz stays quiet EVERYWHERE: the baseline epoch itself drew
+    # 192 kHz outliers (parts 2-3), so later outliers (parts 10, 14)
+    # are in-range — the gate must not re-flag an already-seen extreme
+    assert not any(s == "sr_hz" for _, _, s in flagged)
     # uniqueness stays quiet: every epoch's clip_ids are fresh
     assert not any(g == "uniqueness" for _, g, _ in flagged)
 
