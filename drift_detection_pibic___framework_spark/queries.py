@@ -1369,6 +1369,42 @@ def emb_injected_near_dups(spark, sf_dir):
     return D.embedding_near_duplicates(emb, threshold=0.95)
 
 
+MARKUP_SF001 = "/root/repo/data/sf0.01/markup_docs.parquet"
+
+
+@register("doc_markup_strip", f"""
+WITH s0 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '<[^>]*>')) AS n_tags,
+         regexp_replace(text, '<[^>]*>', ' ', 'g') AS t
+  FROM read_parquet('{MARKUP_SF001}')),
+s1 AS (
+  SELECT doc_id, text, n_tags,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS stripped_text
+  FROM s0)
+SELECT doc_id, stripped_text, CAST(n_tags AS INTEGER) AS n_tags,
+       ROUND((length(text) - length(stripped_text)) * 1.0 /
+             greatest(length(text), 1), 4) AS markup_ratio
+FROM s1
+""")
+def doc_markup_strip(spark, sf_dir):
+    """Markup strip over the injected HTML fixture (markup_docs): tag
+    removal, entity decode (amp-last single pass), whitespace collapse,
+    plus tag count and markup character fraction — the extraction step
+    ahead of every text screen.  Pure JVM regexp/replace built-ins,
+    byte-reproduced by the DuckDB oracle; the fixture keeps a 20%
+    markup-free slice so ratio-0 rows are covered.  No reference
+    analogue; training-data curation extension."""
+    d = G.ensure_fixtures(G.sf_label_from_dir(sf_dir))
+    docs = spark.read.parquet(f"{d}/markup_docs.parquet")
+    return T.strip_markup(docs).withColumn(
+        "n_tags", F.col("n_tags").cast("int"))
+
+
 def _semantic_dedup_sql(n_centroids: int = 8, dim: int = 16,
                         seed: int = 42, threshold: float = 0.95) -> str:
     """Full SemDeDup pipeline in SQL over literal centroids: cell
@@ -3221,6 +3257,11 @@ _DEMOTED_ORACLED = [
     # also certified in-window through clips_quarantine's reason arrays);
     # rotated out late-r4 to admit the bigram-LM score (doc_lm_score):
     "clips_sr_range_violations",
+    # driver-green r1-r3 length-consistency rows (the dur/bytes agreement
+    # screen is also exercised in-window by clips_speech_rate_outliers'
+    # per-row agreement math); rotated out late-r4 to admit the markup
+    # strip (doc_markup_strip):
+    "clips_len_consistency",
 ]
 
 _oracled = [n for n in QUERIES

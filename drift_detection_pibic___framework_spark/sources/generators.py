@@ -238,6 +238,40 @@ def near_embeddings_table() -> pa.Table:
     })
 
 
+MARKUP_DOCS_N = 200
+_MARKUP_VOCAB = ["stream", "batch", "table", "query", "join", "scan",
+                 "filter", "window", "merge", "sort", "hash", "agg",
+                 "spark", "row", "column", "value", "fast", "slow"]
+
+
+def markup_docs_table() -> pa.Table:
+    """(doc_id, text) with synthetic HTML wrapping for the markup-strip
+    screen: word-soup prose embedded in tags + entities, plus a plain
+    (markup-free) slice at the end so markup_ratio=0 rows exist.  Seeded;
+    the expected stripped text is recomputable from the same seed."""
+    rng = _rng(7700)
+    rows = []
+    for i in range(MARKUP_DOCS_N):
+        n = int(rng.integers(8, 30))
+        words = [str(_MARKUP_VOCAB[j]) for j in
+                 rng.integers(0, len(_MARKUP_VOCAB), n)]
+        if i % 5 == 4:                      # 20% markup-free
+            rows.append(" ".join(words))
+            continue
+        mid = n // 2
+        head = " ".join(words[:mid])
+        tail = " ".join(words[mid:])
+        cls = int(rng.integers(0, 9))
+        rows.append(
+            f'<div class="c{cls}"><p>{head} &amp; {tail}</p>'
+            f'<a href="https://ex.com/{cls}">link&nbsp;{cls}</a>'
+            f"<b>q{cls} &lt;fin&gt;</b></div>")
+    return pa.table({
+        "doc_id": pa.array(range(MARKUP_DOCS_N), type=pa.int64()),
+        "text": pa.array(rows, type=pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # drift streams (FIXTURES.md §3)
 # ---------------------------------------------------------------------------
@@ -338,6 +372,9 @@ def _ensure_aux_fixtures(d: str) -> None:
     p = os.path.join(d, "near_embeddings.parquet")
     if not os.path.exists(p):
         pq.write_table(near_embeddings_table(), p)
+    p = os.path.join(d, "markup_docs.parquet")
+    if not os.path.exists(p):
+        pq.write_table(markup_docs_table(), p)
     for sub in ("clips", "clips_ref"):
         _normalize_part_mtimes(os.path.join(d, sub))
 

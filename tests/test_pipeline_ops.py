@@ -341,6 +341,22 @@ def test_lang_scores_pick_stopword_language(spark):
     assert out[1] == "en" and out[2] == "es"
 
 
+def test_strip_markup_hand_cases(spark):
+    d = spark.createDataFrame([
+        Row(doc_id=1, text='<div class="a"><p>hi &amp; lo</p></div>'),
+        Row(doc_id=2, text="no markup at all"),
+        # &amp;lt; must decode ONE level (to "&lt;"), never to "<"
+        Row(doc_id=3, text="x &amp;lt; y"),
+        Row(doc_id=4, text="a<br/>b  c&nbsp;&nbsp;d")])
+    out = {r.doc_id: r for r in text.strip_markup(d).collect()}
+    assert out[1].stripped_text == "hi & lo" and out[1].n_tags == 4
+    assert out[2].stripped_text == "no markup at all"
+    assert out[2].n_tags == 0 and out[2].markup_ratio == 0.0
+    assert out[3].stripped_text == "x &lt; y"
+    assert out[4].stripped_text == "a b c d" and out[4].n_tags == 1
+    assert 0 < out[1].markup_ratio < 1
+
+
 def test_bigram_lm_hand_computed(spark):
     """Add-one-smoothed bigram LM on a 1-doc corpus, scored on itself:
     corpus 'a b a b' has bigrams (a,b)x2 (b,a)x1, contexts a=2 b=1,
