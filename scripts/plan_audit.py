@@ -209,6 +209,28 @@ def main() -> int:
             similarity.with_ivf_cell(
                 emb, similarity.random_unit_centroids(64, 256)),
             {"folded_literal": True}))
+        # SemDeDup candidates: pair volume is sum(|cell|^2), never N^2 —
+        # the join must stay equi on ivf_cell
+        cases.append((
+            "semantic_dup_pairs (SemDeDup: within-cell equi-join)",
+            similarity.semantic_dup_pairs(
+                emb, similarity.random_unit_centroids(64, 16),
+                threshold=0.95),
+            {"no_cartesian": True, "hash_join": True}))
+    # bigram-LM scoring: both model joins broadcast (count-pruned model
+    # by contract); the corpus side is one narrow explode
+    from drift_detection_pibic___framework_spark.operators import (
+        text as Top)
+    lm_model = Top.train_bigram_lm(docs)
+    cases.append((
+        "lm_score (bigram LM: broadcast model joins, narrow explode)",
+        Top.lm_score(docs, lm_model),
+        {"no_cartesian": True, "broadcast": True}))
+    # markup strip: pure regexp/replace projection — zero shuffle, codegen
+    cases.append((
+        "strip_markup (narrow codegen projection)",
+        Top.strip_markup(docs),
+        {"no_cartesian": True, "codegen": True}))
 
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")
