@@ -3,7 +3,11 @@
 The pipeline counterpart to jobs/validate.py: takes a documents table and
 produces a curated corpus the way a web-scale pretraining run does —
 
+  0. markup strip     (optional: tag/entity removal before any screen —
+                       quality scored on raw HTML measures the markup)
   1. quality filter   (length / alpha-ratio / mean-word-length score)
+  1b. LM perplexity   (optional: self-trained bigram LM, drop docs with
+                       ppl above a cut — the CCNet-style filter)
   2. deduplication    (exact md5 keep-min, then MinHash+LSH near-dup
                        closure via connected components, keep-one-per-group)
   3. decontamination  (optional: drop docs sharing any 13-gram with a
@@ -41,7 +45,13 @@ def main() -> int:
                     help="directory containing documents.parquet")
     ap.add_argument("--out", default=None,
                     help="write the curated corpus here (parquet)")
+    ap.add_argument("--strip-markup", action="store_true",
+                    help="strip HTML tags/entities from text before any "
+                         "screen (extraction step)")
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--max-ppl", type=float, default=0.0,
+                    help="drop docs whose self-trained bigram-LM "
+                         "perplexity exceeds this (0 = no LM filter)")
     ap.add_argument("--jaccard", type=float, default=0.7,
                     help="near-dup threshold for the LSH phase")
     ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
@@ -95,11 +105,31 @@ def main() -> int:
     docs = spark.read.parquet(doc_path)
     n_in = docs.count()
 
+    n_markup_docs = 0
+    if args.strip_markup:
+        from pyspark.sql import functions as F
+        s = text.strip_markup(docs)
+        n_markup_docs = s.filter("n_tags > 0").count()
+        docs = (docs.drop("text")
+                .join(s.select("doc_id",
+                               F.col("stripped_text").alias("text")),
+                      "doc_id"))
+
     scored = text.with_quality(docs).select("doc_id", "quality_score")
     kept = (docs.join(
         scored.filter(scored.quality_score >= args.min_quality)
         .select("doc_id"), "doc_id"))
     n_quality = kept.count()
+
+    n_lm = n_quality
+    if args.max_ppl:
+        # CCNet-style: the quality-kept slice is the (self-)trusted
+        # training corpus; high-ppl outliers against it are dropped
+        model = text.train_bigram_lm(kept)
+        lm = text.lm_score(kept, model)
+        kept = kept.join(
+            lm.filter(lm.ppl <= args.max_ppl).select("doc_id"), "doc_id")
+        n_lm = kept.count()
 
     deduped = dedup.dedup_corpus(kept, jaccard_threshold=args.jaccard)
     n_dedup = deduped.count()
@@ -176,9 +206,14 @@ def main() -> int:
 
     dt = time.time() - t0
     print(f"input             {n_in:>10d}")
+    if args.strip_markup:
+        print(f"markup-stripped   {n_markup_docs:>10d}  (docs with tags)")
     print(f"quality >= {args.min_quality:<6g} {n_quality:>10d}  "
           f"(-{n_in - n_quality})")
-    print(f"deduped           {n_dedup:>10d}  (-{n_quality - n_dedup})")
+    if args.max_ppl:
+        print(f"ppl <= {args.max_ppl:<9g} {n_lm:>10d}  "
+              f"(-{n_quality - n_lm})")
+    print(f"deduped           {n_dedup:>10d}  (-{n_lm - n_dedup})")
     if args.decontaminate:
         print(f"decontaminated    {n_decon:>10d}  (-{n_dedup - n_decon})")
     if args.pii_scrub:
