@@ -401,6 +401,57 @@ def test_bigram_lm_min_count_prunes_model(spark):
     assert {(r.w1, r.w2) for r in c12.collect()} == {("a", "b")}
 
 
+def test_strip_markup_differential_random_batch(spark):
+    """One seeded random tag-soup batch (partial tags, entity chains,
+    unicode) against an independent python reference of the spec: tags
+    stripped BEFORE entity decode (so decoded ``&lt;`` is content and may
+    legally form ``<>`` in the output — caught designing this test),
+    amp-last decode, ASCII whitespace collapse.  Plus the structural
+    invariants: whitespace-canonical, never grows, ratio in [0, 1]."""
+    import re
+    rng = np.random.default_rng(77)
+    frags = ["<p>", "</p>", '<a href="u?x=1&amp;y=2">', "<br/>", "<",
+             ">", "&amp;", "&lt;", "&nbsp;", "&amp;lt;", "wörd", "x y",
+             "  ", "tab\tchar", "€", "plain"]
+    rows = [Row(doc_id=i,
+                text="".join(rng.choice(frags, rng.integers(1, 12))))
+            for i in range(200)]
+
+    def ref(t: str) -> str:
+        s = re.sub(r"<[^>]*>", " ", t)
+        for ent, rep in text.HTML_ENTITIES:
+            s = s.replace(ent, rep)
+        return re.sub(r"\s+", " ", s, flags=re.ASCII).strip(" ")
+
+    out = text.strip_markup(spark.createDataFrame(rows)).collect()
+    assert len(out) == 200
+    for r in out:
+        orig = rows[r.doc_id].text
+        assert r.stripped_text == ref(orig), orig
+        s = r.stripped_text
+        assert s == s.strip(" ") and "  " not in s and "\t" not in s
+        assert len(s) <= len(orig)
+        assert 0.0 <= r.markup_ratio <= 1.0
+
+
+def test_lm_score_invariants_random_batch(spark):
+    """Self-trained scoring over a seeded random corpus: every smoothed
+    bigram probability is < 1, so avg_logp < 0 and ppl > 1; scoring the
+    training corpus itself covers every doc with >= 2 tokens."""
+    rng = np.random.default_rng(88)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = [Row(doc_id=i,
+                text=" ".join(rng.choice(vocab, rng.integers(1, 30))))
+            for i in range(150)]
+    d = spark.createDataFrame(rows)
+    out = text.lm_score(d, text.train_bigram_lm(d)).collect()
+    expected = sum(1 for r in rows if len(r.text.split()) >= 2)
+    assert len(out) == expected
+    for r in out:
+        assert r.avg_logp < 0 and r.ppl > 1
+        assert r.n_bigrams == len(rows[r.doc_id].text.split()) - 1
+
+
 def test_repetition_metrics_hand_counted(spark):
     """Hand-counted Gopher-style repetition fractions, including the
     (count, chars) tie-break on the top 2-gram and a fully self-repeating
