@@ -1001,3 +1001,210 @@ def _chunk_audio_standardize(b: pd.DataFrame, store_rate: int,
         "gain_db": np.round(20.0 * np.log10(gain), 4),
         "limited": limited,
         "bytes": payloads})
+
+
+# =========================================================================
+# training-window chunking (clip -> fixed-length model windows)
+# =========================================================================
+
+#: defaults for the training-window chunker: 1 s windows, 50% overlap,
+#: keep a tail only if it is at least 200 ms (shorter tails carry too few
+#: samples to train on and would dominate the row count at corpus scale).
+CHUNK_WIN_MS = 1000
+CHUNK_HOP_MS = 500
+CHUNK_MIN_TAIL_MS = 200
+
+
+def chunk_plan_reference(dur_ms: int, win_ms: int = CHUNK_WIN_MS,
+                         hop_ms: int = CHUNK_HOP_MS,
+                         min_tail_ms: int = CHUNK_MIN_TAIL_MS) -> list:
+    """Per-row reference: the (seg_idx, start_ms, end_ms) windows a clip
+    of ``dur_ms`` yields.  Full windows start at i*hop while they fit
+    entirely; one tail window covers the remainder iff it is >=
+    ``min_tail_ms`` long AND extends past the span the full windows
+    already cover (so dur == win yields exactly one window, not a
+    redundant overlapped tail).  A uniform start formula (start =
+    seg_idx*hop) holds for the tail too, because the tail index is
+    exactly n_full."""
+    n_full = (dur_ms - win_ms) // hop_ms + 1 if dur_ms >= win_ms else 0
+    out = [(i, i * hop_ms, i * hop_ms + win_ms) for i in range(n_full)]
+    covered = (n_full - 1) * hop_ms + win_ms if n_full else 0
+    tail_start = n_full * hop_ms
+    if dur_ms > covered and dur_ms - tail_start >= min_tail_ms:
+        out.append((n_full, tail_start, dur_ms))
+    return out
+
+
+def chunk_plan(clips: DataFrame, win_ms: int = CHUNK_WIN_MS,
+               hop_ms: int = CHUNK_HOP_MS,
+               min_tail_ms: int = CHUNK_MIN_TAIL_MS) -> DataFrame:
+    """Training-window chunk PLAN: one row per (clip, window) the model
+    pipeline will cut, computed entirely from ``dur_ms`` metadata — the
+    ``bytes`` column is never read (plan-audited), so at 10^12 clips this
+    is a narrow projection + explode with zero payload IO.  The actual
+    byte slicing happens in :func:`audio_chunks` (or inside the training
+    loader), which can be driven from this plan.
+
+    Window semantics (shared with chunk_plan_reference and the SQL
+    oracle): full ``win_ms`` windows every ``hop_ms`` while they fit;
+    one tail window for the remainder iff it is >= ``min_tail_ms`` AND
+    reaches past the span the full windows cover.  Since the
+    last full window start is (n_full-1)*hop and n_full*hop > dur-win,
+    the tail is always strictly shorter than ``win_ms`` — so
+    ``seg_ms < win_ms`` identifies tails without a flag column.
+
+    Reference provenance: the reference framework has no audio layer
+    (/root/reference/fluxo/StreamProcessor.py monitors scalar streams);
+    this operator serves the north_rule audio payload (graft axes A+B).
+    """
+    dur = F.col("dur_ms")
+    n_full = F.when(dur >= win_ms,
+                    ((dur - win_ms) / hop_ms).cast("int") + 1).otherwise(0)
+    base = clips.select("clip_id", "part", dur.alias("dur_ms"),
+                        n_full.alias("n_full"))
+    covered = F.when(F.col("n_full") > 0,
+                     (F.col("n_full") - 1) * hop_ms + win_ms).otherwise(0)
+    n_chunks = F.col("n_full") + F.when(
+        (F.col("dur_ms") > covered) &
+        (F.col("dur_ms") - F.col("n_full") * hop_ms >= min_tail_ms),
+        1).otherwise(0)
+    seq = F.when(n_chunks > 0,
+                 F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    seg = base.select(
+        "clip_id", "part", "dur_ms",
+        F.explode(seq).alias("seg_idx"))
+    start = F.col("seg_idx") * hop_ms
+    end = F.least(start + win_ms, F.col("dur_ms"))
+    return seg.select(
+        "clip_id", "part",
+        F.col("seg_idx").cast("int").alias("seg_idx"),
+        start.cast("int").alias("start_ms"),
+        end.cast("int").alias("end_ms"),
+        (end - start).cast("int").alias("seg_ms"))
+
+
+AUDIO_CHUNK_SCHEMA = ("rid long, clip_id string, part int, seg_idx int, "
+                      "start_ms int, end_ms int, n_samples int, "
+                      "rms double, bytes binary")
+
+
+def audio_chunk_reference(pcm: np.ndarray, dur_ms: int,
+                          store_rate: int = STORE_RATE,
+                          win_ms: int = CHUNK_WIN_MS,
+                          hop_ms: int = CHUNK_HOP_MS,
+                          min_tail_ms: int = CHUNK_MIN_TAIL_MS) -> list:
+    """Per-row reference slices for the chunk kernel: for each planned
+    window, the PCM span [floor(start_ms*rate/1000), floor(end_ms*rate/
+    1000)) clipped to the decoded length, re-encoded as pcm16."""
+    out = []
+    for seg_idx, s_ms, e_ms in chunk_plan_reference(
+            dur_ms, win_ms, hop_ms, min_tail_ms):
+        s = min(s_ms * store_rate // 1000, len(pcm))
+        e = min(e_ms * store_rate // 1000, len(pcm))
+        span = pcm[s:e]
+        rms = float(np.sqrt((span * span).mean())) if len(span) else 0.0
+        out.append((seg_idx, s_ms, e_ms, len(span), round(rms, 6),
+                    audio.pcm_s16le_encode(audio.float_to_int16(span))))
+    return out
+
+
+def audio_chunks(clips: DataFrame, store_rate: int = STORE_RATE,
+                 win_ms: int = CHUNK_WIN_MS, hop_ms: int = CHUNK_HOP_MS,
+                 min_tail_ms: int = CHUNK_MIN_TAIL_MS) -> DataFrame:
+    """Materialized training windows: decode each clip ONCE, slice every
+    planned window out of the decoded signal, and emit one pcm16-encoded
+    payload row per window — the batch shape a training loader ingests.
+
+    Execution shape: same as the other audio kernels — mapInPandas over
+    pruned columns in 1,024-row sub-chunks, one decode pass per chunk
+    (the window explosion re-uses the flat decoded buffer via gather
+    indices; no per-window decode).  Row expansion happens INSIDE the
+    python worker, so the shuffle-free single stage reads each payload
+    exactly once and writes only the window payloads."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_chunks(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], store_rate,
+                    win_ms, hop_ms, min_tail_ms)
+
+    cols = clips.select("rid", "clip_id", "part", "dur_ms", "bytes",
+                        "codec")
+    return cols.mapInPandas(gen, AUDIO_CHUNK_SCHEMA)
+
+
+def _empty_chunks() -> pd.DataFrame:
+    return pd.DataFrame({
+        "rid": pd.Series(dtype=np.int64),
+        "clip_id": pd.Series(dtype=object),
+        "part": pd.Series(dtype=np.int32),
+        "seg_idx": pd.Series(dtype=np.int32),
+        "start_ms": pd.Series(dtype=np.int32),
+        "end_ms": pd.Series(dtype=np.int32),
+        "n_samples": pd.Series(dtype=np.int32),
+        "rms": pd.Series(dtype=np.float64),
+        "bytes": pd.Series(dtype=object)})
+
+
+def _chunk_audio_chunks(b: pd.DataFrame, store_rate: int, win_ms: int,
+                        hop_ms: int, min_tail_ms: int) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return _empty_chunks()
+    flat, starts, ns, total = _decode_rows(b)
+    dur = b["dur_ms"].to_numpy().astype(np.int64)
+    # windows per row (chunk_plan math, vectorized)
+    n_full = np.where(dur >= win_ms, (dur - win_ms) // hop_ms + 1, 0)
+    covered = np.where(n_full > 0, (n_full - 1) * hop_ms + win_ms, 0)
+    has_tail = (dur > covered) & (dur - n_full * hop_ms >= min_tail_ms)
+    n_win = n_full + has_tail
+    tw = int(n_win.sum())
+    if not tw:
+        return _empty_chunks()
+    row_of = np.repeat(np.arange(n), n_win)
+    first_w = np.cumsum(n_win) - n_win
+    seg_idx = np.arange(tw) - first_w[row_of]
+    s_ms = seg_idx * hop_ms
+    e_ms = np.minimum(s_ms + win_ms, dur[row_of])
+    # ms -> stored-sample spans, clipped to the decoded length
+    s_sm = np.minimum(s_ms * store_rate // 1000, ns[row_of])
+    e_sm = np.minimum(e_ms * store_rate // 1000, ns[row_of])
+    w_ns = e_sm - s_sm
+    # gather every window's samples out of the flat buffer in ONE take:
+    # absolute positions = row start + window start + offset-in-window
+    out_total = int(w_ns.sum())
+    out_starts = np.empty(tw, dtype=np.int64)
+    if tw:
+        out_starts[0] = 0
+        np.cumsum(w_ns[:-1], out=out_starts[1:])
+    pos = np.arange(out_total, dtype=np.int64)
+    pos -= np.repeat(out_starts, w_ns)
+    pos += np.repeat(starts[row_of] + s_sm, w_ns)
+    out = _scratch("chout", out_total, np.float64)
+    np.take(flat, pos, out=out)
+    # one sentinel slot past the end lets empty TRAILING windows keep
+    # their reduceat index == out_total without clamping (clamping would
+    # truncate the PRECEDING window's sum by one element); reduceat with
+    # repeated indices (empty windows anywhere) returns a single stray
+    # element, masked below by w_ns > 0
+    sq = _scratch("chsq", out_total + 1, np.float64)
+    np.multiply(out, out, out=sq[:out_total])
+    sq[out_total] = 0.0
+    sums = np.add.reduceat(sq, out_starts) if out_total else np.zeros(tw)
+    rms = np.where(w_ns > 0,
+                   np.sqrt(np.maximum(sums, 0.0) / np.maximum(w_ns, 1)),
+                   0.0)
+    enc = audio.pcm_s16le_encode(audio.float_to_int16(out))
+    ob = out_starts * 2
+    oe = (out_starts + w_ns) * 2
+    payloads = [enc[ob[i]:oe[i]] for i in range(tw)]
+    return pd.DataFrame({
+        "rid": b["rid"].to_numpy()[row_of],
+        "clip_id": b["clip_id"].to_numpy()[row_of],
+        "part": b["part"].to_numpy()[row_of],
+        "seg_idx": seg_idx.astype(np.int32),
+        "start_ms": s_ms.astype(np.int32),
+        "end_ms": e_ms.astype(np.int32),
+        "n_samples": w_ns.astype(np.int32),
+        "rms": np.round(rms, 6),
+        "bytes": payloads})

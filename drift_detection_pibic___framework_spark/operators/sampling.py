@@ -149,3 +149,29 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
             .filter(bucket < F.floor(F.col("keep_rate") * 65536.0)
                     .cast("int"))
             .drop("keep_rate"))
+
+
+def epoch_order(df: DataFrame, key_col: str, epoch: int,
+                n_shards: int = 8) -> DataFrame:
+    """Deterministic multi-epoch training shuffle: assign every row a
+    (shard, pos) reading order for the given epoch, keyed on
+    md5(key ":" epoch) so each epoch is an independent, reproducible
+    permutation — the same order on every run, engine, partitioning and
+    cluster size (no ``rand()``, no zipWithIndex driver dependence).
+
+    Layout: the hash's first 4 hex digits pick the shard (mod n_shards);
+    ``pos`` is the dense rank of the full hash within the shard.  A
+    training loader reads shard s sequentially at position order; at
+    corpus scale this is ONE window shuffle on the shard key and each
+    shard sorts independently (n_shards >> executors keeps the per-task
+    sort bounded; the window never sees the whole corpus in one
+    partition).
+
+    (Reference has no analogue — training-data-pipeline extension.)"""
+    key = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                            F.lit(str(epoch))))
+    d = df.withColumn("ekey", key).withColumn(
+        "shard", (F.conv(F.substring("ekey", 1, 4), 16, 10)
+                  .cast("int") % n_shards))
+    w = Window.partitionBy("shard").orderBy("ekey")
+    return d.withColumn("pos", F.row_number().over(w)).drop("ekey")

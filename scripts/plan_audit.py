@@ -231,6 +231,20 @@ def main() -> int:
         "strip_markup (narrow codegen projection)",
         Top.strip_markup(docs),
         {"no_cartesian": True, "codegen": True}))
+    # training-window chunk plan: metadata-only explode — the payload
+    # column must NOT be in the scan (at 10^12 clips the plan reads only
+    # (clip_id, part, dur_ms))
+    cases.append((
+        "chunk_plan (training windows: metadata-only explode)",
+        multimodal.chunk_plan(clips),
+        {"no_bytes_scan": True, "no_cartesian": True, "codegen": True}))
+    # epoch shuffle order: ONE hash-partitioned window on the shard key
+    from drift_detection_pibic___framework_spark.operators import (
+        sampling as SAop)
+    cases.append((
+        "epoch_order (deterministic training shuffle, one window)",
+        SAop.epoch_order(docs.select("doc_id"), "doc_id", epoch=1),
+        {"no_cartesian": True, "single_exchange": True}))
 
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")

@@ -1336,3 +1336,141 @@ def test_audio_standardize_silent_clip_full_span(spark):
     assert g["n_in"] == 400 and g["n_out"] == 200
     assert g["lead_trim_ms"] == 0.0 and g["trail_trim_ms"] == 0.0
     assert g["gain_db"] == 0.0 and not g["limited"]
+
+
+# -- training-window chunking ---------------------------------------------
+
+def test_chunk_plan_reference_spec():
+    """Pinned window geometry: full windows every hop while they fit, one
+    tail >= min_tail, uniform start = seg_idx*hop (tail included)."""
+    r = multimodal.chunk_plan_reference
+    # dur < min_tail: nothing
+    assert r(99, 400, 200, 100) == []
+    # min_tail <= dur < win: one tail chunk covering the whole clip
+    assert r(250, 400, 200, 100) == [(0, 0, 250)]
+    # exactly one full window, remainder 0 < min_tail
+    assert r(400, 400, 200, 100) == [(0, 0, 400)]
+    # 700ms: full at 0 and 200 (200+400=600<=700), tail [400,700) = 300
+    assert r(700, 400, 200, 100) == [(0, 0, 400), (1, 200, 600),
+                                     (2, 400, 700)]
+    # remainder below min_tail is dropped: 1050 -> full 0,200,400,600;
+    # tail would be [800,1050) = 250 >= 100 -> kept
+    assert r(1050, 400, 200, 100) == [
+        (0, 0, 400), (1, 200, 600), (2, 400, 800), (3, 600, 1000),
+        (4, 800, 1050)]
+    # tail shorter than min_tail dropped: dur=850 -> n_full=3
+    # (0,200,400), tail [600,850)=250 kept; dur=650 -> full 0,200;
+    # tail [400,650)=250 kept; dur=620 tail [400,620)=220 kept;
+    # dur=450 tail [200,450)=250 kept; dur=410 tail [200,410)=210 kept
+    assert r(499, 400, 200, 450) == [(0, 0, 400)]  # tail 299 < 450 dropped
+
+
+def test_chunk_plan_matches_reference_on_fixtures(spark, clips):
+    """The Catalyst explode plan must equal the per-row reference over
+    real fixture durations (including violation-injected rows)."""
+    sub = clips.filter("part = 1")
+    got = multimodal.chunk_plan(sub, 400, 200, 100).toPandas()
+    durs = {r["clip_id"]: r["dur_ms"]
+            for r in sub.select("clip_id", "dur_ms").collect()}
+    by_clip = {c: sorted(g[["seg_idx", "start_ms", "end_ms"]]
+                         .itertuples(index=False, name=None))
+               for c, g in got.groupby("clip_id")}
+    n_rows = 0
+    for cid, dur in durs.items():
+        want = multimodal.chunk_plan_reference(int(dur), 400, 200, 100)
+        assert by_clip.get(cid, []) == want, cid
+        n_rows += len(want)
+    assert len(got) == n_rows
+    # every emitted window obeys the uniform-start formula and tail rule
+    assert (got["start_ms"] == got["seg_idx"] * 200).all()
+    assert (got["seg_ms"] == got["end_ms"] - got["start_ms"]).all()
+    assert (got["seg_ms"] <= 400).all() and (got["seg_ms"] >= 100).all()
+
+
+def test_chunk_plan_never_reads_bytes(spark, clips):
+    """The plan is metadata-only: the parquet ReadSchema must not include
+    the bytes column."""
+    plan = multimodal.chunk_plan(clips)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "bytes" not in plan
+
+
+def test_audio_chunks_match_per_row_reference(spark, clips):
+    """The batched slice kernel (one decode per chunk, one flat gather)
+    must match the per-row reference: geometry, sample counts, rms, and
+    the re-encoded payload bytes."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 4").limit(60)
+    got = multimodal.audio_chunks(sub, win_ms=400, hop_ms=200,
+                                  min_tail_ms=100).toPandas()
+    pdf = sub.select("rid", "dur_ms", "bytes", "codec").toPandas()
+    n_rows = 0
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        want = multimodal.audio_chunk_reference(
+            pcm, int(r["dur_ms"]), win_ms=400, hop_ms=200,
+            min_tail_ms=100)
+        n_rows += len(want)
+        g = got[got["rid"] == r["rid"]].sort_values("seg_idx")
+        assert len(g) == len(want)
+        for (seg_idx, s_ms, e_ms, n_s, rms, payload), (_, row) in zip(
+                want, g.iterrows()):
+            assert (row["seg_idx"], row["start_ms"], row["end_ms"],
+                    row["n_samples"]) == (seg_idx, s_ms, e_ms, n_s)
+            assert abs(row["rms"] - rms) < 1e-6
+            assert bytes(row["bytes"]) == payload
+    assert len(got) == n_rows
+
+
+def test_audio_chunks_synthetic_edges(spark):
+    """Constructed edges: a clip whose decoded payload is SHORTER than
+    dur_ms implies (corrupt row) clips windows to the decoded length; a
+    sub-min-tail clip yields no rows; windows re-decode to the exact
+    source span."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sr = multimodal.STORE_RATE                  # 2000 Hz -> 2 samples/ms
+    full = np.arange(1400, dtype=np.int16)      # 700ms at store rate
+    short = np.arange(100, dtype=np.int16)      # decodes to 50ms
+    df = spark.createDataFrame([
+        Row(rid=1, clip_id="full", part=0, dur_ms=700,
+            bytes=bytearray(full.tobytes()), codec="pcm_s16le"),
+        Row(rid=2, clip_id="corrupt", part=0, dur_ms=700,
+            bytes=bytearray(short.tobytes()), codec="pcm_s16le"),
+        Row(rid=3, clip_id="tiny", part=0, dur_ms=80,
+            bytes=bytearray(short.tobytes()), codec="pcm_s16le")])
+    got = multimodal.audio_chunks(df, win_ms=400, hop_ms=200,
+                                  min_tail_ms=100).toPandas()
+    g1 = got[got["rid"] == 1].sort_values("seg_idx")
+    assert list(g1["n_samples"]) == [800, 800, 600]
+    w0 = audio.decode(bytes(g1.iloc[0]["bytes"]), "pcm_s16le")
+    assert np.array_equal(w0, full[:800])
+    w2 = audio.decode(bytes(g1.iloc[2]["bytes"]), "pcm_s16le")
+    assert np.array_equal(w2, full[800:1400])
+    # corrupt row: plan geometry from dur_ms, spans clipped to decoded len
+    g2 = got[got["rid"] == 2].sort_values("seg_idx")
+    assert list(g2["start_ms"]) == [0, 200, 400]
+    assert list(g2["n_samples"]) == [100, 0, 0]
+    assert (got["rid"] != 3).all()              # 80ms < min_tail
+
+
+def test_epoch_order_deterministic_and_permutes(spark, docs):
+    """epoch_order: same epoch -> identical assignment across calls and
+    partitionings; different epochs -> different permutations; (shard,
+    pos) is a dense 1..n_s numbering per shard."""
+    from drift_detection_pibic___framework_spark.operators import sampling
+    sub = docs.select("doc_id").limit(500)
+    a = sampling.epoch_order(sub, "doc_id", epoch=1).collect()
+    b = sampling.epoch_order(sub.repartition(7), "doc_id", epoch=1) \
+        .collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = sampling.epoch_order(sub, "doc_id", epoch=2).collect()
+    oa = {r["doc_id"]: (r["shard"], r["pos"]) for r in a}
+    oc = {r["doc_id"]: (r["shard"], r["pos"]) for r in c}
+    assert oa != oc                              # epochs permute
+    assert set(oa) == set(oc)                    # same rows
+    import collections
+    per = collections.defaultdict(list)
+    for s, p in oa.values():
+        per[s].append(p)
+    for s, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
