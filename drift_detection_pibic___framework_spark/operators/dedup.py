@@ -337,6 +337,122 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
 
 
 # -------------------------------------------------------------------------
+# exact substring (span-level) dedup: repeated L-gram passages across docs
+# -------------------------------------------------------------------------
+
+def duplicate_spans(docs: DataFrame, col: str = "text",
+                    id_col: str = "doc_id", L: int = 8,
+                    min_count: int = 2,
+                    cross_doc_only: bool = False) -> DataFrame:
+    """Maximal duplicated token spans per document — the span-level third
+    axis of dedup (after doc-exact and doc-near): a passage of >= ``L``
+    tokens that occurs ``min_count``+ times in the corpus is flagged at
+    EVERY occurrence, and adjacent/overlapping flagged positions merge
+    into one maximal span.  This is the distributed equivalent of the
+    suffix-array substring dedup of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022): their 50-token
+    duplicate passages become L-token-gram hash groups here, because a
+    repeated passage of length >= L contributes a run of repeated
+    L-grams at consecutive positions.
+
+    Pipeline (every stage keyed, no all-pairs):
+    1. per doc, the positional L-gram hash array is built as ONE array
+       expression (no explode yet, whole-stage codegen), then
+       posexplode'd to (doc_id, pos, gram_hash) — hashing first keeps the
+       shuffle rows narrow (16 bytes of key instead of the L-token
+       string);
+    2. gram occurrence counts: groupBy(gram_hash) with map-side partial
+       aggregation — boilerplate grams are hot keys, and the partial agg
+       collapses them per task before the shuffle;
+    3. positions whose gram count clears ``min_count`` survive an
+       equi-join against the (small — dups are rare) flagged-key set;
+       AQE broadcasts it in practice;
+    4. gaps-and-islands per doc: a new island starts when the position
+       gap exceeds L-1 (token ranges of consecutive flagged grams stop
+       overlapping exactly there), so each island IS a maximal duplicated
+       span [min_pos, max_pos + L - 1].
+
+    ``cross_doc_only``: count only grams seen in >= 2 DISTINCT docs
+    (ignore within-doc repetition — that axis is covered by
+    text.repetition_metrics).
+
+    Hashes are md5-derived (``_h64``, seed 555) so the identical
+    signature — including any collision — is computable in the DuckDB
+    oracle; a collision merges two gram groups identically in both
+    engines (at 60 bits, ~n^2/2^61 expected collisions).
+
+    Returns (doc_id, span_start, span_end, n_dup_grams): inclusive
+    0-based token offsets into the NORMALIZED (whitespace-collapsed)
+    token sequence, and how many flagged L-gram starts the span merged.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(norm_text(col), " ")
+    idx = F.when(F.size(toks) >= L,
+                 F.sequence(F.lit(0), F.size(toks) - L)
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: _h64(F.concat_ws(" ", F.slice(toks, i + 1, L)), 555))
+    g = docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(grams).alias("pos", "gh"))
+    counts = g.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("doc_id").alias("nd"))
+    cond = (F.col("nd") >= 2) if cross_doc_only \
+        else (F.col("cnt") >= min_count)
+    dup = (g.join(counts.filter(cond).select("gh"), "gh")
+           .select("doc_id", "pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup
+           .withColumn("brk", F.when(
+               F.col("pos") - F.lag("pos").over(w) > L - 1, 1).otherwise(0))
+           .withColumn("island", F.sum("brk").over(w)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_dup_grams"))
+            .drop("island"))
+
+
+def strip_duplicate_spans(docs: DataFrame, col: str = "text",
+                          id_col: str = "doc_id", L: int = 8,
+                          min_count: int = 2,
+                          spans: DataFrame = None) -> DataFrame:
+    """Remove every token covered by a duplicate span (Lee et al.'s
+    dedup-by-deletion applied at span granularity): the doc keeps its
+    identity and unique content, only the repeated passages vanish.
+
+    ``spans`` defaults to ``duplicate_spans(docs, ...)``; pass a
+    precomputed frame to reuse one span pass across strip + report.
+
+    Per-doc span lists are tiny (only flagged docs appear), so the
+    groupBy-collect side of the join broadcasts; the strip itself is a
+    pure array expression over the token array — no Python, no second
+    shuffle of the corpus.  Adds ``text_clean`` (normalized tokens
+    outside every span, space-joined) and ``n_tokens_removed``."""
+    if spans is None:
+        spans = duplicate_spans(docs, col, id_col, L, min_count)
+    sp = (spans.groupBy("doc_id")
+          .agg(F.collect_list(F.struct("span_start", "span_end"))
+               .alias("_spans"))
+          .withColumnRenamed("doc_id", id_col))
+    d = docs.join(F.broadcast(sp), id_col, "left")
+    toks = F.split(norm_text(col), " ")
+    indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"),
+                                                      i.alias("i")))
+    kept = F.filter(indexed, lambda s: ~F.exists(
+        F.col("_spans"), lambda b: (s["i"] >= b["span_start"])
+        & (s["i"] <= b["span_end"])))
+    clean = F.when(F.col("_spans").isNull(), F.concat_ws(" ", toks)) \
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
+    removed = F.when(F.col("_spans").isNull(), F.lit(0)) \
+        .otherwise(F.size(toks) - F.size(kept))
+    return (d.withColumn("text_clean", clean)
+            .withColumn("n_tokens_removed", removed.cast("int"))
+            .drop("_spans"))
+
+
+# -------------------------------------------------------------------------
 # eval-set decontamination: drop corpus docs overlapping held-out eval text
 # -------------------------------------------------------------------------
 

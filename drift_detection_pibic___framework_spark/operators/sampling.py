@@ -151,6 +151,35 @@ def temperature_mix(df: DataFrame, source_col: str, key_col: str,
             .drop("keep_rate"))
 
 
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows with
+    inclusion probability proportional to ``weight_col`` — Efraimidis &
+    Spirakis' A-Res ("Weighted random sampling with a reservoir", IPL
+    2006): each row gets the key u^(1/w) for u ~ Uniform(0,1) and the
+    top-k keys are the sample.  Here u is md5-derived from ``key_col``
+    (first 8 hex digits, midpoint-adjusted to (0,1)), so the sample is
+    reproducible across runs, engines, partitionings and cluster sizes —
+    and ANSI-SQL-expressible for the oracle.  We rank by the monotone
+    transform ln(u)/w (same argmax set, no tiny-exponent underflow at
+    large weights).
+
+    This is the quality-weighted subsample every curation pipeline draws
+    (train on the best slice, weight = quality/length score).  Scale
+    shape: one narrow projection + TakeOrderedAndProject top-k — no
+    global sort, no shuffle beyond the k-row reduction.
+
+    Weights must be > 0 (rows with NULL/non-positive weight are
+    excluded, matching w->0 limit: never sampled).  Adds ``es_key``."""
+    u = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+                16, 10).cast("double") + 0.5) / F.lit(float(1 << 32))
+    es = F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col) > 0)
+            .withColumn("es_key", es)
+            .orderBy(F.desc("es_key"))
+            .limit(k))
+
+
 def epoch_order(df: DataFrame, key_col: str, epoch: int,
                 n_shards: int = 8) -> DataFrame:
     """Deterministic multi-epoch training shuffle: assign every row a

@@ -2035,6 +2035,95 @@ def doc_contamination_report(spark, sf_dir):
     return D.contamination_report(cor, ev, n=13)
 
 
+_SPAN_L = 8
+_SPAN_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+spos AS (SELECT doc_id, unnest(generate_series(0, len(t) - {_SPAN_L})) AS pos,
+                t
+         FROM toks WHERE len(t) >= {_SPAN_L}),
+grams AS (SELECT doc_id, pos,
+                 CAST(('0x' || substr(md5('s555:' || array_to_string(
+                      list_slice(t, pos + 1, pos + {_SPAN_L}), ' ')), 1, 15))
+                      AS BIGINT) AS gh
+          FROM spos),
+gdup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+dpos AS (SELECT g.doc_id, g.pos FROM grams g JOIN gdup USING (gh))"""
+
+
+@register("doc_duplicate_spans", f"""
+WITH {_SPAN_CTES},
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {_SPAN_L - 1}
+                    THEN 1 ELSE 0 END AS brk
+        FROM dpos),
+isl2 AS (SELECT doc_id, pos,
+                sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM isl)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {_SPAN_L - 1} AS INTEGER) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_dup_grams
+FROM isl2 GROUP BY doc_id, island
+""")
+def doc_duplicate_spans(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. ACL 2022, distributed
+    as positional 8-gram hash groups): every maximal duplicated passage
+    in the corpus, per occurrence.  The oracle rebuilds the identical
+    md5-seeded gram hashes, flags count>=2 positions, and merges them
+    with the same gaps-and-islands rule (break when the position gap
+    exceeds L-1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(docs, L=_SPAN_L)
+
+
+@register("doc_span_dedup_stats", f"""
+WITH {_SPAN_CTES},
+cov AS (SELECT DISTINCT doc_id, i FROM (
+          SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_L - 1}))
+                 AS i
+          FROM dpos)),
+rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+       CAST(coalesce(rem.n_removed, 0) AS INTEGER) AS n_tokens_removed
+FROM toks t LEFT JOIN rem USING (doc_id)
+""")
+def doc_span_dedup_stats(spark, sf_dir):
+    """Strip-duplicate-spans audit: per doc, normalized token count and
+    how many tokens the span strip removed.  The Spark side counts
+    REMOVED tokens through the actual strip expression (token array
+    minus kept array), so the oracle's independent covered-index union
+    cross-checks the whole strip path, island merge included."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(D.norm_text("text"), " ")
+    return (D.strip_duplicate_spans(docs, L=_SPAN_L)
+            .select("doc_id", F.size(toks).alias("n_tokens"),
+                    "n_tokens_removed"))
+
+
+@register("doc_weighted_sample", f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+           AS weight,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, weight, round(ln(u) / weight, 6) AS es_key
+FROM w WHERE weight > 0
+ORDER BY ln(u) / weight DESC LIMIT 60
+""")
+def doc_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (Efraimidis-Spirakis A-Res, top-60
+    by ln(u)/w with md5-derived u): the quality/length-weighted
+    subsample draw.  TakeOrderedAndProject top-k — no global sort; the
+    oracle recomputes the identical keys and takes the same top-60."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn(
+        "weight", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return (SA.weighted_sample(d, "weight", 60)
+            .select("doc_id", "weight", F.round("es_key", 6).alias("es_key")))
+
+
 _PII_TAIL = (" contact jane.doe@example.com or 555-123-4567 ssn 123-45-6789"
              " host 10.0.0.1")
 
@@ -3399,6 +3488,20 @@ _DEMOTED_ORACLED = [
     # plan stays golden-tested); rotated out late-r4 to admit the epoch
     # shuffle order (doc_epoch_order):
     "clips_partition_summaries",
+    # driver-green r1-r3 digest-group check (the exact phase runs
+    # in-window inside doc_dedup_corpus; clips_duplicate_violations
+    # certifies dup-group windows too); rotated out late-r4 to admit the
+    # span-level dedup (doc_duplicate_spans):
+    "doc_exact_dup_groups",
+    # driver-green r3 LSH pair check (doc_dedup_corpus runs the same
+    # signature->band->verify path in-window); rotated out late-r4 to
+    # admit the strip audit (doc_span_dedup_stats):
+    "doc_minhash_lsh_dups",
+    # driver-green r3 injected-pair cosine check (the same cosine math is
+    # certified in-window through emb_lsh_knn / emb_ivf_knn /
+    # emb_semantic_dedup); rotated out late-r4 to admit the weighted
+    # sample (doc_weighted_sample):
+    "emb_injected_near_dups",
 ]
 
 _oracled = [n for n in QUERIES

@@ -245,6 +245,27 @@ def main() -> int:
         "epoch_order (deterministic training shuffle, one window)",
         SAop.epoch_order(docs.select("doc_id"), "doc_id", epoch=1),
         {"no_cartesian": True, "single_exchange": True}))
+    # span-level dedup: flagged-gram keys join back EQUI on the 64-bit
+    # gram hash (partial-agg'd count side), never any pairwise form
+    cases.append((
+        "duplicate_spans (positional gram hash groups, equi join-back)",
+        dedup.duplicate_spans(docs, L=8),
+        {"no_cartesian": True, "hash_join": True}))
+    # strip: per-doc span lists are tiny and ride a BroadcastExchange;
+    # the strip itself is an array expression over the token array
+    cases.append((
+        "strip_duplicate_spans (span lists broadcast onto the corpus)",
+        dedup.strip_duplicate_spans(docs, L=8),
+        {"no_cartesian": True, "broadcast": True}))
+    # weighted sample: top-k must lower to TakeOrderedAndProject — a
+    # global Sort before the limit would shuffle the whole corpus
+    cases.append((
+        "weighted_sample (A-Res top-k, no global sort)",
+        SAop.weighted_sample(
+            docs.select("doc_id",
+                        F.size(F.split("text", r"\s+")).alias("w")),
+            "w", 60),
+        {"no_cartesian": True, "top_k": True}))
 
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")
@@ -296,6 +317,14 @@ def main() -> int:
             ok = opt.count("array(") <= 2
             verdicts.append(
                 ("quantizer constant-folded to one literal", ok))
+        if checks.get("top_k"):
+            # orderBy(...).limit(k) must lower to TakeOrderedAndProject
+            # (per-partition heaps + k-row reduction); a global Sort node
+            # would mean the whole corpus shuffles to sort
+            ok = ("TakeOrderedAndProject" in plan
+                  and "\n* Sort " not in plan)
+            verdicts.append(("top-k via TakeOrderedAndProject, "
+                             "no global sort", ok))
         if "scan_cols_subset" in checks:
             allowed = checks["scan_cols_subset"]
             scanned = {

@@ -1,0 +1,132 @@
+"""Span-level exact substring dedup (duplicate_spans / strip_duplicate_spans,
+Lee et al. ACL 2022 style) and Efraimidis-Spirakis weighted sampling."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from drift_detection_pibic___framework_spark.operators import dedup, sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # doc 1: one passage repeated twice back-to-back, then unique tail;
+    # doc 3: the SAME passage once (cross-doc dup); doc 2: fully unique
+    return spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e a b c d e x y"),
+        Row(doc_id=2, text="q w e r t y u i"),
+        Row(doc_id=3, text="a b c d e z z q w"),
+    ])
+
+
+def _spans(df, **kw):
+    return sorted(tuple(r) for r in dedup.duplicate_spans(df, **kw).collect())
+
+
+def test_duplicate_spans_finds_and_merges(tiny):
+    # L=3: flagged 3-gram starts {0,1,2} and {5,6,7} in doc 1 (gap 3 > L-1
+    # breaks the island exactly where coverage stops overlapping), {0,1,2}
+    # in doc 3; each island reported as one maximal [start, end] span
+    assert _spans(tiny, L=3) == [
+        (1, 0, 4, 3), (1, 5, 9, 3), (3, 0, 4, 3)]
+
+
+def test_duplicate_spans_cross_doc_only(tiny):
+    # within-doc repetition of "a b c d e" in doc 1 still surfaces because
+    # doc 3 shares it; a gram repeated ONLY within one doc is dropped
+    one_doc = tiny.filter("doc_id = 1")
+    assert _spans(one_doc, L=3, cross_doc_only=True) == []
+    both = _spans(tiny, L=3, cross_doc_only=True)
+    assert (3, 0, 4, 3) in both and (1, 0, 4, 3) in both
+
+
+def test_duplicate_spans_short_docs_skipped(spark):
+    d = spark.createDataFrame([Row(doc_id=1, text="a b"),
+                               Row(doc_id=2, text="a b")])
+    assert _spans(d, L=3) == []          # sub-L docs contribute no grams
+    assert _spans(d, L=2) == [(1, 0, 1, 1), (2, 0, 1, 1)]
+
+
+def test_strip_removes_exactly_covered_tokens(tiny):
+    out = {r["doc_id"]: r for r in
+           dedup.strip_duplicate_spans(tiny, L=3)
+           .select("doc_id", "text_clean", "n_tokens_removed").collect()}
+    assert out[1]["text_clean"] == "x y" and out[1]["n_tokens_removed"] == 10
+    assert out[2]["text_clean"] == "q w e r t y u i"
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["text_clean"] == "z z q w"
+    assert out[3]["n_tokens_removed"] == 5
+
+
+def test_strip_accepts_precomputed_spans(tiny):
+    spans = dedup.duplicate_spans(tiny, L=3)
+    a = dedup.strip_duplicate_spans(tiny, L=3).select(
+        "doc_id", "text_clean").collect()
+    b = dedup.strip_duplicate_spans(tiny, spans=spans).select(
+        "doc_id", "text_clean").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_spans_on_fixture_corpus_hit_exact_dups(docs):
+    # the documents fixture carries exact-dup groups: every member of a
+    # group is wall-to-wall duplicated text, so span dedup must flag it
+    # end-to-end (span covers the whole normalized token range)
+    dup_ids = {r["doc_id"] for g in
+               dedup.exact_duplicate_groups(docs).collect()
+               for r in [g] for doc_id in g["doc_ids"]
+               for r in [Row(doc_id=doc_id)]}
+    spans = dedup.duplicate_spans(docs, L=8)
+    toks = docs.select(
+        "doc_id", F.size(F.split(dedup.norm_text("text"), " ")).alias("n"))
+    full = (spans.join(toks, "doc_id")
+            .filter((F.col("span_start") == 0)
+                    & (F.col("span_end") == F.col("n") - 1)))
+    covered = {r["doc_id"] for r in full.collect()}
+    big_enough = {r["doc_id"] for r in
+                  toks.filter(F.col("n") >= 8).collect()}
+    assert (dup_ids & big_enough) <= covered
+
+
+# -- weighted sampling ------------------------------------------------------
+
+def test_weighted_sample_matches_reference(spark):
+    import hashlib
+    rows = [Row(doc_id=i, w=float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    got = sampling.weighted_sample(df, "w", 25, key_col="doc_id")
+    ids = {r["doc_id"] for r in got.collect()}
+
+    def key(i, w):
+        u = (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) \
+            / 2 ** 32
+        return math.log(u) / w
+    want = {i for i, _ in sorted(((r.doc_id, key(r.doc_id, r.w))
+                                  for r in rows),
+                                 key=lambda t: -t[1])[:25]}
+    assert ids == want
+
+
+def test_weighted_sample_is_weight_sensitive(spark):
+    # same keys, but one heavy row: weight >> others must (for this md5
+    # draw) push the heavy row into a small sample
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=1000.0 if i == 42 else 1.0) for i in range(100)])
+    ids = {r["doc_id"] for r in
+           sampling.weighted_sample(df, "w", 5, key_col="doc_id").collect()}
+    assert 42 in ids
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0.0), Row(doc_id=2, w=-1.0), Row(doc_id=3, w=2.0)])
+    ids = {r["doc_id"] for r in
+           sampling.weighted_sample(df, "w", 10, key_col="doc_id").collect()}
+    assert ids == {3}
