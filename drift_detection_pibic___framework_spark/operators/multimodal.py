@@ -660,6 +660,44 @@ def audio_near_duplicates(clips: DataFrame,
                     F.col("id_b").alias("clip_b"), "hamming"))
 
 
+def transcript_conflicts(clips: DataFrame,
+                         max_hamming: int = 2) -> DataFrame:
+    """Cross-modal label-noise screen: pairs of NEAR-IDENTICAL audio whose
+    transcripts DISAGREE — the same recording carrying two different
+    labels.  One of them is wrong (mis-aligned crawl, OCR'd caption,
+    copy-paste error), and training on both teaches the model that the
+    same sound maps to two texts; ASR corpora drop or re-adjudicate such
+    pairs.  The dual screen (same transcript, different audio) is covered
+    by clips_transcript_dup_groups.
+
+    Composition, no new kernel: audio_near_duplicates (64-bit envelope
+    fingerprint + chunk-pigeonhole Hamming equi-join) produces the pair
+    set; transcripts are compared by normalized md5 digest.  The pair set
+    is tiny relative to the corpus, so AQE broadcasts it onto the
+    digest projection — the transcript column is scanned once, the audio
+    column only inside the fingerprint pass.
+
+    Tight ``max_hamming`` (default 2, vs 4 for plain dedup) keeps this a
+    same-recording screen: transcodes/re-levelings land within a couple
+    of bits, genuinely different speech does not.
+
+    Returns (clip_a, clip_b, hamming) for every near-identical pair whose
+    normalized transcripts differ (a NULL transcript conflicts with any
+    non-NULL twin — it is a missing label on a duplicated recording)."""
+    pairs = audio_near_duplicates(clips, max_hamming)
+    tr = clips.select(
+        "clip_id",
+        F.md5(F.lower(F.trim(F.coalesce(F.col("transcript"),
+                                        F.lit("\x00null"))))).alias("tdig"))
+    return (pairs
+            .join(tr.select(F.col("clip_id").alias("clip_a"),
+                            F.col("tdig").alias("dig_a")), "clip_a")
+            .join(tr.select(F.col("clip_id").alias("clip_b"),
+                            F.col("tdig").alias("dig_b")), "clip_b")
+            .filter(F.col("dig_a") != F.col("dig_b"))
+            .select("clip_a", "clip_b", "hamming"))
+
+
 # ---------------------------------------------------------------------------
 # resample / loudness-normalize (audio TRANSFORMS: curation writes, not just
 # screens — the standard pre-training normalization passes: unify sample

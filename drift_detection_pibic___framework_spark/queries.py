@@ -3136,6 +3136,34 @@ def clips_audio_near_dups(spark, sf_dir):
         .orderBy("hamming"))
 
 
+@register("clips_transcript_conflicts")  # audio decode: no SQL equivalent
+def clips_transcript_conflicts(spark, sf_dir):
+    """Cross-modal label-noise screen (multimodal.transcript_conflicts):
+    near-identical audio whose transcripts disagree — one label is wrong.
+    De-vacuated in-query: a 10-row slice of part 0 is re-uploaded under
+    new ids with identical bytes but a '[alt] '-prefixed transcript, so
+    each injected pair is a hamming-0 conflict.  Returned as a summary
+    (injected vs organic conflict counts by hamming) for the same reason
+    as clips_audio_near_dups: the fixture's sine clips produce genuine
+    envelope near-dups whose transcripts differ, which are true positives
+    of this screen.  Semantics pinned by
+    tests/test_pipeline_ops.py::test_transcript_conflicts_flags_label_noise."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir).filter("part = 0").select(
+        "rid", "clip_id", "part", "bytes", "codec", "transcript")
+    dup = (c.orderBy("rid").limit(10)
+           .withColumn("clip_id", F.concat(F.lit("re-"), "clip_id"))
+           .withColumn("transcript",
+                       F.concat(F.lit("[alt] "), "transcript")))
+    conf = multimodal.transcript_conflicts(
+        c.unionByName(dup), max_hamming=2)
+    return (conf.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_conflicts"),
+        F.sum(F.col("clip_b").startswith("re-").cast("bigint"))
+        .alias("n_injected"))
+        .orderBy("hamming"))
+
+
 @register("q17_small_qty_revenue", """
 WITH pq AS (
   SELECT l_partkey,

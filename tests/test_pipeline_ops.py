@@ -1175,6 +1175,52 @@ def test_audio_fingerprint_transcode_near_dup(spark):
     assert not any("b_s16" in p for p in pairs)
 
 
+def test_transcript_conflicts_flags_label_noise(spark):
+    """Near-identical audio (transcode pair) with DISAGREEING transcripts
+    must be flagged; the same pair with agreeing (normalized) transcripts
+    must not; a NULL transcript on one twin counts as a conflict."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    rng = np.random.default_rng(13)
+    n = 6500
+    t = np.arange(n)
+
+    def clip(seed):
+        env = np.repeat(rng.uniform(0.05, 0.8, 66), 100)[:n]
+        return audio.float_to_int16(
+            env * np.sin(2 * np.pi * (150.0 + 30 * seed) * t / 2000.0))
+
+    a, b, c = clip(1), clip(2), clip(3)
+    rows = [
+        # pair 1: same recording, conflicting labels -> flagged
+        Row(rid=1, clip_id="p1_s16", part=0,
+            bytes=bytearray(audio.encode(a, "pcm_s16le")),
+            codec="pcm_s16le", transcript="hello world"),
+        Row(rid=2, clip_id="p1_mulaw", part=0,
+            bytes=bytearray(audio.encode(a, "mulaw")), codec="mulaw",
+            transcript="goodbye world"),
+        # pair 2: same recording, same label modulo case/space -> clean
+        Row(rid=3, clip_id="p2_s16", part=0,
+            bytes=bytearray(audio.encode(b, "pcm_s16le")),
+            codec="pcm_s16le", transcript="Same Words"),
+        Row(rid=4, clip_id="p2_alaw", part=0,
+            bytes=bytearray(audio.encode(b, "alaw")), codec="alaw",
+            transcript="  same words "),
+        # pair 3: same recording, one missing label -> flagged
+        Row(rid=5, clip_id="p3_s16", part=0,
+            bytes=bytearray(audio.encode(c, "pcm_s16le")),
+            codec="pcm_s16le", transcript="labelled"),
+        Row(rid=6, clip_id="p3_mulaw", part=0,
+            bytes=bytearray(audio.encode(c, "mulaw")), codec="mulaw",
+            transcript=None),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {(r.clip_a, r.clip_b)
+           for r in multimodal.transcript_conflicts(df).collect()}
+    assert ("p1_mulaw", "p1_s16") in got
+    assert ("p3_mulaw", "p3_s16") in got
+    assert not any("p2" in a_ for a_, _ in got)
+
+
 def test_hamming_near_duplicates_generic(spark):
     """The factored-out 64-bit Hamming join: finds pairs within radius
     (including ones differing in the SIGN bit, i.e. negative bigints),
