@@ -10,6 +10,9 @@ produces a curated corpus the way a web-scale pretraining run does —
                        ppl above a cut — the CCNet-style filter)
   2. deduplication    (exact md5 keep-min, then MinHash+LSH near-dup
                        closure via connected components, keep-one-per-group)
+  2b. span strip      (optional: remove duplicated >=L-token passages
+                       surviving doc-level dedup — boilerplate headers,
+                       licenses, templates; Lee et al. 2022 span dedup)
   3. decontamination  (optional: drop docs sharing any 13-gram with a
                        held-out eval/benchmark table)
   4. PII scrub        (optional: mask email/phone/SSN/IPv4, report hits)
@@ -54,6 +57,10 @@ def main() -> int:
                          "perplexity exceeds this (0 = no LM filter)")
     ap.add_argument("--jaccard", type=float, default=0.7,
                     help="near-dup threshold for the LSH phase")
+    ap.add_argument("--strip-spans", type=int, default=0, metavar="L",
+                    help="strip duplicated passages of >= L tokens that "
+                         "survive doc-level dedup (0 = off; 8 is a "
+                         "typical gram length)")
     ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
                     help="parquet of held-out eval docs (doc_id, text); "
                          "drop corpus docs sharing any n-gram with them")
@@ -133,6 +140,17 @@ def main() -> int:
 
     deduped = dedup.dedup_corpus(kept, jaccard_threshold=args.jaccard)
     n_dedup = deduped.count()
+
+    n_span_docs = 0
+    if args.strip_spans:
+        from pyspark.sql import functions as F
+        s = dedup.strip_duplicate_spans(deduped, L=args.strip_spans)
+        n_span_docs = s.filter("n_tokens_removed > 0").count()
+        # output text is the normalized token stream minus stripped spans
+        # (whitespace collapsed — the same normalization every dedup
+        # stage keys on)
+        deduped = (s.withColumn("text", F.col("text_clean"))
+                   .drop("text_clean", "n_tokens_removed"))
 
     n_decon = n_dedup
     if args.decontaminate:
@@ -214,6 +232,9 @@ def main() -> int:
         print(f"ppl <= {args.max_ppl:<9g} {n_lm:>10d}  "
               f"(-{n_quality - n_lm})")
     print(f"deduped           {n_dedup:>10d}  (-{n_lm - n_dedup})")
+    if args.strip_spans:
+        print(f"span-stripped     {n_span_docs:>10d}  "
+              f"(docs losing >= 1 duplicated passage)")
     if args.decontaminate:
         print(f"decontaminated    {n_decon:>10d}  (-{n_dedup - n_decon})")
     if args.pii_scrub:
