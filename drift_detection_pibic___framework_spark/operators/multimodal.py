@@ -281,6 +281,143 @@ CLIP_THRESHOLD = 0.97
 DBFS_FLOOR = -120.0
 
 
+#: analysis band edges (Hz) for the band-energy features — log-ish spacing
+#: over STORE_RATE=2000's Nyquist range; rfftfreq(128) bins are exact
+#: multiples of 15.625 Hz and the edges are binary-exact floats, so the
+#: bin->band assignment (searchsorted) is bit-deterministic everywhere.
+BAND_EDGES_HZ = (0.0, 62.5, 125.0, 250.0, 500.0, 750.0, 1000.0)
+N_BANDS = len(BAND_EDGES_HZ) - 1
+FLATNESS_EPS = 1e-12
+AUDIO_BAND_SCHEMA = (
+    "rid long, clip_id string, part int, "
+    + ", ".join(f"band_frac_{j} double" for j in range(N_BANDS))
+    + ", spectral_flatness double")
+
+
+def _band_bin_matrix(frame_len: int, store_rate: int) -> np.ndarray:
+    """(n_bins, N_BANDS) indicator: which band each rFFT bin belongs to
+    (half-open [edge_j, edge_j+1) intervals, Nyquist clamped into the
+    last band)."""
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / store_rate)
+    bidx = np.clip(np.searchsorted(BAND_EDGES_HZ, freqs, side="right") - 1,
+                   0, N_BANDS - 1)
+    m = np.zeros((len(freqs), N_BANDS))
+    m[np.arange(len(freqs)), bidx] = 1.0
+    return m
+
+
+def band_energy_reference(pcm: np.ndarray, store_rate: int = STORE_RATE,
+                          frame_len: int = CENTROID_FRAME_LEN) -> tuple:
+    """Per-row reference for the batched band-energy kernel: framed power
+    spectrum -> per-band energy FRACTIONS (level-invariant spectral
+    shape) + mean per-frame spectral flatness (geometric/arithmetic mean
+    of the frame's power spectrum — 1.0 for white noise, ->0 for pure
+    tones).  Returns ([frac_0..frac_K-1], flatness)."""
+    k = len(pcm) // frame_len
+    if k == 0:
+        return [0.0] * N_BANDS, 0.0
+    frames = pcm[: k * frame_len].reshape(k, frame_len)
+    p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    bm = _band_bin_matrix(frame_len, store_rate)
+    tot = p.sum()
+    fracs = [float((p @ bm[:, j]).sum() / tot) if tot > 0 else 0.0
+             for j in range(N_BANDS)]
+    am = p.mean(axis=1)
+    gm = np.exp(np.log(p + FLATNESS_EPS).mean(axis=1))
+    fl = np.where(am > 0, gm / am, 0.0)
+    return fracs, float(fl.mean())
+
+
+def audio_band_energy(clips: DataFrame,
+                      store_rate: int = STORE_RATE) -> DataFrame:
+    """Per-clip spectral-shape features over the decoded payload: energy
+    fraction per analysis band (BAND_EDGES_HZ) + mean spectral flatness.
+    These are the acoustic-DRIFT features: level-invariant, so a corpus
+    shift in recording conditions (bandwidth, tone vs noise content,
+    codec lowpass) moves them even when duration/loudness metadata stays
+    put — the audio analog of the metadata PSI gates, computed once at
+    ingest alongside the other audio kernels.
+
+    Same execution discipline as audio_features: mapInPandas over
+    (ids, bytes, codec) only, 1,024-row sub-chunks, scratch-pool decode
+    and fixed-size rFFT chunks (see audio_features docstring for why
+    this is the shape that survives 100 TB)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_band_energy(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], store_rate)
+
+    cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
+    return cols.mapInPandas(gen, AUDIO_BAND_SCHEMA)
+
+
+def _chunk_audio_band_energy(b: pd.DataFrame,
+                             store_rate: int) -> pd.DataFrame:
+    n = len(b)
+    cols = {f"band_frac_{j}": pd.Series(dtype=np.float64)
+            for j in range(N_BANDS)}
+    if not n:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32), **cols,
+            "spectral_flatness": pd.Series(dtype=np.float64)})
+    flat, starts, ns, total = _decode_rows(b)
+    L = CENTROID_FRAME_LEN
+    nf = ns // L
+    total_frames = int(nf.sum())
+    band_sums = np.zeros((n, N_BANDS))
+    tot = np.zeros(n)
+    fl_sum = np.zeros(n)
+    if total_frames:
+        bm = _band_bin_matrix(L, store_rate)
+        clip_of_frame = np.repeat(np.arange(n), nf)
+        cum_nf = np.empty(n, dtype=np.int64)
+        cum_nf[0] = 0
+        np.cumsum(nf[:-1], out=cum_nf[1:])
+        within = (np.arange(total_frames)
+                  - np.repeat(cum_nf, nf)) * L
+        frame_starts = np.repeat(starts, nf) + within
+        arange_l = np.arange(L)
+        for c0 in range(0, total_frames, FFT_CHUNK_FRAMES):
+            k = min(FFT_CHUNK_FRAMES, total_frames - c0)
+            idx = _scratch("beidx", FFT_CHUNK_FRAMES, np.int64, L)[:k]
+            np.add.outer(frame_starts[c0:c0 + k], arange_l, out=idx)
+            fb = _scratch("bebuf", FFT_CHUNK_FRAMES, np.float64, L)[:k]
+            np.take(flat, idx, out=fb)
+            spec = np.fft.rfft(fb, axis=1)   # consistent alloc size
+            p = _scratch("bep", FFT_CHUNK_FRAMES, np.float64,
+                         L // 2 + 1)[:k]
+            np.absolute(spec, out=p)
+            np.multiply(p, p, out=p)
+            cof = clip_of_frame[c0:c0 + k]
+            be = p @ bm                       # (k, N_BANDS): tiny
+            for j in range(N_BANDS):
+                band_sums[:, j] += np.bincount(cof, weights=be[:, j],
+                                               minlength=n)
+            tot += np.bincount(cof, weights=p.sum(axis=1), minlength=n)
+            lg = _scratch("belg", FFT_CHUNK_FRAMES, np.float64,
+                          L // 2 + 1)[:k]
+            np.add(p, FLATNESS_EPS, out=lg)
+            np.log(lg, out=lg)
+            gm = np.exp(lg.mean(axis=1))
+            am = p.mean(axis=1)
+            fl = np.where(am > 0, gm / am, 0.0)
+            fl_sum += np.bincount(cof, weights=fl, minlength=n)
+    safe = np.where(tot > 0, tot, 1.0)
+    fracs = band_sums / safe[:, None]
+    fracs[tot <= 0] = 0.0
+    flatness = np.where(nf > 0, fl_sum / np.maximum(nf, 1), 0.0)
+    out = {"rid": b["rid"].to_numpy(),
+           "clip_id": b["clip_id"].to_numpy(),
+           "part": b["part"].to_numpy()}
+    for j in range(N_BANDS):
+        out[f"band_frac_{j}"] = np.round(fracs[:, j], 6)
+    out["spectral_flatness"] = np.round(flatness, 6)
+    return pd.DataFrame(out)
+
+
 def audio_quality_reference(pcm: np.ndarray) -> tuple:
     """Per-row reference (peak, rms_dbfs, silence_ratio, clip_ratio) —
     parity target for the batched kernel."""

@@ -3136,6 +3136,43 @@ def clips_audio_near_dups(spark, sf_dir):
         .orderBy("hamming"))
 
 
+@register("clips_band_drift")  # audio decode: no SQL equivalent
+def clips_band_drift(spark, sf_dir):
+    """ACOUSTIC drift screen: per-partition mean band-energy fractions
+    (multimodal.audio_band_energy — level-invariant spectral shape) and
+    their L1 distance to the baseline partitions (p0-p3, the same
+    baseline window as the metadata PSI gate).  Catches a corpus shift
+    in recording conditions — bandwidth, codec lowpass, tone/noise
+    balance — that duration/loudness metadata cannot see.
+
+    De-vacuated in-query with a REAL transform (the fixture synthesizes
+    identical frequency content in every partition): parts >= 12 pass
+    through audio_resample 2000->1400 Hz, whose output played back at
+    the store rate scales all frequency content by 10/7 — exactly the
+    kind of silent re-encode a band gate must catch.  Expect l1_drift
+    near sampling noise (~0.01-0.03) for clean parts 4-11 and an order
+    of magnitude above it for the resampled parts."""
+    from .operators import multimodal as M
+    c = clips_df(spark, sf_dir)
+    cols = ["rid", "clip_id", "part", "bytes", "codec"]
+    clean = c.filter("part < 12").select(*cols)
+    shifted = (M.audio_resample(c.filter("part >= 12"), target_rate=1400)
+               .withColumn("codec", F.lit("pcm_s16le"))
+               .select(*cols))
+    feats = M.audio_band_energy(clean.unionByName(shifted))
+    bcols = [f"band_frac_{j}" for j in range(M.N_BANDS)]
+    per_part = feats.groupBy("part").agg(
+        *[F.avg(b).alias(b) for b in bcols])
+    base = (per_part.filter("part < 4")
+            .agg(*[F.avg(b).alias(f"base_{b}") for b in bcols]))
+    j = per_part.crossJoin(F.broadcast(base))   # 1-row baseline literal
+    l1 = sum(F.abs(F.col(b) - F.col(f"base_{b}")) for b in bcols)
+    return (j.select("part",
+                     *[F.round(b, 4).alias(b) for b in bcols],
+                     F.round(l1, 4).alias("l1_drift"))
+            .orderBy("part"))
+
+
 @register("clips_transcript_conflicts")  # audio decode: no SQL equivalent
 def clips_transcript_conflicts(spark, sf_dir):
     """Cross-modal label-noise screen (multimodal.transcript_conflicts):

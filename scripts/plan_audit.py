@@ -109,6 +109,13 @@ def main() -> int:
         multimodal.audio_standardize(clips, 1000),
         {"no_cartesian": True,
          "scan_cols_subset": {"rid", "clip_id", "part", "bytes", "codec"}}))
+    # band-energy features: same kernel contract — the scan must read
+    # nothing beyond (ids, bytes, codec); transcript/sr_hz/dur_ms pruned
+    cases.append((
+        "audio_band_energy (acoustic drift features: metadata pruned)",
+        multimodal.audio_band_energy(clips),
+        {"no_cartesian": True,
+         "scan_cols_subset": {"rid", "clip_id", "part", "bytes", "codec"}}))
     # merge-on-read: the folded delete set is tiny, so AQE must resolve the
     # equality-delete join to a broadcast, never a cartesian
     import tempfile

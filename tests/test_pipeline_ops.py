@@ -1175,6 +1175,75 @@ def test_audio_fingerprint_transcode_near_dup(spark):
     assert not any("b_s16" in p for p in pairs)
 
 
+def test_band_energy_matches_reference(spark, clips):
+    """The batched band-energy kernel (chunked rFFT + bincount
+    accumulation) must match the per-row reference within float
+    summation-order noise on every clip of a partition slice."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 4").limit(60)
+    got = {r.rid: r for r in multimodal.audio_band_energy(sub).collect()}
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    for _, r in pdf.iterrows():
+        pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
+        fr, fl = multimodal.band_energy_reference(pcm)
+        g = got[r["rid"]]
+        gf = [g[f"band_frac_{j}"] for j in range(multimodal.N_BANDS)]
+        assert np.allclose(gf, np.round(fr, 6), atol=2e-6)
+        assert abs(g["spectral_flatness"] - round(fl, 6)) < 2e-6
+        assert abs(sum(gf) - 1.0) < 1e-4          # fractions sum to 1
+
+
+def test_band_energy_edge_cases(spark):
+    """Sub-frame clips produce all-zero features; a pure tone
+    concentrates in its band with near-zero flatness; white noise is
+    spread with high flatness."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    rng = np.random.default_rng(5)
+    n = 4096
+    tone = audio.float_to_int16(
+        0.4 * np.sin(2 * np.pi * 600.0 * np.arange(n) / 2000.0))
+    noise = audio.float_to_int16(
+        np.clip(rng.normal(0, 0.2, n), -0.9, 0.9))
+    short = audio.float_to_int16(np.zeros(16))   # < one 128-sample frame
+    df = spark.createDataFrame([
+        Row(rid=1, clip_id="tone", part=0,
+            bytes=bytearray(audio.encode(tone, "pcm_s16le")),
+            codec="pcm_s16le"),
+        Row(rid=2, clip_id="noise", part=0,
+            bytes=bytearray(audio.encode(noise, "pcm_s16le")),
+            codec="pcm_s16le"),
+        Row(rid=3, clip_id="short", part=0,
+            bytes=bytearray(audio.encode(short, "pcm_s16le")),
+            codec="pcm_s16le")])
+    out = {r.clip_id: r for r in
+           multimodal.audio_band_energy(df).collect()}
+    # 600 Hz falls in band [500, 750)
+    assert out["tone"]["band_frac_4"] > 0.95
+    assert out["tone"]["spectral_flatness"] < 0.05
+    assert out["noise"]["spectral_flatness"] > 0.3
+    assert max(out["noise"][f"band_frac_{j}"] for j in range(6)) < 0.6
+    assert out["short"]["spectral_flatness"] == 0.0
+    assert all(out["short"][f"band_frac_{j}"] == 0.0 for j in range(6))
+
+
+def test_band_drift_separates_resampled_parts(spark):
+    """The clips_band_drift screen: resampled (bandwidth-shifted)
+    partitions must read an order of magnitude above the clean parts'
+    L1 noise floor."""
+    from drift_detection_pibic___framework_spark import queries as QQ
+    rows = {r["part"]: r["l1_drift"]
+            for r in QQ.QUERIES["clips_band_drift"](
+                spark, "/root/testdata/sf0.001").collect()}
+    clean = [v for p, v in rows.items() if 4 <= p < 12]
+    shifted = [v for p, v in rows.items() if p >= 12]
+    # 200 clips/part at sf0.001: clean-part L1 noise runs ~0.05-0.15
+    # (an order tighter at sf0.01); the resample shift reads ~0.4
+    assert max(clean) < 0.25
+    assert min(shifted) > 0.3
+    assert min(shifted) > 1.5 * max(clean)
+
+
 def test_transcript_conflicts_flags_label_noise(spark):
     """Near-identical audio (transcode pair) with DISAGREEING transcripts
     must be flagged; the same pair with agreeing (normalized) transcripts
