@@ -178,6 +178,11 @@ def bench_queries(spark, sf_dir: str) -> tuple:
         return multimodal.audio_standardize(clips, 1000).agg(
             F.sum("n_out")).collect()[0][0]
 
+    def q_band_energy():
+        # acoustic-drift features: chunked-rFFT band fractions + flatness
+        return multimodal.audio_band_energy(clips).agg(
+            F.avg("spectral_flatness")).collect()[0][0]
+
     _ = Q  # registry imported for completeness
     core_only = os.environ.get("SPARK_GRAFT_CORE_ONLY") == "1"
     # each query runs twice; the WARM (min) time is reported: this sandbox
@@ -196,7 +201,8 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_dedup_corpus", q_dedup_corpus),
                   ("q_knn", q_knn),
                   ("q_quarantine", q_quarantine),
-                  ("q_standardize", q_standardize)]
+                  ("q_standardize", q_standardize),
+                  ("q_band_energy", q_band_energy)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
     # (2 warm laps so a single throttle blip cannot own the reported number)
     timings, cold, canaries = {}, {}, {}

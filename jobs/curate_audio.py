@@ -10,6 +10,14 @@ the way a speech-pretraining pipeline does —
   2. quality screen   drop clips that are mostly silence, digitally
                       clipped, or mastered below a loudness floor
                       (operators/multimodal.py audio_quality)
+  2b. audio dedup     optional: drop near-duplicate PAYLOADS (envelope-
+                      fingerprint Hamming pairs closed into groups, keep
+                      the min-clip_id representative) — the re-upload case
+                      id-dedup cannot see
+  2c. label conflicts optional: drop BOTH members of every near-identical
+                      audio pair whose transcripts disagree (one label is
+                      wrong and we cannot adjudicate which — the standard
+                      ASR-corpus conservative policy)
   3. standardize      fused trim -> resample -> loudness-gain kernel:
                       ONE decode and ONE encode per clip
                       (multimodal.audio_standardize)
@@ -57,6 +65,15 @@ def main() -> int:
                     help="drop clips with clip_ratio >= this")
     ap.add_argument("--min-dbfs", type=float, default=-60.0,
                     help="drop clips with rms_dbfs < this")
+    ap.add_argument("--dedup-audio", type=int, default=-1, metavar="H",
+                    help="drop near-duplicate payloads within Hamming "
+                         "radius H over the 64-bit envelope fingerprint, "
+                         "keeping each group's min clip_id (-1 = off; "
+                         "0 = exact payload dups only)")
+    ap.add_argument("--drop-label-conflicts", action="store_true",
+                    help="drop both members of near-identical audio "
+                         "pairs (Hamming <= 2) with disagreeing "
+                         "transcripts")
     ap.add_argument("--master",
                     default=os.environ.get("SPARK_MASTER", "local[8]"))
     ap.add_argument("--shuffle-partitions", type=int, default=16)
@@ -103,6 +120,33 @@ def main() -> int:
     screened = clean.join(keep_ids, "rid")
     n_screen = screened.count()
 
+    # 2b. audio-payload dedup: fingerprint Hamming pairs -> group closure
+    # -> keep the min-clip_id representative (quarantine already diverted
+    # duplicate clip_ids, so ids are unique here)
+    n_dedup = n_screen
+    if args.dedup_audio >= 0:
+        from drift_detection_pibic___framework_spark.operators.dedup import (
+            connected_components)
+        pairs = multimodal.audio_near_duplicates(
+            screened, max_hamming=args.dedup_audio)
+        comp = connected_components(pairs, src="clip_a", dst="clip_b")
+        drop = (comp.filter(F.col("node") != F.col("component"))
+                .select(F.col("node").alias("clip_id")))
+        screened = screened.join(drop, "clip_id", "left_anti")
+        n_dedup = screened.count()
+
+    # 2c. label-noise adjudication: near-identical audio with disagreeing
+    # transcripts — drop BOTH members (cannot know which label is right)
+    n_label = n_dedup
+    if args.drop_label_conflicts:
+        conf = multimodal.transcript_conflicts(screened, max_hamming=2)
+        bad_ids = (conf.select(F.col("clip_a").alias("clip_id"))
+                   .unionByName(conf.select(F.col("clip_b")
+                                            .alias("clip_id")))
+                   .distinct())
+        screened = screened.join(bad_ids, "clip_id", "left_anti")
+        n_label = screened.count()
+
     # 3. fused standardize (one decode + one encode per clip)
     std = multimodal.audio_standardize(
         screened, args.target_rate, args.target_dbfs)
@@ -135,8 +179,13 @@ def main() -> int:
         n_final = curated.count()
 
     dt = time.time() - t0
+    extra = ""
+    if args.dedup_audio >= 0:
+        extra += f" payload-deduped={n_dedup}"
+    if args.drop_label_conflicts:
+        extra += f" label-clean={n_label}"
     print(f"curate_audio: in={n_in} admitted={n_clean} "
-          f"screened={n_screen} curated={n_final}")
+          f"screened={n_screen}{extra} curated={n_final}")
     print(f"standardized: rate={args.target_rate}Hz "
           f"loudness={args.target_dbfs}dBFS "
           f"gain_mean={summary['gain_db_mean']}dB "
