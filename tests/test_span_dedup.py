@@ -95,6 +95,67 @@ def test_spans_on_fixture_corpus_hit_exact_dups(docs):
     assert (dup_ids & big_enough) <= covered
 
 
+def _model_spans(texts: dict, L: int, min_count: int = 2) -> dict:
+    """Brute-force python model of duplicate_spans: flag every gram
+    position whose L-gram occurs >= min_count times corpus-wide, merge
+    flagged positions into islands breaking where the gap exceeds L-1.
+    Returns {doc_id: [(span_start, span_end, n_dup_grams)]}."""
+    import re
+    from collections import Counter
+    toks = {i: re.sub(r"\s+", " ", t).strip().lower().split(" ")
+            for i, t in texts.items()}
+    grams: Counter = Counter()
+    pos: dict = {}
+    for i, tk in toks.items():
+        pos[i] = []
+        for p in range(len(tk) - L + 1):
+            g = " ".join(tk[p:p + L])
+            grams[g] += 1
+            pos[i].append((p, g))
+    out: dict = {}
+    for i in pos:
+        flagged = sorted(p for p, g in pos[i] if grams[g] >= min_count)
+        spans = []
+        for p in flagged:
+            if spans and p - spans[-1][1] <= L - 1:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        out[i] = [(s, e + L - 1, c) for s, e, c in spans]
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_duplicate_spans_differential_random_corpus(spark, seed):
+    """Differential vs a brute-force python model over seeded random
+    corpora from a small vocab (dense organic repeats): spans, island
+    merges, and strip counts must all agree exactly."""
+    import random
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(12)]
+    texts = {i: " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(2, 30)))
+             for i in range(30)}
+    L = 3
+    want = _model_spans(texts, L)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got: dict = {i: [] for i in texts}
+    for r in dedup.duplicate_spans(df, L=L).collect():
+        got[r["doc_id"]].append(
+            (r["span_start"], r["span_end"], r["n_dup_grams"]))
+    for i in texts:
+        assert sorted(got[i]) == sorted(want[i]), f"doc {i} (seed {seed})"
+    # strip consistency: tokens removed == |union of covered positions|
+    removed = {r["doc_id"]: r["n_tokens_removed"] for r in
+               dedup.strip_duplicate_spans(df, L=L)
+               .select("doc_id", "n_tokens_removed").collect()}
+    for i, spans in want.items():
+        covered = set()
+        for s, e, _ in spans:
+            covered.update(range(s, e + 1))
+        assert removed[i] == len(covered), f"doc {i} (seed {seed})"
+
+
 # -- weighted sampling ------------------------------------------------------
 
 def test_weighted_sample_matches_reference(spark):
