@@ -2082,22 +2082,36 @@ cov AS (SELECT DISTINCT doc_id, i FROM (
           SELECT doc_id, unnest(generate_series(pos, pos + {_SPAN_L - 1}))
                  AS i
           FROM dpos)),
-rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+tokpos AS (SELECT doc_id, unnest(t) AS tok,
+                  unnest(generate_series(0, len(t) - 1)) AS i
+           FROM toks),
+clean AS (
+  SELECT tp.doc_id,
+         coalesce(string_agg(tp.tok, ' ' ORDER BY tp.i)
+                  FILTER (WHERE c.i IS NULL), '') AS clean_text
+  FROM tokpos tp LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i
+  GROUP BY tp.doc_id)
 SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
-       CAST(coalesce(rem.n_removed, 0) AS INTEGER) AS n_tokens_removed
-FROM toks t LEFT JOIN rem USING (doc_id)
+       CAST(coalesce(rem.n_removed, 0) AS INTEGER) AS n_tokens_removed,
+       md5(cl.clean_text) AS clean_digest
+FROM toks t
+LEFT JOIN rem USING (doc_id)
+JOIN clean cl ON cl.doc_id = t.doc_id
 """)
 def doc_span_dedup_stats(spark, sf_dir):
-    """Strip-duplicate-spans audit: per doc, normalized token count and
-    how many tokens the span strip removed.  The Spark side counts
-    REMOVED tokens through the actual strip expression (token array
-    minus kept array), so the oracle's independent covered-index union
-    cross-checks the whole strip path, island merge included."""
+    """Strip-duplicate-spans audit: per doc, normalized token count, how
+    many tokens the span strip removed, and the md5 of the CLEANED text.
+    The Spark side goes through the actual strip expression (token array
+    minus kept array); the oracle independently rebuilds the covered-
+    index union AND re-assembles the surviving tokens in order — so the
+    hash gate certifies the strip's full content, not just its counts."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(D.norm_text("text"), " ")
     return (D.strip_duplicate_spans(docs, L=_SPAN_L)
             .select("doc_id", F.size(toks).alias("n_tokens"),
-                    "n_tokens_removed"))
+                    "n_tokens_removed",
+                    F.md5("text_clean").alias("clean_digest")))
 
 
 @register("doc_weighted_sample", f"""
