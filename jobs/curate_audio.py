@@ -74,6 +74,12 @@ def main() -> int:
                     help="drop both members of near-identical audio "
                          "pairs (Hamming <= 2) with disagreeing "
                          "transcripts")
+    ap.add_argument("--band-features", action="store_true",
+                    help="annotate curated rows with band-energy "
+                         "fractions + spectral flatness (computed on the "
+                         "pre-standardize payload), so downstream "
+                         "commit-gate sidecars can drift-gate ACOUSTIC "
+                         "columns the same way they gate metadata")
     ap.add_argument("--master",
                     default=os.environ.get("SPARK_MASTER", "local[8]"))
     ap.add_argument("--shuffle-partitions", type=int, default=16)
@@ -153,8 +159,13 @@ def main() -> int:
 
     # 4. re-join transcript metadata and write
     meta = screened.select("rid", "transcript")
+    band_cols = []
+    if args.band_features:
+        bf = multimodal.audio_band_energy(screened).drop("clip_id", "part")
+        meta = meta.join(bf, "rid")
+        band_cols = [c for c in bf.columns if c != "rid"]
     curated = (std.join(meta, "rid")
-               .select("clip_id", "part",
+               .select("clip_id", "part", *band_cols,
                        F.col("bytes"),
                        F.lit(args.target_rate).alias("sr_hz"),
                        F.round(F.col("n_out") * 1000.0 / args.target_rate)
