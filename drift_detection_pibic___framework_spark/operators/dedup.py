@@ -453,6 +453,71 @@ def strip_duplicate_spans(docs: DataFrame, col: str = "text",
 
 
 # -------------------------------------------------------------------------
+# frequent-line dedup: strip lines repeated across the corpus (boilerplate)
+# -------------------------------------------------------------------------
+
+def frequent_lines(docs: DataFrame, col: str = "text",
+                   min_count: int = 3) -> DataFrame:
+    """Corpus-wide line frequency table, filtered to lines occurring
+    ``min_count``+ times — the C4 recipe's boilerplate detector (C4
+    dropped any line appearing >= 3 times in the crawl: navigation bars,
+    cookie banners, license footers, "subscribe" calls).  Lines are
+    compared whitespace-trimmed; empty lines are ignored (stripping them
+    is a formatting choice, not dedup).
+
+    Scale shape: explode is narrow, the count is ONE groupBy on the
+    trimmed line (map-side partial agg collapses hot boilerplate lines
+    per task before the shuffle — the same reason duplicate_spans counts
+    via groupBy, not a window).  Returns (line_norm, n_occurrences)."""
+    ex = docs.select(F.explode(F.split(F.col(col), "\n")).alias("line"))
+    norm = F.trim(F.col("line"))
+    return (ex.select(norm.alias("line_norm"))
+            .filter(F.col("line_norm") != "")
+            .groupBy("line_norm")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= min_count))
+
+
+def strip_frequent_lines(docs: DataFrame, col: str = "text",
+                         id_col: str = "doc_id",
+                         min_count: int = 3,
+                         lines: DataFrame = None) -> DataFrame:
+    """Remove every line occurring ``min_count``+ times corpus-wide from
+    every document (C4 line-level dedup).  ``lines`` defaults to
+    ``frequent_lines(docs, ...)``; pass a precomputed frame to reuse one
+    counting pass across strip + report.
+
+    Execution: docs explode to (doc_id, idx, line) once; the flagged-line
+    join is equi on the trimmed line (the flagged set is small — only
+    repeated lines — so AQE broadcasts it); surviving lines re-assemble
+    per doc via sort_array(collect_list(struct(idx, line))) — one shuffle
+    on doc_id.  Adds ``text_clean`` (surviving lines joined by newline,
+    original line content preserved) and ``n_lines_removed``."""
+    if lines is None:
+        lines = frequent_lines(docs, col, min_count)
+    flagged = lines.select("line_norm")
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(col), "\n")).alias("idx", "line"))
+    marked = (ex.join(F.broadcast(flagged),
+                      F.trim(F.col("line")) == F.col("line_norm"),
+                      "left")
+              .withColumn("_drop", F.col("line_norm").isNotNull()
+                          & (F.trim(F.col("line")) != "")))
+    agg = (marked.groupBy(id_col)
+           .agg(F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("idx"), F.col("line"))))),
+                        lambda s: s["line"])).alias("text_clean"),
+                F.sum(F.col("_drop").cast("int"))
+                .alias("n_lines_removed")))
+    return docs.join(agg, id_col)
+
+
+# -------------------------------------------------------------------------
 # eval-set decontamination: drop corpus docs overlapping held-out eval text
 # -------------------------------------------------------------------------
 

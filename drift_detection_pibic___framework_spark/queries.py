@@ -2138,6 +2138,56 @@ def doc_weighted_sample(spark, sf_dir):
             .select("doc_id", "weight", F.round("es_key", 6).alias("es_key")))
 
 
+@register("doc_line_dedup", """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 7000000,
+         'every page of this site' || chr(10) || text || chr(10) ||
+         'subscribe to our newsletter'
+  FROM documents WHERE doc_id < 10),
+lns AS (SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(generate_series(
+                   0, len(string_split(text, chr(10))) - 1)) AS idx
+        FROM corpus),
+freq AS (SELECT trim(line) AS ln FROM lns WHERE trim(line) <> ''
+         GROUP BY 1 HAVING count(*) >= 3),
+marked AS (SELECT l.doc_id, l.idx, l.line,
+                  (f.ln IS NOT NULL AND trim(l.line) <> '') AS dropped
+           FROM lns l LEFT JOIN freq f ON trim(l.line) = f.ln)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY idx)
+                    FILTER (WHERE NOT dropped), '')) AS clean_digest,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_lines_removed
+FROM marked GROUP BY doc_id
+""")
+def doc_line_dedup(spark, sf_dir):
+    """C4-style frequent-line (boilerplate) dedup: strip every line
+    occurring >= 3 times corpus-wide, certify the cleaned text's md5 per
+    doc.  De-vacuated two ways: docs 0-9 are re-injected wrapped in two
+    boilerplate lines (each then appears 10x -> stripped everywhere,
+    including from the injected copies), and the fixture's exact-dup
+    groups of size >= 3 have their whole single-line body flagged as
+    corpus-frequent — the organic case.  The oracle independently
+    re-assembles surviving lines in order (same content-level gate as
+    doc_span_dedup_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    injected = (docs.filter(F.col("doc_id") < 10)
+                .select((F.col("doc_id") + 7000000).alias("doc_id"),
+                        F.concat(F.lit("every page of this site\n"),
+                                 F.col("text"),
+                                 F.lit("\nsubscribe to our newsletter"))
+                        .alias("text")))
+    corpus = docs.select("doc_id", "text").unionByName(injected)
+    out = D.strip_frequent_lines(corpus, min_count=3)
+    return out.select("doc_id",
+                      F.md5("text_clean").alias("clean_digest"),
+                      F.col("n_lines_removed").cast("int")
+                      .alias("n_lines_removed"))
+
+
 _PII_TAIL = (" contact jane.doe@example.com or 555-123-4567 ssn 123-45-6789"
              " host 10.0.0.1")
 
@@ -3581,6 +3631,11 @@ _DEMOTED_ORACLED = [
     # emb_semantic_dedup); rotated out late-r4 to admit the weighted
     # sample (doc_weighted_sample):
     "emb_injected_near_dups",
+    # registered with the window already full: the audit twin of
+    # doc_decontaminated (which stays in-window and certifies the shared
+    # shingle machinery); verified every round via scripts/check_entry.py.
+    # Demoted to admit the line-dedup content gate (doc_line_dedup):
+    "doc_contamination_report",
 ]
 
 _oracled = [n for n in QUERIES

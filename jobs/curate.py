@@ -8,6 +8,10 @@ produces a curated corpus the way a web-scale pretraining run does —
   1. quality filter   (length / alpha-ratio / mean-word-length score)
   1b. LM perplexity   (optional: self-trained bigram LM, drop docs with
                        ppl above a cut — the CCNet-style filter)
+  1c. line dedup      (optional: strip lines occurring >= N times
+                       corpus-wide — C4's boilerplate removal, run BEFORE
+                       doc dedup so near-dup detection keys on content,
+                       not shared banners)
   2. deduplication    (exact md5 keep-min, then MinHash+LSH near-dup
                        closure via connected components, keep-one-per-group)
   2b. span strip      (optional: remove duplicated >=L-token passages
@@ -57,6 +61,10 @@ def main() -> int:
                          "perplexity exceeds this (0 = no LM filter)")
     ap.add_argument("--jaccard", type=float, default=0.7,
                     help="near-dup threshold for the LSH phase")
+    ap.add_argument("--strip-lines", type=int, default=0, metavar="N",
+                    help="strip lines occurring >= N times corpus-wide "
+                         "(C4 boilerplate removal; 0 = off, 3 = the C4 "
+                         "setting)")
     ap.add_argument("--strip-spans", type=int, default=0, metavar="L",
                     help="strip duplicated passages of >= L tokens that "
                          "survive doc-level dedup (0 = off; 8 is a "
@@ -137,6 +145,14 @@ def main() -> int:
         kept = kept.join(
             lm.filter(lm.ppl <= args.max_ppl).select("doc_id"), "doc_id")
         n_lm = kept.count()
+
+    n_line_docs = 0
+    if args.strip_lines:
+        from pyspark.sql import functions as F
+        s = dedup.strip_frequent_lines(kept, min_count=args.strip_lines)
+        n_line_docs = s.filter("n_lines_removed > 0").count()
+        kept = (s.withColumn("text", F.col("text_clean"))
+                .drop("text_clean", "n_lines_removed"))
 
     deduped = dedup.dedup_corpus(kept, jaccard_threshold=args.jaccard)
     n_dedup = deduped.count()
@@ -231,6 +247,9 @@ def main() -> int:
     if args.max_ppl:
         print(f"ppl <= {args.max_ppl:<9g} {n_lm:>10d}  "
               f"(-{n_quality - n_lm})")
+    if args.strip_lines:
+        print(f"line-stripped     {n_line_docs:>10d}  "
+              f"(docs losing >= 1 boilerplate line)")
     print(f"deduped           {n_dedup:>10d}  (-{n_lm - n_dedup})")
     if args.strip_spans:
         print(f"span-stripped     {n_span_docs:>10d}  "

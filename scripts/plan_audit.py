@@ -264,6 +264,13 @@ def main() -> int:
         "strip_duplicate_spans (span lists broadcast onto the corpus)",
         dedup.strip_duplicate_spans(docs, L=8),
         {"no_cartesian": True, "broadcast": True}))
+    # frequent-line strip: the flagged boilerplate set rides a
+    # BroadcastExchange onto the exploded lines; re-assembly is one keyed
+    # aggregation — never any pairwise/cartesian form
+    cases.append((
+        "strip_frequent_lines (C4 line dedup: flagged set broadcast)",
+        dedup.strip_frequent_lines(docs, min_count=3),
+        {"no_cartesian": True, "broadcast": True}))
     # weighted sample: top-k must lower to TakeOrderedAndProject — a
     # global Sort before the limit would shuffle the whole corpus
     cases.append((

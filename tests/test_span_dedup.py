@@ -156,6 +156,49 @@ def test_duplicate_spans_differential_random_corpus(spark, seed):
         assert removed[i] == len(covered), f"doc {i} (seed {seed})"
 
 
+# -- frequent-line (boilerplate) dedup ---------------------------------------
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="unique content one\nsubscribe now\nmore text"),
+        Row(doc_id=2, text="subscribe now\ndifferent body"),
+        Row(doc_id=3, text="  subscribe now \n\nanother doc"),
+        Row(doc_id=4, text="totally clean"),
+    ])
+
+
+def test_frequent_lines_counts_trimmed(lined):
+    got = {r["line_norm"]: r["n_occurrences"] for r in
+           dedup.frequent_lines(lined, min_count=3).collect()}
+    # trim-normalized: doc 3's padded copy counts toward the same line
+    assert got == {"subscribe now": 3}
+    # empty lines never flagged regardless of frequency
+    assert "" not in got
+
+
+def test_strip_frequent_lines_preserves_order_and_rest(lined):
+    out = {r["doc_id"]: r for r in
+           dedup.strip_frequent_lines(lined, min_count=3)
+           .select("doc_id", "text_clean", "n_lines_removed").collect()}
+    assert out[1]["text_clean"] == "unique content one\nmore text"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[2]["text_clean"] == "different body"
+    # empty lines survive (formatting, not dedup); original spelling of
+    # non-flagged lines is preserved byte-for-byte
+    assert out[3]["text_clean"] == "\nanother doc"
+    assert out[4]["text_clean"] == "totally clean"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_strip_frequent_lines_all_boilerplate_doc(spark):
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text="the same banner") for i in range(3)])
+    out = dedup.strip_frequent_lines(d, min_count=3).collect()
+    assert all(r["text_clean"] == "" and r["n_lines_removed"] == 1
+               for r in out)
+
+
 # -- weighted sampling ------------------------------------------------------
 
 def test_weighted_sample_matches_reference(spark):
