@@ -517,6 +517,54 @@ def strip_frequent_lines(docs: DataFrame, col: str = "text",
     return docs.join(agg, id_col)
 
 
+class LineIndex:
+    """Persisted line-frequency index over a TableIO root — the
+    incremental counterpart of ``frequent_lines`` (and the line-dedup
+    sibling of DedupIndex): at 100 TB with daily increments, recounting
+    every line of the corpus per run is an O(corpus) job; line counts are
+    MERGEABLE (they add), so each increment appends its own per-line
+    partial counts and the flagged set folds from the key table alone.
+
+    Lifecycle::
+
+        idx = LineIndex(io)            # table: line_counts
+        idx.add(batch1)                # O(batch): append partial counts
+        idx.add(batch2)
+        flagged = idx.flagged(spark, min_count=3)   # fold: sum per line
+        clean = strip_frequent_lines(docs, lines=flagged, min_count=3)
+
+    The fold is one groupBy-sum over the counts table (tiny: distinct
+    lines with repeats, not the corpus); ``add`` never reads existing
+    index data.  Rollback/vacuum ride TableIO snapshot semantics."""
+
+    TABLE = "line_counts"
+
+    def __init__(self, io, col: str = "text"):
+        self.io = io
+        self.col = col
+
+    def add(self, docs: DataFrame) -> str:
+        """Append this batch's per-line partial counts (min_count=1: the
+        index keeps EVERY line's count so any threshold can fold later).
+        Returns the TableIO snapshot id (keep for rollback)."""
+        ex = docs.select(
+            F.explode(F.split(F.col(self.col), "\n")).alias("line"))
+        partial = (ex.select(F.trim(F.col("line")).alias("line_norm"))
+                   .filter(F.col("line_norm") != "")
+                   .groupBy("line_norm")
+                   .agg(F.count(F.lit(1)).alias("n_occurrences")))
+        return self.io.append(partial, self.TABLE)
+
+    def flagged(self, spark, min_count: int = 3) -> DataFrame:
+        """Fold the index: corpus-lifetime (line_norm, n_occurrences)
+        restricted to lines at/above ``min_count`` — drop-in for the
+        ``lines`` argument of strip_frequent_lines."""
+        return (self.io.read_appended(spark, self.TABLE)
+                .groupBy("line_norm")
+                .agg(F.sum("n_occurrences").alias("n_occurrences"))
+                .filter(F.col("n_occurrences") >= min_count))
+
+
 # -------------------------------------------------------------------------
 # eval-set decontamination: drop corpus docs overlapping held-out eval text
 # -------------------------------------------------------------------------

@@ -199,6 +199,39 @@ def test_strip_frequent_lines_all_boilerplate_doc(spark):
                for r in out)
 
 
+def test_line_index_incremental_equals_full_recount(spark, tmp_path):
+    """Two batches added to the LineIndex must fold to exactly the counts
+    a single full-corpus frequent_lines pass computes — and a line that
+    only crosses min_count ACROSS batches is flagged (the case an
+    increment-local count would miss)."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    b1 = spark.createDataFrame([
+        Row(doc_id=1, text="banner line\nbody one"),
+        Row(doc_id=2, text="banner line\nbody two")])
+    b2 = spark.createDataFrame([
+        Row(doc_id=3, text="banner line\nbody three"),
+        Row(doc_id=4, text="  banner line \nbody four")])
+    idx = dedup.LineIndex(ParquetTableIO(str(tmp_path)))
+    idx.add(b1)
+    idx.add(b2)
+    got = {r["line_norm"]: r["n_occurrences"]
+           for r in idx.flagged(spark, min_count=3).collect()}
+    full = b1.unionByName(b2)
+    want = {r["line_norm"]: r["n_occurrences"]
+            for r in dedup.frequent_lines(full, min_count=3).collect()}
+    assert got == want == {"banner line": 4}
+    # neither batch alone reaches min_count=3... (2 + 2 across batches)
+    assert not dedup.frequent_lines(b1, min_count=3).collect()
+    # and the folded index drives the strip exactly like a full recount
+    a = sorted(tuple(r) for r in dedup.strip_frequent_lines(
+        full, min_count=3, lines=idx.flagged(spark, 3))
+        .select("doc_id", "text_clean").collect())
+    b = sorted(tuple(r) for r in dedup.strip_frequent_lines(
+        full, min_count=3).select("doc_id", "text_clean").collect())
+    assert a == b
+
+
 # -- weighted sampling ------------------------------------------------------
 
 def test_weighted_sample_matches_reference(spark):
