@@ -372,9 +372,10 @@ def duplicate_spans(docs: DataFrame, col: str = "text",
        overlapping exactly there), so each island IS a maximal duplicated
        span [min_pos, max_pos + L - 1].
 
-    ``cross_doc_only``: count only grams seen in >= 2 DISTINCT docs
-    (ignore within-doc repetition — that axis is covered by
-    text.repetition_metrics).
+    ``cross_doc_only``: additionally require a gram to appear in >= 2
+    DISTINCT docs (so pure within-doc repetition — covered by
+    text.repetition_metrics — cannot flag a span on its own);
+    ``min_count`` still applies to total occurrences.
 
     Hashes are md5-derived (``_h64``, seed 555) so the identical
     signature — including any collision — is computable in the DuckDB
@@ -398,8 +399,9 @@ def duplicate_spans(docs: DataFrame, col: str = "text",
     counts = g.groupBy("gh").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("doc_id").alias("nd"))
-    cond = (F.col("nd") >= 2) if cross_doc_only \
-        else (F.col("cnt") >= min_count)
+    cond = F.col("cnt") >= min_count
+    if cross_doc_only:
+        cond = cond & (F.col("nd") >= 2)
     dup = (g.join(counts.filter(cond).select("gh"), "gh")
            .select("doc_id", "pos"))
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -425,19 +427,26 @@ def strip_duplicate_spans(docs: DataFrame, col: str = "text",
     ``spans`` defaults to ``duplicate_spans(docs, ...)``; pass a
     precomputed frame to reuse one span pass across strip + report.
 
-    Per-doc span lists are tiny (only flagged docs appear), so the
-    groupBy-collect side of the join broadcasts; the strip itself is a
-    pure array expression over the token array — no Python, no second
-    shuffle of the corpus.  Adds ``text_clean`` (normalized tokens
-    outside every span, space-joined) and ``n_tokens_removed``."""
+    Span offsets index the NORMALIZED token stream, but normalization
+    (lower + whitespace collapse) never changes the token COUNT, so the
+    same offsets index the raw whitespace tokens 1:1 — the output is
+    built from the RAW tokens, preserving the original casing and
+    spelling of everything kept (whitespace runs, including newlines,
+    collapse to single spaces).  The strip itself is a pure array
+    expression over the token array — no Python, no second shuffle of
+    the corpus; the per-doc span-list join is a plain equi-join (only
+    flagged docs appear on the list side — AQE broadcasts it when it is
+    genuinely small, and falls back to a shuffle join when a 100 TB
+    corpus makes it large).  Adds ``text_clean`` and
+    ``n_tokens_removed``."""
     if spans is None:
         spans = duplicate_spans(docs, col, id_col, L, min_count)
     sp = (spans.groupBy("doc_id")
           .agg(F.collect_list(F.struct("span_start", "span_end"))
                .alias("_spans"))
           .withColumnRenamed("doc_id", id_col))
-    d = docs.join(F.broadcast(sp), id_col, "left")
-    toks = F.split(norm_text(col), " ")
+    d = docs.join(sp, id_col, "left")
+    toks = F.split(F.trim(F.col(col)), r"\s+")
     indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"),
                                                       i.alias("i")))
     kept = F.filter(indexed, lambda s: ~F.exists(
@@ -488,18 +497,22 @@ def strip_frequent_lines(docs: DataFrame, col: str = "text",
     counting pass across strip + report.
 
     Execution: docs explode to (doc_id, idx, line) once; the flagged-line
-    join is equi on the trimmed line (the flagged set is small — only
-    repeated lines — so AQE broadcasts it); surviving lines re-assemble
-    per doc via sort_array(collect_list(struct(idx, line))) — one shuffle
-    on doc_id.  Adds ``text_clean`` (surviving lines joined by newline,
-    original line content preserved) and ``n_lines_removed``."""
+    join is a plain equi-join on the trimmed line (at toy scale AQE
+    broadcasts the flagged set; on a real crawl — where C4 found
+    millions of distinct repeated lines — it is too big to broadcast and
+    AQE keeps the shuffle join, which a forced broadcast hint would
+    foreclose); surviving lines re-assemble per doc via
+    sort_array(collect_list(struct(idx, line))) — one shuffle on doc_id.
+    Adds ``text_clean`` (surviving lines joined by newline, original
+    line content preserved; NULL-text docs pass through with NULL
+    text_clean and 0 removed) and ``n_lines_removed``."""
     if lines is None:
         lines = frequent_lines(docs, col, min_count)
     flagged = lines.select("line_norm")
     ex = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(col), "\n")).alias("idx", "line"))
-    marked = (ex.join(F.broadcast(flagged),
+    marked = (ex.join(flagged,
                       F.trim(F.col("line")) == F.col("line_norm"),
                       "left")
               .withColumn("_drop", F.col("line_norm").isNotNull()
@@ -514,7 +527,11 @@ def strip_frequent_lines(docs: DataFrame, col: str = "text",
                         lambda s: s["line"])).alias("text_clean"),
                 F.sum(F.col("_drop").cast("int"))
                 .alias("n_lines_removed")))
-    return docs.join(agg, id_col)
+    # left join: a NULL-text doc explodes to zero rows and would vanish
+    # from an inner join — it must pass through instead
+    return (docs.join(agg, id_col, "left")
+            .withColumn("n_lines_removed",
+                        F.coalesce(F.col("n_lines_removed"), F.lit(0))))
 
 
 class LineIndex:

@@ -783,22 +783,27 @@ def _chunk_audio_fingerprint(b: pd.DataFrame) -> pd.DataFrame:
         "fp": fp.view(np.int64)})
 
 
-def audio_near_duplicates(clips: DataFrame,
-                          max_hamming: int = 4) -> DataFrame:
+def audio_near_duplicates(clips: DataFrame, max_hamming: int = 4,
+                          fingerprints: DataFrame = None) -> DataFrame:
     """Near-duplicate AUDIO pairs (same recording re-encoded, re-leveled
     or lightly noised) by Hamming distance over the 64-bit envelope
     fingerprint — audio_fingerprint + the chunk-pigeonhole equi-join
     shared with text SimHash.  Returns (clip_a, clip_b, hamming).
-    Exact byte dups are hamming 0; transcodes land within a few bits."""
+    Exact byte dups are hamming 0; transcodes land within a few bits.
+
+    ``fingerprints``: a precomputed (clip_id, fp) frame — pass it when
+    several screens share one decode pass (fingerprinting is a full
+    audio scan; a pipeline should pay it once)."""
     from .dedup import hamming_near_duplicates
-    fp = audio_fingerprint(clips).select("clip_id", "fp")
+    fp = (fingerprints if fingerprints is not None
+          else audio_fingerprint(clips)).select("clip_id", "fp")
     return (hamming_near_duplicates(fp, "clip_id", "fp", max_hamming)
             .select(F.col("id_a").alias("clip_a"),
                     F.col("id_b").alias("clip_b"), "hamming"))
 
 
-def transcript_conflicts(clips: DataFrame,
-                         max_hamming: int = 2) -> DataFrame:
+def transcript_conflicts(clips: DataFrame, max_hamming: int = 2,
+                         pairs: DataFrame = None) -> DataFrame:
     """Cross-modal label-noise screen: pairs of NEAR-IDENTICAL audio whose
     transcripts DISAGREE — the same recording carrying two different
     labels.  One of them is wrong (mis-aligned crawl, OCR'd caption,
@@ -818,10 +823,19 @@ def transcript_conflicts(clips: DataFrame,
     same-recording screen: transcodes/re-levelings land within a couple
     of bits, genuinely different speech does not.
 
+    ``pairs``: a precomputed (clip_a, clip_b, hamming) frame (e.g. one
+    audio_near_duplicates run shared with a payload-dedup stage; it must
+    have been generated at a radius >= ``max_hamming`` so the pigeonhole
+    join had enough chunks for this screen's recall) — filtered to
+    ``max_hamming`` here; omitted = a fresh fingerprint pass.
+
     Returns (clip_a, clip_b, hamming) for every near-identical pair whose
     normalized transcripts differ (a NULL transcript conflicts with any
     non-NULL twin — it is a missing label on a duplicated recording)."""
-    pairs = audio_near_duplicates(clips, max_hamming)
+    if pairs is None:
+        pairs = audio_near_duplicates(clips, max_hamming)
+    else:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
     tr = clips.select(
         "clip_id",
         F.md5(F.lower(F.trim(F.coalesce(F.col("transcript"),

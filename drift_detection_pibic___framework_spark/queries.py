@@ -2083,9 +2083,10 @@ cov AS (SELECT DISTINCT doc_id, i FROM (
                  AS i
           FROM dpos)),
 rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
-tokpos AS (SELECT doc_id, unnest(t) AS tok,
-                  unnest(generate_series(0, len(t) - 1)) AS i
-           FROM toks),
+rtoks AS (SELECT doc_id, {_RAW_TOKS_SQL} AS rt FROM documents),
+tokpos AS (SELECT doc_id, unnest(rt) AS tok,
+                  unnest(generate_series(0, len(rt) - 1)) AS i
+           FROM rtoks),
 clean AS (
   SELECT tp.doc_id,
          coalesce(string_agg(tp.tok, ' ' ORDER BY tp.i)
@@ -2101,11 +2102,13 @@ JOIN clean cl ON cl.doc_id = t.doc_id
 """)
 def doc_span_dedup_stats(spark, sf_dir):
     """Strip-duplicate-spans audit: per doc, normalized token count, how
-    many tokens the span strip removed, and the md5 of the CLEANED text.
-    The Spark side goes through the actual strip expression (token array
+    many tokens the span strip removed, and the md5 of the CLEANED text
+    (original-cased surviving tokens, space-joined — span offsets index
+    whitespace tokens, so raw and normalized streams align 1:1).  The
+    Spark side goes through the actual strip expression (token array
     minus kept array); the oracle independently rebuilds the covered-
-    index union AND re-assembles the surviving tokens in order — so the
-    hash gate certifies the strip's full content, not just its counts."""
+    index union AND re-assembles the surviving RAW tokens in order — so
+    the hash gate certifies the strip's full content, not just counts."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(D.norm_text("text"), " ")
     return (D.strip_duplicate_spans(docs, L=_SPAN_L)

@@ -162,9 +162,10 @@ def main() -> int:
         from pyspark.sql import functions as F
         s = dedup.strip_duplicate_spans(deduped, L=args.strip_spans)
         n_span_docs = s.filter("n_tokens_removed > 0").count()
-        # output text is the normalized token stream minus stripped spans
-        # (whitespace collapsed — the same normalization every dedup
-        # stage keys on)
+        # output text keeps the original tokens' casing/spelling; only
+        # whitespace runs (incl. newlines) collapse to single spaces
+        # (span offsets index whitespace tokens, so the raw and
+        # normalized token streams align 1:1)
         deduped = (s.withColumn("text", F.col("text_clean"))
                    .drop("text_clean", "n_tokens_removed"))
 

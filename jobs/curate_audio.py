@@ -10,14 +10,17 @@ the way a speech-pretraining pipeline does —
   2. quality screen   drop clips that are mostly silence, digitally
                       clipped, or mastered below a loudness floor
                       (operators/multimodal.py audio_quality)
-  2b. audio dedup     optional: drop near-duplicate PAYLOADS (envelope-
-                      fingerprint Hamming pairs closed into groups, keep
-                      the min-clip_id representative) — the re-upload case
-                      id-dedup cannot see
-  2c. label conflicts optional: drop BOTH members of every near-identical
+  2b. label conflicts optional: drop BOTH members of every near-identical
                       audio pair whose transcripts disagree (one label is
                       wrong and we cannot adjudicate which — the standard
-                      ASR-corpus conservative policy)
+                      ASR-corpus conservative policy).  Runs BEFORE
+                      payload dedup: dedup would collapse the pair and
+                      silently keep one possibly-wrong label
+  2c. audio dedup     optional: drop near-duplicate PAYLOADS (envelope-
+                      fingerprint Hamming pairs closed into groups, keep
+                      the min-clip_id representative) — the re-upload case
+                      id-dedup cannot see.  Both 2b and 2c share ONE
+                      fingerprint pass (the decode is paid once)
   3. standardize      fused trim -> resample -> loudness-gain kernel:
                       ONE decode and ONE encode per clip
                       (multimodal.audio_standardize)
@@ -126,32 +129,55 @@ def main() -> int:
     screened = clean.join(keep_ids, "rid")
     n_screen = screened.count()
 
-    # 2b. audio-payload dedup: fingerprint Hamming pairs -> group closure
-    # -> keep the min-clip_id representative (quarantine already diverted
-    # duplicate clip_ids, so ids are unique here)
-    n_dedup = n_screen
-    if args.dedup_audio >= 0:
-        from drift_detection_pibic___framework_spark.operators.dedup import (
-            connected_components)
+    # ONE fingerprint pass (a full decode scan) feeds both 2b and 2c:
+    # pairs are generated at the larger of the two radii (the pigeonhole
+    # chunk count is radius-derived, so the wider join covers both) and
+    # filtered per stage
+    pairs = None
+    if args.drop_label_conflicts or args.dedup_audio >= 0:
+        radius = max(args.dedup_audio if args.dedup_audio >= 0 else 0,
+                     2 if args.drop_label_conflicts else 0)
         pairs = multimodal.audio_near_duplicates(
-            screened, max_hamming=args.dedup_audio)
-        comp = connected_components(pairs, src="clip_a", dst="clip_b")
-        drop = (comp.filter(F.col("node") != F.col("component"))
-                .select(F.col("node").alias("clip_id")))
-        screened = screened.join(drop, "clip_id", "left_anti")
-        n_dedup = screened.count()
+            screened, max_hamming=radius,
+            fingerprints=multimodal.audio_fingerprint(screened)).persist()
 
-    # 2c. label-noise adjudication: near-identical audio with disagreeing
-    # transcripts — drop BOTH members (cannot know which label is right)
-    n_label = n_dedup
+    # 2b. label-noise adjudication FIRST: near-identical audio with
+    # disagreeing transcripts — drop BOTH members (cannot know which
+    # label is right).  Must precede payload dedup, which would collapse
+    # the pair and silently keep one possibly-wrong label.
+    n_label = n_screen
     if args.drop_label_conflicts:
-        conf = multimodal.transcript_conflicts(screened, max_hamming=2)
+        conf = multimodal.transcript_conflicts(
+            screened, max_hamming=2, pairs=pairs)
         bad_ids = (conf.select(F.col("clip_a").alias("clip_id"))
                    .unionByName(conf.select(F.col("clip_b")
                                             .alias("clip_id")))
                    .distinct())
         screened = screened.join(bad_ids, "clip_id", "left_anti")
         n_label = screened.count()
+
+    # 2c. audio-payload dedup over the label-clean survivors: Hamming
+    # pairs -> group closure -> keep the min-clip_id representative
+    # (quarantine already diverted duplicate clip_ids, so ids are unique
+    # here).  Pairs are semi-restricted to survivors so a clip whose
+    # only twin was conflict-dropped is not itself deleted as a "dup".
+    n_dedup = n_label
+    if args.dedup_audio >= 0:
+        from drift_detection_pibic___framework_spark.operators.dedup import (
+            connected_components)
+        ids = screened.select("clip_id")
+        p = (pairs.filter(F.col("hamming") <= args.dedup_audio)
+             .join(ids.withColumnRenamed("clip_id", "clip_a"), "clip_a",
+                   "left_semi")
+             .join(ids.withColumnRenamed("clip_id", "clip_b"), "clip_b",
+                   "left_semi"))
+        comp = connected_components(p, src="clip_a", dst="clip_b")
+        drop = (comp.filter(F.col("node") != F.col("component"))
+                .select(F.col("node").alias("clip_id")))
+        screened = screened.join(drop, "clip_id", "left_anti")
+        n_dedup = screened.count()
+    if pairs is not None:
+        pairs.unpersist()
 
     # 3. fused standardize (one decode + one encode per clip)
     std = multimodal.audio_standardize(
@@ -191,10 +217,10 @@ def main() -> int:
 
     dt = time.time() - t0
     extra = ""
-    if args.dedup_audio >= 0:
-        extra += f" payload-deduped={n_dedup}"
     if args.drop_label_conflicts:
         extra += f" label-clean={n_label}"
+    if args.dedup_audio >= 0:
+        extra += f" payload-deduped={n_dedup}"
     print(f"curate_audio: in={n_in} admitted={n_clean} "
           f"screened={n_screen}{extra} curated={n_final}")
     print(f"standardized: rate={args.target_rate}Hz "
