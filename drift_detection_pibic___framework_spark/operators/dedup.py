@@ -581,6 +581,18 @@ class LineIndex:
                 .agg(F.sum("n_occurrences").alias("n_occurrences"))
                 .filter(F.col("n_occurrences") >= min_count))
 
+    def compact(self, spark) -> str:
+        """Fold every per-batch partial into ONE summed commit (TableIO
+        ``rewrite``: counts are mergeable, so the fold IS the state) —
+        bounding the fold's scan at any increment count.  A plain append
+        of the fold would double-count against the surviving partials;
+        the rewrite retires them atomically.  Returns the snapshot id;
+        ``io.vacuum(LineIndex.TABLE)`` collects the retired dirs."""
+        folded = (self.io.read_appended(spark, self.TABLE)
+                  .groupBy("line_norm")
+                  .agg(F.sum("n_occurrences").alias("n_occurrences")))
+        return self.io.rewrite(folded, self.TABLE)
+
 
 # -------------------------------------------------------------------------
 # eval-set decontamination: drop corpus docs overlapping held-out eval text

@@ -907,6 +907,42 @@ class ParquetTableIO:
             os.remove(bp)
         return snap
 
+    def rewrite(self, df: DataFrame, name: str, stats_cols=None,
+                cat_cols=None, key_cols=None) -> str:
+        """Replace the table's entire contents with ``df`` in ONE atomic
+        commit (Iceberg's overwrite): the new snapshot commits as a
+        rewrite entry, so read membership restarts at it, and every
+        earlier commit is retired.  The swap is atomic at the log rename
+        — an interruption mid-retirement never doubles data (same
+        contract as compact_snapshots, which is this primitive applied
+        to the table's own current state).  Time travel to retired
+        snapshots is lost.  Use case: folding an append-only log of
+        MERGEABLE partials (e.g. LineIndex counts) into its aggregate —
+        an append would double-count against the surviving partials.
+        Profiling kwargs behave as in append()."""
+        old = self.snapshots(name)
+        snap = uuid.uuid4().hex[:16]
+        out = os.path.join(self.root, name, f"snap-{snap}")
+        df.write.mode("overwrite").parquet(out)
+        if stats_cols or cat_cols or key_cols:
+            spark = df.sparkSession
+            self._commit_snapshot_stats(
+                spark.read.parquet(out), name, snap,
+                stats_cols or (), cat_cols or (), key_cols or ())
+        self._commit_snaplog(name, snap, time.time_ns(),
+                             {"kind": "rewrite"})
+        d = self._snaplog_dir(name)
+        for e in old:
+            p = os.path.join(d, f"{e['ts_ns']:020d}-{e['snap']}.json")
+            os.replace(p, p[:-len(".json")] + ".orphan")
+            sp = self._stats_path(name, e["snap"])
+            if os.path.exists(sp):
+                os.remove(sp)
+        bp = self._stats_path(name, "_baseline")
+        if old and os.path.exists(bp):
+            os.remove(bp)
+        return snap
+
     def has_appended(self, name: str) -> bool:
         if self.snapshots(name):
             return True

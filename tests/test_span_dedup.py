@@ -232,6 +232,32 @@ def test_line_index_incremental_equals_full_recount(spark, tmp_path):
     assert a == b
 
 
+def test_line_index_compact_preserves_counts(spark, tmp_path):
+    """compact() folds N partial commits into one rewrite; flagged()
+    before and after must be identical, further adds still merge, and
+    the commit log restarts at the rewrite."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    io = ParquetTableIO(str(tmp_path))
+    idx = dedup.LineIndex(io)
+    for k in range(3):
+        idx.add(spark.createDataFrame(
+            [Row(doc_id=k * 10 + j, text="banner\nbody %d-%d" % (k, j))
+             for j in range(2)]))
+    before = sorted(map(tuple, idx.flagged(spark, 2).collect()))
+    idx.compact(spark)
+    after = sorted(map(tuple, idx.flagged(spark, 2).collect()))
+    assert before == after == [("banner", 6)]
+    # membership restarted at the rewrite: exactly one live commit
+    live = [e for e in io.snapshots(idx.TABLE) if not e["orphaned"]]
+    assert len(live) == 1 and live[0].get("kind") == "rewrite"
+    # post-compact adds keep merging on top of the folded state
+    idx.add(spark.createDataFrame([Row(doc_id=99, text="banner")]))
+    got = {r["line_norm"]: r["n_occurrences"]
+           for r in idx.flagged(spark, 2).collect()}
+    assert got["banner"] == 7
+
+
 # -- weighted sampling ------------------------------------------------------
 
 def test_weighted_sample_matches_reference(spark):
