@@ -880,32 +880,15 @@ class ParquetTableIO:
         the key space (Iceberg's rewrite_data_files with a sort order:
         the one moment the data is being rewritten anyway is the free
         moment to restore clustering)."""
-        old = self.snapshots(name)
-        if not old:
+        if not self.snapshots(name):
             raise ValueError(f"table {name} has no committed snapshot")
         current = self.read_appended(spark, name)
-        snap = uuid.uuid4().hex[:16]
-        out = os.path.join(self.root, name, f"snap-{snap}")
         if cluster_by:
             current = self._clustered(current, list(cluster_by),
                                       n_files, zorder_bits)
-        current.write.mode("overwrite").parquet(out)
-        if cluster_by:
-            self._commit_snapshot_stats(
-                spark.read.parquet(out), name, snap, sorted(cluster_by))
-        self._commit_snaplog(name, snap, time.time_ns(),
-                             {"kind": "rewrite"})
-        d = self._snaplog_dir(name)
-        for e in old:
-            p = os.path.join(d, f"{e['ts_ns']:020d}-{e['snap']}.json")
-            os.replace(p, p[:-len(".json")] + ".orphan")
-            sp = self._stats_path(name, e["snap"])
-            if os.path.exists(sp):
-                os.remove(sp)
-        bp = self._stats_path(name, "_baseline")
-        if os.path.exists(bp):
-            os.remove(bp)
-        return snap
+        return self.rewrite(current, name,
+                            stats_cols=sorted(cluster_by)
+                            if cluster_by else None)
 
     def rewrite(self, df: DataFrame, name: str, stats_cols=None,
                 cat_cols=None, key_cols=None) -> str:
