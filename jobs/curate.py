@@ -23,6 +23,8 @@ produces a curated corpus the way a web-scale pretraining run does —
   5. per-source quota (row_number cap — one crawler trap can't dominate)
   6. hash sample      (optional deterministic md5-threshold ablation slice)
   7. temperature mix  (optional √n-smoothed source mixture to ~N docs)
+  7b. weighted sample (optional quality-weighted top-K draw — E-S A-Res,
+                       deterministic, inclusion ∝ quality score)
   8. length buckets   (optional token-length quartile annotation)
   9. sequence packing (optional GPT-style pack-and-split seq/offset ids)
 
@@ -86,6 +88,10 @@ def main() -> int:
     ap.add_argument("--temperature-mix", type=int, default=0, metavar="N",
                     help="temperature-smooth the source mixture to ~N "
                          "docs (p ∝ √n per source; 0 = no mixing)")
+    ap.add_argument("--weighted-sample", type=int, default=0, metavar="K",
+                    help="keep exactly K docs drawn with probability "
+                         "proportional to quality score (deterministic "
+                         "Efraimidis-Spirakis; 0 = off)")
     ap.add_argument("--length-buckets", action="store_true",
                     help="annotate output docs with a token-length "
                          "quartile bucket (padding-efficient batching)")
@@ -206,6 +212,20 @@ def main() -> int:
     else:
         n_mixed = n_sampled
 
+    if args.weighted_sample:
+        from pyspark.sql import functions as F
+        # weight = the same composite quality score stage 1 screened on
+        # (recomputed on the post-strip text, floored so every surviving
+        # doc keeps a nonzero draw chance)
+        w = (text.with_quality(deduped)
+             .select("doc_id",
+                     F.greatest(F.col("quality_score"), F.lit(0.01))
+                     .alias("_w")))
+        deduped = (sampling.weighted_sample(
+            deduped.join(w, "doc_id"), "_w", args.weighted_sample)
+            .drop("_w", "es_key"))
+        n_mixed = deduped.count()
+
     bucket_counts = None
     if args.length_buckets:
         from pyspark.sql import functions as F
@@ -267,6 +287,8 @@ def main() -> int:
     if args.temperature_mix:
         print(f"temp-mixed ~{args.temperature_mix:<6d} {n_mixed:>10d}  "
               f"(-{n_sampled - n_mixed})")
+    if args.weighted_sample:
+        print(f"quality-weighted  {n_mixed:>10d}  (top-{args.weighted_sample} A-Res draw)")
     if bucket_counts is not None:
         print("length buckets    "
               + "  ".join(f"b{b}={c}" for b, c in bucket_counts))
