@@ -291,7 +291,8 @@ FLATNESS_EPS = 1e-12
 AUDIO_BAND_SCHEMA = (
     "rid long, clip_id string, part int, "
     + ", ".join(f"band_frac_{j} double" for j in range(N_BANDS))
-    + ", spectral_flatness double")
+    + ", spectral_flatness double, rolloff_hz double")
+ROLLOFF_FRAC = 0.95
 
 
 def _band_bin_matrix(frame_len: int, store_rate: int) -> np.ndarray:
@@ -312,10 +313,13 @@ def band_energy_reference(pcm: np.ndarray, store_rate: int = STORE_RATE,
     spectrum -> per-band energy FRACTIONS (level-invariant spectral
     shape) + mean per-frame spectral flatness (geometric/arithmetic mean
     of the frame's power spectrum — 1.0 for white noise, ->0 for pure
-    tones).  Returns ([frac_0..frac_K-1], flatness)."""
+    tones) + mean per-frame spectral ROLLOFF (the frequency below which
+    ROLLOFF_FRAC of the frame's energy sits — upsampled "fake high-res"
+    audio keeps a low rolloff because resampling adds no bandwidth).
+    Returns ([frac_0..frac_K-1], flatness, rolloff_hz)."""
     k = len(pcm) // frame_len
     if k == 0:
-        return [0.0] * N_BANDS, 0.0
+        return [0.0] * N_BANDS, 0.0, 0.0
     frames = pcm[: k * frame_len].reshape(k, frame_len)
     p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     bm = _band_bin_matrix(frame_len, store_rate)
@@ -325,13 +329,17 @@ def band_energy_reference(pcm: np.ndarray, store_rate: int = STORE_RATE,
     am = p.mean(axis=1)
     gm = np.exp(np.log(p + FLATNESS_EPS).mean(axis=1))
     fl = np.where(am > 0, gm / am, 0.0)
-    return fracs, float(fl.mean())
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / store_rate)
+    cs = np.cumsum(p, axis=1)
+    ridx = (cs < ROLLOFF_FRAC * cs[:, -1:]).sum(axis=1)
+    return fracs, float(fl.mean()), float(freqs[ridx].mean())
 
 
 def audio_band_energy(clips: DataFrame,
                       store_rate: int = STORE_RATE) -> DataFrame:
     """Per-clip spectral-shape features over the decoded payload: energy
-    fraction per analysis band (BAND_EDGES_HZ) + mean spectral flatness.
+    fraction per analysis band (BAND_EDGES_HZ), mean spectral flatness,
+    and mean spectral rolloff (the upsample/fake-high-res telltale).
     These are the acoustic-DRIFT features: level-invariant, so a corpus
     shift in recording conditions (bandwidth, tone vs noise content,
     codec lowpass) moves them even when duration/loudness metadata stays
@@ -362,7 +370,8 @@ def _chunk_audio_band_energy(b: pd.DataFrame,
             "rid": pd.Series(dtype=np.int64),
             "clip_id": pd.Series(dtype=object),
             "part": pd.Series(dtype=np.int32), **cols,
-            "spectral_flatness": pd.Series(dtype=np.float64)})
+            "spectral_flatness": pd.Series(dtype=np.float64),
+            "rolloff_hz": pd.Series(dtype=np.float64)})
     flat, starts, ns, total = _decode_rows(b)
     L = CENTROID_FRAME_LEN
     nf = ns // L
@@ -370,7 +379,9 @@ def _chunk_audio_band_energy(b: pd.DataFrame,
     band_sums = np.zeros((n, N_BANDS))
     tot = np.zeros(n)
     fl_sum = np.zeros(n)
+    ro_sum = np.zeros(n)
     if total_frames:
+        freqs = np.fft.rfftfreq(L, d=1.0 / store_rate)
         bm = _band_bin_matrix(L, store_rate)
         clip_of_frame = np.repeat(np.arange(n), nf)
         cum_nf = np.empty(n, dtype=np.int64)
@@ -405,16 +416,23 @@ def _chunk_audio_band_energy(b: pd.DataFrame,
             am = p.mean(axis=1)
             fl = np.where(am > 0, gm / am, 0.0)
             fl_sum += np.bincount(cof, weights=fl, minlength=n)
+            # per-frame rolloff: first bin where the cumulative power
+            # reaches ROLLOFF_FRAC of the frame total (zero frames -> 0)
+            cs = np.cumsum(p, axis=1)
+            ridx = (cs < ROLLOFF_FRAC * cs[:, -1:]).sum(axis=1)
+            ro_sum += np.bincount(cof, weights=freqs[ridx], minlength=n)
     safe = np.where(tot > 0, tot, 1.0)
     fracs = band_sums / safe[:, None]
     fracs[tot <= 0] = 0.0
     flatness = np.where(nf > 0, fl_sum / np.maximum(nf, 1), 0.0)
+    rolloff = np.where(nf > 0, ro_sum / np.maximum(nf, 1), 0.0)
     out = {"rid": b["rid"].to_numpy(),
            "clip_id": b["clip_id"].to_numpy(),
            "part": b["part"].to_numpy()}
     for j in range(N_BANDS):
         out[f"band_frac_{j}"] = np.round(fracs[:, j], 6)
     out["spectral_flatness"] = np.round(flatness, 6)
+    out["rolloff_hz"] = np.round(rolloff, 3)
     return pd.DataFrame(out)
 
 

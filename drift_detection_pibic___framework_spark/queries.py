@@ -3240,6 +3240,41 @@ def clips_band_drift(spark, sf_dir):
             .orderBy("part"))
 
 
+@register("clips_upsample_screen")  # audio decode: no SQL equivalent
+def clips_upsample_screen(spark, sf_dir):
+    """Fake-high-res (upsample) screen: per partition, the mean spectral
+    rolloff fraction (rolloff_hz / stored-Nyquist) and a flag when it
+    falls below 0.8x the baseline partitions' mean — upsampling raises
+    the sample rate without adding bandwidth, so genuinely re-recorded
+    audio keeps its rolloff while upsampled audio's collapses toward
+    the original Nyquist.  De-vacuated with the REAL resample kernel:
+    parts >= 14 pass through audio_resample 2000->4000 Hz (content
+    unchanged, twice the samples), which collapses the apparent rolloff
+    — the signature a 'remastered at 48 kHz' scam batch leaves.
+    Measured at sf0.01: clean parts 0.505-0.527 (ratio >= 0.98 of the
+    p0-p3 baseline), resampled parts ~0.385 (ratio ~0.745; the halved
+    tone sits lower but linear-interp imaging keeps a tail above it) —
+    the 0.8x cut splits the two populations with wide margin."""
+    from .operators import multimodal as M
+    c = clips_df(spark, sf_dir)
+    cols = ["rid", "clip_id", "part", "bytes", "codec"]
+    genuine = c.filter("part < 14").select(*cols)
+    fake = (M.audio_resample(c.filter("part >= 14"), target_rate=4000)
+            .withColumn("codec", F.lit("pcm_s16le"))
+            .select(*cols))
+    feats = M.audio_band_energy(genuine.unionByName(fake))
+    per_part = feats.groupBy("part").agg(
+        F.avg(F.col("rolloff_hz") / 1000.0).alias("rolloff_frac"))
+    base = (per_part.filter("part < 4")
+            .agg(F.avg("rolloff_frac").alias("base_frac")))
+    j = per_part.crossJoin(F.broadcast(base))   # 1-row baseline literal
+    return (j.select("part",
+                     F.round("rolloff_frac", 4).alias("rolloff_frac"),
+                     (F.col("rolloff_frac") < 0.8 * F.col("base_frac"))
+                     .alias("upsample_suspect"))
+            .orderBy("part"))
+
+
 @register("clips_transcript_conflicts")  # audio decode: no SQL equivalent
 def clips_transcript_conflicts(spark, sf_dir):
     """Cross-modal label-noise screen (multimodal.transcript_conflicts):

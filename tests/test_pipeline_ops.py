@@ -1186,11 +1186,12 @@ def test_band_energy_matches_reference(spark, clips):
     assert len(got) == len(pdf)
     for _, r in pdf.iterrows():
         pcm = audio.int16_to_float(audio.decode(r["bytes"], r["codec"]))
-        fr, fl = multimodal.band_energy_reference(pcm)
+        fr, fl, ro = multimodal.band_energy_reference(pcm)
         g = got[r["rid"]]
         gf = [g[f"band_frac_{j}"] for j in range(multimodal.N_BANDS)]
         assert np.allclose(gf, np.round(fr, 6), atol=2e-6)
         assert abs(g["spectral_flatness"] - round(fl, 6)) < 2e-6
+        assert abs(g["rolloff_hz"] - round(ro, 3)) < 1e-2
         assert abs(sum(gf) - 1.0) < 1e-4          # fractions sum to 1
 
 
@@ -1221,9 +1222,13 @@ def test_band_energy_edge_cases(spark):
     # 600 Hz falls in band [500, 750)
     assert out["tone"]["band_frac_4"] > 0.95
     assert out["tone"]["spectral_flatness"] < 0.05
+    # a tone's rolloff sits at the tone: ~0.95 of energy is in its bin
+    assert 550 < out["tone"]["rolloff_hz"] < 700
     assert out["noise"]["spectral_flatness"] > 0.3
     assert max(out["noise"][f"band_frac_{j}"] for j in range(6)) < 0.6
+    assert out["noise"]["rolloff_hz"] > 800   # white noise: flat to Nyquist
     assert out["short"]["spectral_flatness"] == 0.0
+    assert out["short"]["rolloff_hz"] == 0.0
     assert all(out["short"][f"band_frac_{j}"] == 0.0 for j in range(6))
 
 
@@ -1242,6 +1247,20 @@ def test_band_drift_separates_resampled_parts(spark):
     assert max(clean) < 0.25
     assert min(shifted) > 0.3
     assert min(shifted) > 1.5 * max(clean)
+
+
+def test_upsample_screen_flags_resampled_parts(spark):
+    """clips_upsample_screen: the 2000->4000 resampled partitions must be
+    the ONLY upsample suspects, and their rolloff fraction must sit well
+    below the clean parts'."""
+    from drift_detection_pibic___framework_spark import queries as QQ
+    rows = {r["part"]: r for r in QQ.QUERIES["clips_upsample_screen"](
+        spark, "/root/testdata/sf0.001").collect()}
+    assert all(rows[p]["upsample_suspect"] for p in rows if p >= 14)
+    assert not any(rows[p]["upsample_suspect"] for p in rows if p < 14)
+    clean = [rows[p]["rolloff_frac"] for p in rows if p < 14]
+    fake = [rows[p]["rolloff_frac"] for p in rows if p >= 14]
+    assert max(fake) < 0.85 * min(clean)
 
 
 def test_transcript_conflicts_flags_label_noise(spark):
