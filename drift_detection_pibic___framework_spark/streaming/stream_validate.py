@@ -92,7 +92,9 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
                               available_now: bool = True,
                               compact_after: int = 0,
                               compact_keep: int = 8,
-                              quarantine: bool = False):
+                              quarantine: bool = False,
+                              acoustic: bool = False,
+                              max_files_per_trigger: int = 4):
     """Streaming validation + commit-time drift gates: every micro-batch
     becomes ONE sidecar-profiled TableIO commit (moments + KLL + MG + HLL,
     operators/snapshot_diff.py), gated against the fold of all prior
@@ -119,12 +121,21 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
     drift baselines never learn from rejected rows), and the diverted
     rows land beside the verdicts under ``<out_dir>_quarantined`` with
     their reason strings, epoch-partitioned with the same idempotent
-    dynamic overwrite."""
+    dynamic overwrite.
+
+    ``acoustic`` extends the gate to the PAYLOAD: each admitted
+    micro-batch additionally runs the band-energy kernel once (the
+    decode is paid at ingest, where it is cheapest) and commits
+    ``rolloff_hz`` + ``flatness_milli`` as profiled integer columns —
+    the EXISTING moments/quantile sidecar gates then flag acoustic
+    drift (bandwidth collapse, tone/noise balance shifts, upsampled
+    batches) between epochs with zero new gate code and zero audio
+    re-reads."""
     from ..operators import snapshot_diff
     from ..sources.tableio import ParquetTableIO
 
     dim = spark.read.parquet(dim_path)
-    stream = stream_clips(spark, clips_dir)
+    stream = stream_clips(spark, clips_dir, max_files_per_trigger)
     io = ParquetTableIO(gate_root)
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
@@ -146,9 +157,23 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
              .partitionBy("epoch")
              .parquet(out_dir + "_quarantined"))
         if int(epoch_id) not in io.read_manifest(GATE_SCOPE):
+            commit_df = admit.select("clip_id", "sr_hz", "dur_ms", "codec")
+            stats_cols = ("sr_hz", "dur_ms")
+            if acoustic:
+                from ..operators import multimodal
+                feats = (multimodal.audio_band_energy(admit)
+                         .select("rid",
+                                 F.col("rolloff_hz").cast("int")
+                                 .alias("rolloff_hz"),
+                                 (F.col("spectral_flatness") * 1000)
+                                 .cast("int").alias("flatness_milli")))
+                commit_df = (admit.join(feats, "rid")
+                             .select("clip_id", "sr_hz", "dur_ms", "codec",
+                                     "rolloff_hz", "flatness_milli"))
+                stats_cols = ("sr_hz", "dur_ms", "rolloff_hz",
+                              "flatness_milli")
             snap = io.append(
-                admit.select("clip_id", "sr_hz", "dur_ms", "codec"),
-                GATE_TABLE, stats_cols=("sr_hz", "dur_ms"),
+                commit_df, GATE_TABLE, stats_cols=stats_cols,
                 cat_cols=("codec",), key_cols=("clip_id",))
             io.commit_manifest_row(GATE_SCOPE, int(epoch_id),
                                    {"snap": snap})

@@ -499,6 +499,61 @@ def test_stream_upsert_applies_changes_latest_wins(spark, tmp_path):
     assert len(io.snapshots("state")) == n_commits
 
 
+def test_stream_gate_acoustic_flags_upsampled_epoch(
+        spark, fixture_dir, tmp_path):
+    """acoustic=True commits rolloff/flatness profile columns per epoch;
+    an epoch of RESAMPLED (bandwidth-collapsed) clips must trip the
+    acoustic gates while the clean epoch before it stays quiet on them —
+    payload drift caught from sidecars, no audio re-read."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from drift_detection_pibic___framework_spark.operators import multimodal
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_validate)
+
+    stream_dir = tmp_path / "clips"
+    stream_dir.mkdir()
+    # epochs 0-1: two clean fixture part files (one file per trigger)
+    for i, src in enumerate(["part-0000.parquet", "part-0001.parquet"]):
+        shutil.copy(f"{fixture_dir}/clips/{src}", stream_dir / src)
+        os.utime(stream_dir / src, (1e9 + i, 1e9 + i))
+    # epoch 2: the same recordings resampled 2000->4000 (content
+    # unchanged, rolloff collapses) under fresh clip_ids
+    base = spark.read.parquet(f"{fixture_dir}/clips/part-0000.parquet")
+    rs = (multimodal.audio_resample(base, target_rate=4000)
+          .select("rid", F.col("bytes").alias("bytes"))
+          .join(base.select("rid", "clip_id", "sr_hz", "dur_ms",
+                            "transcript", "part"), "rid")
+          .select("rid", F.concat(F.lit("rs-"), "clip_id").alias("clip_id"),
+                  "bytes", "sr_hz", "dur_ms",
+                  F.lit("pcm_s16le").alias("codec"), "transcript", "part"))
+    rs_dir = tmp_path / "rs"
+    rs.coalesce(1).write.parquet(str(rs_dir))
+    rs_file = next(p for p in rs_dir.iterdir()
+                   if p.name.endswith(".parquet"))
+    shutil.copy(rs_file, stream_dir / "part-0002.parquet")
+    os.utime(stream_dir / "part-0002.parquet", (1e9 + 2, 1e9 + 2))
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = stream_validate.validate_stream_with_gate(
+        spark, str(stream_dir), f"{fixture_dir}/allowed_codecs.parquet",
+        out, ckpt, str(tmp_path / "g"), acoustic=True,
+        max_files_per_trigger=1)
+    assert q.awaitTermination(300)
+
+    gates = spark.read.parquet(out + "_gates").collect()
+    flagged = {(r.epoch, r.gate, r.subject) for r in gates if r.flagged}
+    # clean epoch 1 vs clean epoch 0: acoustic columns quiet
+    assert not any(s in ("rolloff_hz", "flatness_milli")
+                   for e, _, s in flagged if e == 1)
+    # resampled epoch 2: the rolloff collapse must trip an acoustic gate
+    assert any(s == "rolloff_hz" and g in ("moments", "quantile")
+               for e, g, s in flagged if e == 2), sorted(flagged)
+
+
 def test_stream_gate_quarantine_diverts_before_commit(
         spark, fixture_dir, tmp_path):
     """With quarantine on, each epoch's rejected rows land in the
