@@ -161,17 +161,22 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
             stats_cols = ("sr_hz", "dur_ms")
             if acoustic:
                 from ..operators import multimodal
+                # 20 Hz / centi buckets: continuous features produce a
+                # fresh per-epoch extreme almost every epoch, which would
+                # chatter the moments gate's range-escape check; the
+                # drift signatures of interest (upsample collapse ~130 Hz,
+                # flatness balance shifts) span many buckets
                 feats = (multimodal.audio_band_energy(admit)
                          .select("rid",
-                                 F.col("rolloff_hz").cast("int")
-                                 .alias("rolloff_hz"),
-                                 (F.col("spectral_flatness") * 1000)
-                                 .cast("int").alias("flatness_milli")))
+                                 (F.round(F.col("rolloff_hz") / 20) * 20)
+                                 .cast("int").alias("rolloff_hz"),
+                                 F.round(F.col("spectral_flatness") * 100)
+                                 .cast("int").alias("flatness_centi")))
                 commit_df = (admit.join(feats, "rid")
                              .select("clip_id", "sr_hz", "dur_ms", "codec",
-                                     "rolloff_hz", "flatness_milli"))
+                                     "rolloff_hz", "flatness_centi"))
                 stats_cols = ("sr_hz", "dur_ms", "rolloff_hz",
-                              "flatness_milli")
+                              "flatness_centi")
             snap = io.append(
                 commit_df, GATE_TABLE, stats_cols=stats_cols,
                 cat_cols=("codec",), key_cols=("clip_id",))

@@ -37,6 +37,16 @@ def main() -> int:
                          "files and drains them with availableNow")
     ap.add_argument("--micro-batches", type=int, default=4,
                     help="number of replay chunks (--stream-detect)")
+    ap.add_argument("--stream-gate", action="store_true",
+                    help="stream the clips table file-by-file through the "
+                         "commit-gated ingest (each micro-batch = one "
+                         "sidecar-profiled TableIO commit, drift-gated "
+                         "against the fold of prior epochs); exits 1 when "
+                         "any gate flags")
+    ap.add_argument("--acoustic", action="store_true",
+                    help="with --stream-gate: also decode each admitted "
+                         "micro-batch once and gate rolloff/flatness "
+                         "profile columns (payload drift from sidecars)")
     ap.add_argument("--grid", action="store_true",
                     help="run the stream x detector x repetition experiment "
                          "grid (ExperimentoDrift analogue) and print the "
@@ -257,6 +267,44 @@ def main() -> int:
         print(f"\n{len(moments) + len(shapes) + len(cats) + len(uniq)} "
               f"gate rows from sidecars only (zero rescans) in {dt:.1f}s; "
               f"{flagged} drifting")
+        return 1 if flagged else 0
+
+    if args.stream_gate:
+        import shutil
+        import tempfile
+
+        from drift_detection_pibic___framework_spark.streaming import (
+            stream_validate)
+        cp = os.path.join(args.data, "clips")
+        dp = os.path.join(args.data, "allowed_codecs.parquet")
+        if not os.path.isdir(cp):
+            print(f"error: no clips table at {cp}", file=sys.stderr)
+            return 2
+        work = tempfile.mkdtemp(prefix="stream-gate-")
+        try:
+            q = stream_validate.validate_stream_with_gate(
+                spark, cp, dp, f"{work}/out", f"{work}/ckpt",
+                f"{work}/gate", acoustic=args.acoustic)
+            if not q.awaitTermination(600):
+                q.stop()
+                print("error: gate stream did not drain within 600s; "
+                      "partial sink discarded", file=sys.stderr)
+                return 3
+            gates = (spark.read.parquet(f"{work}/out_gates")
+                     .orderBy("epoch", "gate", "subject").collect())
+            flagged = 0
+            for r in gates:
+                if r["flagged"]:
+                    flagged += 1
+                    print(f"epoch={r['epoch']} {r['gate']:<10} "
+                          f"{r['subject']:<18} {r['detail']}  DRIFT")
+            dt = time.time() - t0
+            print(f"\n{len(gates)} gate rows over "
+                  f"{len(set(r['epoch'] for r in gates)) + 1} epochs"
+                  f"{' (acoustic profile on)' if args.acoustic else ''} "
+                  f"in {dt:.1f}s; {flagged} flagged")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
         return 1 if flagged else 0
 
     if args.stream_detect:

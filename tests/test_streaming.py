@@ -547,7 +547,7 @@ def test_stream_gate_acoustic_flags_upsampled_epoch(
     gates = spark.read.parquet(out + "_gates").collect()
     flagged = {(r.epoch, r.gate, r.subject) for r in gates if r.flagged}
     # clean epoch 1 vs clean epoch 0: acoustic columns quiet
-    assert not any(s in ("rolloff_hz", "flatness_milli")
+    assert not any(s in ("rolloff_hz", "flatness_centi")
                    for e, _, s in flagged if e == 1)
     # resampled epoch 2: the rolloff collapse must trip an acoustic gate
     assert any(s == "rolloff_hz" and g in ("moments", "quantile")
