@@ -258,6 +258,58 @@ def test_line_index_compact_preserves_counts(spark, tmp_path):
     assert got["banner"] == 7
 
 
+def test_streaming_reservoir_equals_batch_sample(spark, tmp_path):
+    """The streamed reservoir after draining N micro-batches must equal
+    the one-shot weighted_sample over the concatenated stream (the A-Res
+    reservoir property), and a checkpoint-replayed restart must leave it
+    unchanged."""
+    import os
+
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_sample)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    all_rows = []
+    for c in range(3):
+        rows = [Row(doc_id=c * 100 + j, w=float(1 + (c * 100 + j) % 7))
+                for j in range(40)]
+        all_rows += rows
+        (spark.createDataFrame(rows).coalesce(1)
+         .write.parquet(str(tmp_path / f"stage{c}")))
+        src = next(p for p in (tmp_path / f"stage{c}").iterdir()
+                   if p.name.endswith(".parquet"))
+        dst = in_dir / f"{c:02d}.parquet"
+        src.rename(dst)
+        os.utime(dst, (1e9 + c, 1e9 + c))
+
+    root, ckpt = str(tmp_path / "r"), str(tmp_path / "c")
+    q = stream_sample.run_weighted_reservoir_stream(
+        spark, str(in_dir), "doc_id long, w double", root, ckpt,
+        k=15, weight_col="w")
+    assert q.awaitTermination(300)
+
+    io = ParquetTableIO(root)
+    got = {r["doc_id"] for r in
+           io.read_appended(spark, stream_sample.RESERVOIR_TABLE)
+           .collect()}
+    want = {r["doc_id"] for r in sampling.weighted_sample(
+        spark.createDataFrame(all_rows), "w", 15).collect()}
+    assert got == want and len(got) == 15
+
+    # restart on the same checkpoint: no new epochs, reservoir unchanged
+    q2 = stream_sample.run_weighted_reservoir_stream(
+        spark, str(in_dir), "doc_id long, w double", root, ckpt,
+        k=15, weight_col="w")
+    assert q2.awaitTermination(300)
+    again = {r["doc_id"] for r in
+             io.read_appended(spark, stream_sample.RESERVOIR_TABLE)
+             .collect()}
+    assert again == want
+
+
 # -- weighted sampling ------------------------------------------------------
 
 def test_weighted_sample_matches_reference(spark):
