@@ -417,9 +417,17 @@ def _chunk_audio_band_energy(b: pd.DataFrame,
             fl = np.where(am > 0, gm / am, 0.0)
             fl_sum += np.bincount(cof, weights=fl, minlength=n)
             # per-frame rolloff: first bin where the cumulative power
-            # reaches ROLLOFF_FRAC of the frame total (zero frames -> 0)
-            cs = np.cumsum(p, axis=1)
-            ridx = (cs < ROLLOFF_FRAC * cs[:, -1:]).sum(axis=1)
+            # reaches ROLLOFF_FRAC of the frame total (zero frames -> 0);
+            # cumsum + comparison run in scratch (allocation discipline —
+            # a fresh (16384, 65) temp per chunk is exactly the
+            # first-touch-page cost this kernel family avoids)
+            cs = _scratch("becs", FFT_CHUNK_FRAMES, np.float64,
+                          L // 2 + 1)[:k]
+            np.cumsum(p, axis=1, out=cs)
+            rb = _scratch("berb", FFT_CHUNK_FRAMES, np.bool_,
+                          L // 2 + 1)[:k]
+            np.less(cs, ROLLOFF_FRAC * cs[:, -1:], out=rb)
+            ridx = rb.sum(axis=1)
             ro_sum += np.bincount(cof, weights=freqs[ridx], minlength=n)
     safe = np.where(tot > 0, tot, 1.0)
     fracs = band_sums / safe[:, None]

@@ -3263,8 +3263,9 @@ def clips_upsample_screen(spark, sf_dir):
             .withColumn("codec", F.lit("pcm_s16le"))
             .select(*cols))
     feats = M.audio_band_energy(genuine.unionByName(fake))
+    nyquist = M.STORE_RATE / 2.0
     per_part = feats.groupBy("part").agg(
-        F.avg(F.col("rolloff_hz") / 1000.0).alias("rolloff_frac"))
+        F.avg(F.col("rolloff_hz") / nyquist).alias("rolloff_frac"))
     base = (per_part.filter("part < 4")
             .agg(F.avg("rolloff_frac").alias("base_frac")))
     j = per_part.crossJoin(F.broadcast(base))   # 1-row baseline literal

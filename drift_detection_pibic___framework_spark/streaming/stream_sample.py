@@ -60,8 +60,13 @@ def run_weighted_reservoir_stream(spark: SparkSession, in_dir: str,
               .parquet(in_dir))
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
+        # membership from the snapshot LOG, not has_appended's directory
+        # glob: a crash between the rewrite's data write and its log
+        # commit leaves a torn snap- dir that the glob fallback would
+        # try to read on replay, crash-looping the stream; the log sees
+        # only committed generations (the torn dir is vacuum()-able)
         current = io.read_appended(spark, RESERVOIR_TABLE) \
-            if io.has_appended(RESERVOIR_TABLE) else None
+            if io.snapshots(RESERVOIR_TABLE) else None
         update_reservoir(io, current, batch, weight_col, k, key_col)
 
     writer = (stream.writeStream.foreachBatch(handle)

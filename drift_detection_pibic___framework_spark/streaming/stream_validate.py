@@ -126,7 +126,7 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
     ``acoustic`` extends the gate to the PAYLOAD: each admitted
     micro-batch additionally runs the band-energy kernel once (the
     decode is paid at ingest, where it is cheapest) and commits
-    ``rolloff_hz`` + ``flatness_milli`` as profiled integer columns —
+    ``rolloff_hz`` + ``flatness_centi`` as profiled integer columns —
     the EXISTING moments/quantile sidecar gates then flag acoustic
     drift (bandwidth collapse, tone/noise balance shifts, upsampled
     batches) between epochs with zero new gate code and zero audio

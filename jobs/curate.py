@@ -212,6 +212,7 @@ def main() -> int:
     else:
         n_mixed = n_sampled
 
+    n_weighted = n_mixed
     if args.weighted_sample:
         from pyspark.sql import functions as F
         # weight = the same composite quality score stage 1 screened on
@@ -224,7 +225,7 @@ def main() -> int:
         deduped = (sampling.weighted_sample(
             deduped.join(w, "doc_id"), "_w", args.weighted_sample)
             .drop("_w", "es_key"))
-        n_mixed = deduped.count()
+        n_weighted = deduped.count()
 
     bucket_counts = None
     if args.length_buckets:
@@ -288,14 +289,15 @@ def main() -> int:
         print(f"temp-mixed ~{args.temperature_mix:<6d} {n_mixed:>10d}  "
               f"(-{n_sampled - n_mixed})")
     if args.weighted_sample:
-        print(f"quality-weighted  {n_mixed:>10d}  (top-{args.weighted_sample} A-Res draw)")
+        print(f"quality-weighted  {n_weighted:>10d}  "
+              f"(top-{args.weighted_sample} A-Res draw)")
     if bucket_counts is not None:
         print("length buckets    "
               + "  ".join(f"b{b}={c}" for b, c in bucket_counts))
     if args.pack_seq_len:
         print(f"packed            {n_seqs:>10d} sequences "
               f"x {args.pack_seq_len} tokens")
-    print(f"\ncurated {n_mixed}/{n_in} docs in {dt:.1f}s"
+    print(f"\ncurated {n_weighted}/{n_in} docs in {dt:.1f}s"
           + (f" -> {args.out}" if args.out else ""))
     spark.stop()
     return 0
