@@ -31,6 +31,44 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 
+def chunk_text(docs: DataFrame, window: int = 512, stride: int = 256,
+               col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token windows — the
+    embedding-corpus / retrieval-index chunker (every RAG and embedding
+    pipeline cuts long documents into ``window``-token chunks with
+    ``stride`` overlap so no passage is lost at a boundary; distinct
+    from pack_sequences, which concatenates docs for TRAINING).
+
+    Chunk starts step by ``stride`` from 0; the last window is the final
+    full-or-partial slice, and a doc shorter than ``window`` is one
+    chunk.  Pure array expressions over the whitespace token split —
+    zero shuffle, zero Python; chunk count per doc is
+    ceil(max(n - window, 0) / stride) + 1.
+
+    Returns one row per chunk: (doc_id, chunk_id, start_tok, n_tok,
+    chunk_text) with 0-based token offsets into the trimmed whitespace
+    token stream."""
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.split(F.trim(F.col(col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (F.ceil(F.greatest(n - window, F.lit(0))
+                       / F.lit(float(stride))).cast("int") + 1)
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda c: c * stride)
+    chunks = F.transform(
+        starts,
+        lambda s, c: F.struct(
+            c.alias("chunk_id"), s.alias("start_tok"),
+            F.least(n - s, F.lit(window)).alias("n_tok"),
+            F.concat_ws(" ", F.slice(toks, s + 1, window))
+            .alias("chunk_text")))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.start_tok", "c.n_tok",
+                    "c.chunk_text"))
+
+
 def pack_sequences(docs: DataFrame, budget: int,
                    token_col: str = "n_tokens", key_col: str = "doc_id",
                    num_shards: int = 32) -> DataFrame:

@@ -2191,6 +2191,31 @@ def doc_line_dedup(spark, sf_dir):
                       .alias("n_lines_removed"))
 
 
+@register("doc_text_chunks", f"""
+WITH t AS (SELECT doc_id, {_RAW_TOKS_SQL} AS rt FROM documents),
+c AS (SELECT doc_id, rt,
+             unnest(generate_series(0,
+                 CAST(ceil(greatest(len(rt) - 8, 0) / 4.0) AS INTEGER)))
+               AS chunk_id
+      FROM t)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(chunk_id * 4 AS INTEGER) AS start_tok,
+       CAST(least(len(rt) - chunk_id * 4, 8) AS INTEGER) AS n_tok,
+       array_to_string(list_slice(rt, chunk_id * 4 + 1, chunk_id * 4 + 8),
+                       ' ') AS chunk_text
+FROM c
+""")
+def doc_text_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (packing.chunk_text: window 8,
+    stride 4 at this fixture's transcript lengths) — the RAG/embedding
+    corpus splitter.  The oracle independently re-derives chunk counts,
+    offsets and the chunk TEXT from list slices, so the hash gate
+    certifies boundary math and content together."""
+    from .operators.packing import chunk_text
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_text(docs, window=8, stride=4)
+
+
 _PII_TAIL = (" contact jane.doe@example.com or 555-123-4567 ssn 123-45-6789"
              " host 10.0.0.1")
 
@@ -3675,6 +3700,11 @@ _DEMOTED_ORACLED = [
     # shingle machinery); verified every round via scripts/check_entry.py.
     # Demoted to admit the line-dedup content gate (doc_line_dedup):
     "doc_contamination_report",
+    # driver-green r1-r3 text-quality rows (the family keeps
+    # doc_charset_quality, doc_length_buckets and doc_lm_score
+    # in-window); rotated out late-r4 to admit the RAG chunker content
+    # gate (doc_text_chunks):
+    "doc_quality",
 ]
 
 _oracled = [n for n in QUERIES

@@ -1018,6 +1018,45 @@ def test_mixture_sample_rates_and_stability(spark, docs):
     assert ids == ids2
 
 
+def test_chunk_text_boundaries(spark):
+    """Overlap chunker: starts step by stride, the tail chunk is partial,
+    a sub-window doc is exactly one chunk, coverage is gap-free."""
+    from drift_detection_pibic___framework_spark.operators.packing import (
+        chunk_text)
+    d = spark.createDataFrame([
+        Row(doc_id=1, text=" ".join(f"t{i}" for i in range(10))),
+        Row(doc_id=2, text=" ".join(f"t{i}" for i in range(11))),
+        Row(doc_id=3, text="a b c"),
+    ])
+    out = {}
+    for r in chunk_text(d, window=4, stride=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_text"]))
+    # n=10, w=4, s=2: starts 0,2,4,6 — last chunk ends exactly at token 9
+    assert [(c, s, n) for c, s, n, _ in sorted(out[1])] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)]
+    assert sorted(out[1])[0][3] == "t0 t1 t2 t3"
+    # n=11: one more (partial) chunk at start 8 with 3 tokens
+    assert sorted(out[2])[-1] == (4, 8, 3, "t8 t9 t10")
+    # sub-window doc: single chunk, full text
+    assert out[3] == [(0, 0, 3, "a b c")]
+    # gap-free coverage: every token index is inside some chunk
+    for rows in out.values():
+        covered = set()
+        for _, s, n, _ in rows:
+            covered.update(range(s, s + n))
+        assert covered == set(range(max(covered) + 1))
+
+
+def test_chunk_text_rejects_bad_params(spark, docs):
+    from drift_detection_pibic___framework_spark.operators.packing import (
+        chunk_text)
+    with pytest.raises(ValueError):
+        chunk_text(docs, window=0)
+    with pytest.raises(ValueError):
+        chunk_text(docs, stride=-1)
+
+
 def test_pack_sequences_invariants_and_shard_invariance(spark, docs):
     """The two-phase distributed prefix sum must equal the single-node
     reference packing for ANY shard count, and every offset must sit
