@@ -134,6 +134,37 @@ def with_fingerprints(docs: DataFrame, col: str = "text") -> DataFrame:
         min_rolling.alias("min_shingle_hash"))
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5,
+                    col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword/
+    retrieval weighting (smooth idf = ln((N+1)/(df+1)) + 1, tf = raw
+    in-doc count over normalized whitespace tokens; ties broken by term
+    ascending for determinism).
+
+    Scale shape: one narrow explode; tf is a groupBy on (doc_id, term)
+    (map-side combined); df is a groupBy on term over the DISTINCT
+    (doc, term) pairs the tf aggregation already produced — no second
+    corpus scan; N rides a broadcast 1-row literal; top-k per doc is one
+    window shuffle on doc_id.  Returns (doc_id, term, tf, df,
+    tfidf)."""
+    from pyspark.sql import Window
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+",
+                                                   " "))), " ")
+    ex = docs.select("doc_id", F.explode(toks).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (tf.join(df, "term")
+            .crossJoin(F.broadcast(n))
+            .withColumn("tfidf", F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1)
+                                     / (F.col("df") + 1)) + 1), 6))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("doc_id", "term", "tf", "df", "tfidf"))
+
+
 def word_ngrams(col: str = "text", k: int = 1):
     """ALL word k-grams of the normalized text, duplicates KEPT (the
     repetition metrics need multiplicities; dedup.word_shingles is the

@@ -2191,6 +2191,31 @@ def doc_line_dedup(spark, sf_dir):
                       .alias("n_lines_removed"))
 
 
+@register("doc_tfidf_terms", f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+              round(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1), 6)
+                AS tfidf
+       FROM tf t JOIN df d USING (term) CROSS JOIN n),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+       FROM sc)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf
+FROM rk WHERE rn <= 5
+""")
+def doc_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per doc (text.tfidf_top_terms: smooth idf,
+    deterministic tie-break) — keyword extraction / retrieval weighting.
+    Registered outside the (full) driver window; verified every round
+    via scripts/check_entry.py like the other demoted oracles."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=5)
+
+
 @register("doc_text_chunks", f"""
 WITH t AS (SELECT doc_id, {_RAW_TOKS_SQL} AS rt FROM documents),
 c AS (SELECT doc_id, rt,
@@ -3705,6 +3730,9 @@ _DEMOTED_ORACLED = [
     # in-window); rotated out late-r4 to admit the RAG chunker content
     # gate (doc_text_chunks):
     "doc_quality",
+    # registered with the window already full; verified every round via
+    # scripts/check_entry.py:
+    "doc_tfidf_terms",
 ]
 
 _oracled = [n for n in QUERIES

@@ -1018,6 +1018,27 @@ def test_mixture_sample_rates_and_stability(spark, docs):
     assert ids == ids2
 
 
+def test_tfidf_ranks_distinctive_terms(spark):
+    """A term unique to one doc must outrank a corpus-wide term in that
+    doc; output is exactly top-k per doc with deterministic ties."""
+    d = spark.createDataFrame([
+        Row(doc_id=1, text="common common rare common"),
+        Row(doc_id=2, text="common common common"),
+        Row(doc_id=3, text="common other other"),
+    ])
+    out = {}
+    for r in text.tfidf_top_terms(d, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    # exact smooth-idf weights (N=3): rare tf=1 df=1, common tf=3 df=3
+    import math
+    assert dict(out[1])["rare"] == round(math.log(4 / 2) + 1, 6)
+    assert dict(out[1])["common"] == round(3 * (math.log(4 / 4) + 1), 6)
+    # doc 3: 'other' (tf=2, df=1) must outrank 'common' (tf=1, df=3)
+    ranked3 = sorted(out[3], key=lambda t: -t[1])
+    assert ranked3[0][0] == "other"
+    assert all(len(v) <= 2 for v in out.values())
+
+
 def test_chunk_text_boundaries(spark):
     """Overlap chunker: starts step by stride, the tail chunk is partial,
     a sub-window doc is exactly one chunk, coverage is gap-free."""
