@@ -250,6 +250,42 @@ def semantic_dedup(emb: DataFrame, centroids: np.ndarray = None,
     return emb.join(drop, id_col, "left_anti")
 
 
+def embedding_health(emb: DataFrame, z: float = 6.0,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Degenerate-embedding screen: rows whose vector is unusable for
+    similarity work — NaN/null components, the all-zero vector (cosine
+    undefined), or a norm more than ``z`` sample-stddevs from the corpus
+    mean (a scale blow-up from a bad encoder batch skews every dot
+    product it touches).  ANN and SemDeDup assume none of these; this is
+    the admission check in front of them.
+
+    One narrow pass computes per-row norm + NaN/zero flags; the global
+    (mean, stddev) is a 1-row broadcast back onto the rows — two scans
+    of a projected 2-column frame, no shuffle beyond the scalar agg.
+    Returns flagged rows (vec_id, norm, zscore, reason)."""
+    has_nan = F.exists(vec_col, lambda v: F.isnan(v.cast("double"))
+                       | v.isNull())
+    d = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _norm(F.col(vec_col)).alias("norm"),
+        has_nan.alias("has_nan"))
+    stats = (d.filter(~F.col("has_nan"))
+             .agg(F.avg("norm").alias("mu"),
+                  F.stddev_samp("norm").alias("sigma")))
+    j = d.crossJoin(F.broadcast(stats))   # 1-row stats literal
+    zscore = F.when(F.col("sigma") > 0,
+                    (F.col("norm") - F.col("mu")) / F.col("sigma")) \
+        .otherwise(F.lit(0.0))
+    reason = (F.when(F.col("has_nan"), "nan_or_null_component")
+              .when(F.col("norm") == 0.0, "zero_vector")
+              .when(F.abs(zscore) > z, "norm_outlier"))
+    return (j.withColumn("reason", reason)
+            .filter(F.col("reason").isNotNull())
+            .select("vec_id", F.round("norm", 6).alias("norm"),
+                    F.round(zscore, 4).alias("zscore"), "reason"))
+
+
 def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).normal(0.0, 1.0, (n_planes, dim))
 

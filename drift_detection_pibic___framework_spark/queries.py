@@ -2191,6 +2191,58 @@ def doc_line_dedup(spark, sf_dir):
                       .alias("n_lines_removed"))
 
 
+@register("emb_health_screen", """
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+pool AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL SELECT vec_id + 8000000,
+                   list_transform(embedding, x -> x * 50)
+            FROM base WHERE vec_id = 0
+  UNION ALL SELECT vec_id + 8000001,
+                   list_transform(embedding, x -> x * 0)
+            FROM base WHERE vec_id = 1
+  UNION ALL SELECT vec_id + 8000002,
+                   list_transform(embedding, x -> CAST('nan' AS DOUBLE))
+            FROM base WHERE vec_id = 2),
+d AS (
+  SELECT vec_id,
+         sqrt(list_aggregate(list_transform(
+             embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum')) AS norm,
+         len(list_filter(embedding,
+             x -> isnan(CAST(x AS DOUBLE)) OR x IS NULL)) > 0 AS has_nan
+  FROM pool),
+st AS (SELECT avg(norm) AS mu, stddev_samp(norm) AS sigma
+       FROM d WHERE NOT has_nan),
+j AS (SELECT d.*, st.mu, st.sigma,
+             CASE WHEN st.sigma > 0 THEN (d.norm - st.mu) / st.sigma
+                  ELSE 0.0 END AS z
+      FROM d CROSS JOIN st)
+SELECT vec_id, round(norm, 6) AS norm, round(z, 4) AS zscore,
+       CASE WHEN has_nan THEN 'nan_or_null_component'
+            WHEN norm = 0.0 THEN 'zero_vector'
+            WHEN abs(z) > 6.0 THEN 'norm_outlier' END AS reason
+FROM j
+WHERE has_nan OR norm = 0.0 OR abs(z) > 6.0
+""")
+def emb_health_screen(spark, sf_dir):
+    """Degenerate-embedding admission screen (similarity.embedding_health)
+    in front of ANN/SemDeDup: NaN components, zero vectors, norm blow-ups.
+    De-vacuated with three injected rows (x50 scale, zeroed, NaN-filled);
+    the fixture's organic norms sit well inside z=6.  Registered outside
+    the (full) driver window; check_entry-verified every round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    def inj(vid, fn, new_id):
+        return (emb.filter(F.col("vec_id") == vid)
+                .select((F.col("vec_id") + new_id).alias("vec_id"),
+                        F.transform("embedding", fn).alias("embedding")))
+    pool = (emb.select("vec_id", "embedding")
+            .unionByName(inj(0, lambda x: x * 50, 8000000))
+            .unionByName(inj(1, lambda x: x * 0, 8000001))
+            .unionByName(inj(2, lambda x: F.lit(float("nan")), 8000002)))
+    return S.embedding_health(pool, z=6.0)
+
+
 @register("doc_tfidf_terms", f"""
 WITH ex AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
@@ -3733,6 +3785,7 @@ _DEMOTED_ORACLED = [
     # registered with the window already full; verified every round via
     # scripts/check_entry.py:
     "doc_tfidf_terms",
+    "emb_health_screen",
 ]
 
 _oracled = [n for n in QUERIES

@@ -1018,6 +1018,24 @@ def test_mixture_sample_rates_and_stability(spark, docs):
     assert ids == ids2
 
 
+def test_embedding_health_screen(spark, emb):
+    """NaN, zero-vector and norm-blow-up rows are flagged with the right
+    reasons; the clean fixture flags nothing at z=6."""
+    assert similarity.embedding_health(emb).count() == 0
+    bad = spark.createDataFrame(
+        [Row(vec_id=9000001, embedding=[float("nan")] * 4),
+         Row(vec_id=9000002, embedding=[0.0] * 4),
+         Row(vec_id=9000003, embedding=[500.0] * 4)]
+        + [Row(vec_id=i, embedding=[1.0, float(i % 3), 0.5, -1.0])
+           for i in range(60)])
+    got = {r["vec_id"]: r["reason"] for r in
+           similarity.embedding_health(bad).collect()}
+    assert got[9000001] == "nan_or_null_component"
+    assert got[9000002] == "zero_vector"
+    assert got[9000003] == "norm_outlier"
+    assert all(v >= 9000000 for v in got)   # clean rows untouched
+
+
 def test_tfidf_ranks_distinctive_terms(spark):
     """A term unique to one doc must outrank a corpus-wide term in that
     doc; output is exactly top-k per doc with deterministic ties."""
