@@ -534,6 +534,93 @@ def strip_frequent_lines(docs: DataFrame, col: str = "text",
                         F.coalesce(F.col("n_lines_removed"), F.lit(0))))
 
 
+class GramIndex:
+    """Persisted positional-gram-count index — the incremental path for
+    SPAN-level dedup (duplicate_spans/strip_duplicate_spans), completing
+    the per-axis index family: DedupIndex (doc level), LineIndex (line
+    level), GramIndex (span level).  Gram occurrence counts are
+    mergeable, so each increment appends its own partial counts
+    (O(increment tokens)) and the flagged-gram key set folds from the
+    index alone — an increment's spans against the WHOLE corpus history
+    are found without ever rescanning corpus text.
+
+    Note the semantics: spans are reported for the INCREMENT's docs only
+    (a gram first seen in an old batch and repeated in the increment
+    flags the increment occurrence; the historical occurrence would need
+    a positions index, which at 10^12 rows costs more than re-stripping
+    old data on its next rewrite — the standard trade).
+
+    Lifecycle::
+
+        idx = GramIndex(io, L=8)
+        idx.add(batch1); idx.add(batch2)
+        spans = idx.spans(batch2)        # vs all history, batch2's docs
+        clean = strip_duplicate_spans(batch2, spans=spans)
+    """
+
+    TABLE = "gram_counts"
+
+    def __init__(self, io, L: int = 8, col: str = "text",
+                 id_col: str = "doc_id"):
+        self.io = io
+        self.L = L
+        self.col = col
+        self.id_col = id_col
+
+    def _grams(self, docs: DataFrame) -> DataFrame:
+        toks = F.split(norm_text(self.col), " ")
+        idx = F.when(F.size(toks) >= self.L,
+                     F.sequence(F.lit(0), F.size(toks) - self.L)
+                     ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx, lambda i: _h64(F.concat_ws(
+                " ", F.slice(toks, i + 1, self.L)), 555))
+        return docs.select(F.col(self.id_col).alias("doc_id"),
+                           F.posexplode(grams).alias("pos", "gh"))
+
+    def add(self, docs: DataFrame) -> str:
+        """Append this batch's partial gram counts; returns the snapshot
+        id (keep for rollback)."""
+        partial = (self._grams(docs).groupBy("gh")
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+        return self.io.append(partial, self.TABLE)
+
+    def flagged(self, spark, min_count: int = 2) -> DataFrame:
+        """Fold the index to the gram hashes at/above ``min_count``
+        corpus-lifetime."""
+        return (self.io.read_appended(spark, self.TABLE)
+                .groupBy("gh").agg(F.sum("cnt").alias("cnt"))
+                .filter(F.col("cnt") >= min_count).select("gh"))
+
+    def spans(self, docs: DataFrame, min_count: int = 2) -> DataFrame:
+        """Maximal duplicated spans of ``docs`` against the WHOLE indexed
+        history (same gaps-and-islands merge as duplicate_spans) —
+        drop-in for strip_duplicate_spans' ``spans`` argument."""
+        from pyspark.sql import Window
+        spark = docs.sparkSession
+        dup = (self._grams(docs)
+               .join(self.flagged(spark, min_count), "gh")
+               .select("doc_id", "pos"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        isl = (dup
+               .withColumn("brk", F.when(
+                   F.col("pos") - F.lag("pos").over(w) > self.L - 1,
+                   1).otherwise(0))
+               .withColumn("island", F.sum("brk").over(w)))
+        return (isl.groupBy("doc_id", "island")
+                .agg(F.min("pos").alias("span_start"),
+                     (F.max("pos") + F.lit(self.L - 1)).alias("span_end"),
+                     F.count(F.lit(1)).alias("n_dup_grams"))
+                .drop("island"))
+
+    def compact(self, spark) -> str:
+        """Fold every partial into ONE summed rewrite commit (same
+        rationale as LineIndex.compact)."""
+        folded = (self.io.read_appended(spark, self.TABLE)
+                  .groupBy("gh").agg(F.sum("cnt").alias("cnt")))
+        return self.io.rewrite(folded, self.TABLE)
+
+
 class LineIndex:
     """Persisted line-frequency index over a TableIO root — the
     incremental counterpart of ``frequent_lines`` (and the line-dedup

@@ -232,6 +232,40 @@ def test_line_index_incremental_equals_full_recount(spark, tmp_path):
     assert a == b
 
 
+def test_gram_index_incremental_spans(spark, tmp_path):
+    """An increment's spans against the indexed history: a passage first
+    seen in batch 1 and repeated in batch 2 flags batch 2's occurrence;
+    a batch-2-only passage does not; full-corpus counts equal a one-shot
+    duplicate_spans run; compact preserves the fold."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    b1 = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps high today")])
+    b2 = spark.createDataFrame([
+        Row(doc_id=2, text="intro words the quick brown fox jumps high"),
+        Row(doc_id=3, text="completely unrelated fresh content here")])
+    idx = dedup.GramIndex(ParquetTableIO(str(tmp_path)), L=3)
+    idx.add(b1)
+    idx.add(b2)
+    got = sorted(tuple(r) for r in idx.spans(b2).collect())
+    # doc 2 repeats b1's 6-token passage "the quick brown fox jumps
+    # high" at tokens 2-7: flagged 3-gram starts {2,3,4,5} -> span [2,7]
+    assert got == [(2, 2, 7, 4)]
+    # strip through the index spans removes exactly that passage
+    out = {r["doc_id"]: r for r in dedup.strip_duplicate_spans(
+        b2, spans=idx.spans(b2)).select(
+        "doc_id", "text_clean", "n_tokens_removed").collect()}
+    assert out[2]["text_clean"] == "intro words"
+    assert out[2]["n_tokens_removed"] == 6
+    assert out[3]["n_tokens_removed"] == 0
+    # one-shot parity on the union (both occurrences flagged there)
+    both = dedup.duplicate_spans(b1.unionByName(b2), L=3)
+    assert {r["doc_id"] for r in both.collect()} == {1, 2}
+    # compact: folded index yields identical spans
+    idx.compact(spark)
+    assert sorted(tuple(r) for r in idx.spans(b2).collect()) == got
+
+
 def test_line_index_compact_preserves_counts(spark, tmp_path):
     """compact() folds N partial commits into one rewrite; flagged()
     before and after must be identical, further adds still merge, and
