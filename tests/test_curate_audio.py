@@ -42,3 +42,35 @@ def test_curate_audio_job_end_to_end(spark, fixture_dir, tmp_path,
         (audio.pcm_s16le_decode(bytes(r["bytes"])) / 32767.0) ** 2)))
         for r in sample if not r["limited"]]
     assert lvl and max(abs(v + 20.0) for v in lvl) < 0.1
+
+
+def test_curate_audio_job_dedup_conflicts_band(spark, fixture_dir,
+                                               tmp_path, monkeypatch):
+    """The optional stages compose: label conflicts drop BOTH members of
+    conflicting near-identical pairs, exact payload dedup removes what
+    survives with identical bytes, and --band-features lands acoustic
+    columns on every curated row."""
+    import jobs.curate_audio as J
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_audio.py", "--data", fixture_dir, "--out", out,
+        "--dedup-audio", "0", "--drop-label-conflicts",
+        "--band-features"])
+    assert J.main() == 0
+
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    dim = spark.read.parquet(f"{fixture_dir}/allowed_codecs.parquet")
+    clean, _ = QR.quarantine(clips, dim)
+    n_clean = clean.count()
+
+    cur = spark.read.parquet(out)
+    n_cur = cur.count()
+    assert 0 < n_cur < n_clean            # both stages removed something
+    for c in [f"band_frac_{j}" for j in range(6)] + [
+            "spectral_flatness", "rolloff_hz"]:
+        assert c in cur.columns
+    assert cur.filter("spectral_flatness is null").count() == 0
+    # fractions are a distribution per row
+    row = cur.limit(1).collect()[0]
+    assert abs(sum(row[f"band_frac_{j}"] for j in range(6)) - 1.0) < 1e-3
