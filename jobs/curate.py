@@ -299,7 +299,9 @@ def main() -> int:
               f"x {args.pack_seq_len} tokens")
     print(f"\ncurated {n_weighted}/{n_in} docs in {dt:.1f}s"
           + (f" -> {args.out}" if args.out else ""))
-    spark.stop()
+    # no spark.stop(): under spark-submit the JVM teardown handles it, and
+    # getOrCreate may have returned a session the caller (e.g. the pytest
+    # fixture) still owns — every other job here follows the same rule
     return 0
 
 
