@@ -274,6 +274,27 @@ def main() -> int:
         "strip_frequent_lines (C4 line dedup: flagged set equi-joined)",
         dedup.strip_frequent_lines(docs, min_count=3),
         {"no_cartesian": True, "hash_join": True}))
+    # RAG chunker: pure array expressions + explode — no shuffle at all,
+    # whole-stage codegen end to end
+    from drift_detection_pibic___framework_spark.operators.packing import (
+        chunk_text)
+    cases.append((
+        "chunk_text (overlap chunker: zero shuffle, codegen)",
+        chunk_text(docs, window=8, stride=4),
+        {"no_cartesian": True, "codegen": True, "zero_exchange": True}))
+    # TF-IDF: keyed aggregations + equi joins; N rides a 1-row broadcast
+    cases.append((
+        "tfidf_top_terms (keyed aggs, equi joins, 1-row N broadcast)",
+        Top.tfidf_top_terms(docs, k=5),
+        {"no_cartesian_data": True, "hash_join": True, "broadcast": True}))
+    # embedding health: narrow projection + 1-row stats broadcast
+    from drift_detection_pibic___framework_spark.operators import (
+        similarity as SIMop)
+    if emb is not None:
+        cases.append((
+            "embedding_health (narrow screen, 1-row stats broadcast)",
+            SIMop.embedding_health(emb),
+            {"no_cartesian_data": True, "broadcast": True}))
     # weighted sample: top-k must lower to TakeOrderedAndProject — a
     # global Sort before the limit would shuffle the whole corpus
     cases.append((
@@ -334,6 +355,18 @@ def main() -> int:
             ok = opt.count("array(") <= 2
             verdicts.append(
                 ("quantizer constant-folded to one literal", ok))
+        if checks.get("zero_exchange"):
+            ok = "Exchange" not in plan
+            verdicts.append(("ZERO exchanges (narrow end to end)", ok))
+        if checks.get("no_cartesian_data"):
+            # like no_cartesian, but the query's own scalar-aggregate
+            # side (a literal 1-row frame, e.g. corpus N or global
+            # mean/std) legitimately joins via BroadcastNestedLoopJoin —
+            # only a true CartesianProduct over data is forbidden
+            ok = "CartesianProduct" not in plan
+            verdicts.append(
+                ("no cartesian over data tables "
+                 "(1-row scalar broadcast BNLJ allowed)", ok))
         if checks.get("top_k"):
             # orderBy(...).limit(k) must lower to TakeOrderedAndProject
             # (per-partition heaps + k-row reduction); a Sort node would
