@@ -1,0 +1,285 @@
+"""Column profiling + automatic constraint suggestion (Deequ-style).
+
+The validation suite (plans/suite.py) runs HAND-WRITTEN checks; this module
+closes the loop that production validation engines ship as a headline
+feature (Schelter et al., "Automating Large-Scale Data Quality
+Verification", VLDB 2018 — Deequ's ConstraintSuggestionRunner; Great
+Expectations' profilers): PROFILE a trusted baseline table once, derive the
+constraints its data actually satisfies, and run those as the per-partition
+check suite against every new ingest.  The reference framework has no
+analogue (it monitors model error streams, not table constraints); this is
+the pipeline extension the build brief requires, expressed Spark-first.
+
+Scale design (10^12 rows):
+- ``column_profiles`` is ONE aggregation pass over the table: every
+  per-column statistic (count/nulls/distinct/min/max/mean/stddev/lengths)
+  for every profiled column is computed in a single ``df.agg(...)`` with
+  map-side partial aggregation — the shuffle carries one partial row per
+  input split, never raw rows.  The ``bytes`` payload column is excluded by
+  default, so the Parquet scan prunes it (ReadSchema-verified pattern,
+  operators/stats.py).
+- distinct counts default to ``approx_count_distinct`` (HLL++, mergeable,
+  one pass).  ``exact_distinct=True`` switches to exact ``count_distinct``
+  for oracle parity at test scale — Spark plans that via EXPAND (one pass,
+  n_cols× map-side rows), which is the documented cost of exactness.
+- ``suggest_constraints`` applies the rule set DRIVER-SIDE over the
+  collected profile (O(n_columns) rows — the same architecture as Deequ,
+  whose suggestion rules run on the driver over collected metrics).  The
+  only extra cluster work is ONE restricted second pass collecting the
+  value domain of columns the profile already proved low-cardinality —
+  ``collect_set`` is never evaluated on a column that could be large.
+- ``suggested_suite_verdicts`` compiles the suggestions back into ONE
+  aggregation pass emitting the standard per-partition verdict rows
+  (part, check_name, passed, observed, expected) — the whole suggested
+  suite costs a single shuffle, like plans/suite.py's shared-stats design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_SKIP = (T.BinaryType, T.ArrayType, T.MapType, T.StructType)
+
+PROFILE_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType(), False),
+    T.StructField("dtype", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_nonnull", T.LongType(), False),
+    T.StructField("completeness", T.DoubleType(), True),
+    T.StructField("n_distinct", T.LongType(), True),
+    T.StructField("min_num", T.DoubleType(), True),
+    T.StructField("max_num", T.DoubleType(), True),
+    T.StructField("mean", T.DoubleType(), True),
+    T.StructField("stddev", T.DoubleType(), True),
+    T.StructField("min_len", T.IntegerType(), True),
+    T.StructField("max_len", T.IntegerType(), True),
+])
+
+SUGGESTION_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType(), False),
+    T.StructField("constraint", T.StringType(), False),
+    T.StructField("params", T.StringType(), False),
+])
+
+
+def profilable_columns(df: DataFrame) -> list:
+    """Scalar (non-binary, non-complex) columns — the default profile set.
+    Excluding binary means the audio ``bytes`` payload never reaches the
+    scan (column pruning)."""
+    return [f.name for f in df.schema.fields
+            if not isinstance(f.dataType, _SKIP)]
+
+
+def _dtype_tag(dt: T.DataType) -> str:
+    return "numeric" if isinstance(dt, _NUMERIC) else "string"
+
+
+def column_profiles(df: DataFrame, cols: list = None,
+                    exact_distinct: bool = False,
+                    round_to: int = 6) -> DataFrame:
+    """Long-format per-column profile: one output row per profiled column,
+    all columns computed in ONE aggregation pass (see module docstring).
+
+    Numeric columns fill min_num/max_num/mean/stddev (min_len/max_len
+    NULL); string columns fill min_len/max_len of the string length
+    (numeric stats NULL).  ``completeness`` = n_nonnull / n_rows, rounded.
+    """
+    cols = list(cols) if cols is not None else profilable_columns(df)
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        dt = by_name[c]
+        nd = (F.count_distinct(F.col(c)) if exact_distinct
+              else F.approx_count_distinct(c))
+        aggs += [F.count(c).alias(f"_nn_{c}"), nd.alias(f"_nd_{c}")]
+        if _dtype_tag(dt) == "numeric":
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+                F.round(F.avg(F.col(c).cast("double")), round_to)
+                .alias(f"_mean_{c}"),
+                F.round(F.stddev_samp(F.col(c).cast("double")), round_to)
+                .alias(f"_std_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(F.length(c)).alias(f"_minl_{c}"),
+                F.max(F.length(c)).alias(f"_maxl_{c}"),
+            ]
+    row = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_i = F.lit(None).cast("int")
+    structs = []
+    for c in cols:
+        tag = _dtype_tag(by_name[c])
+        num = tag == "numeric"
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.lit(tag).alias("dtype"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nn_{c}").alias("n_nonnull"),
+            F.round(F.col(f"_nn_{c}") / F.col("_n"), round_to)
+            .alias("completeness"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            (F.col(f"_min_{c}") if num else null_d).alias("min_num"),
+            (F.col(f"_max_{c}") if num else null_d).alias("max_num"),
+            (F.col(f"_mean_{c}") if num else null_d).alias("mean"),
+            (F.col(f"_std_{c}") if num else null_d).alias("stddev"),
+            (null_i if num else F.col(f"_minl_{c}").cast("int"))
+            .alias("min_len"),
+            (null_i if num else F.col(f"_maxl_{c}").cast("int"))
+            .alias("max_len"),
+        ))
+    return (row.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*"))
+
+
+# -------------------------------------------------------------------------
+# suggestion rules
+# -------------------------------------------------------------------------
+# Deterministic, engine-portable formatting: params never contain a bare
+# float (float-to-string differs between engines) — ranges use the raw
+# numeric rendering only when the column is integral, completeness
+# thresholds are integer percents, domains are comma-joined sorted values.
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else str(round(v, 6))
+
+
+def _rules(r, domain: list = None) -> list:
+    """The suggestion rule set applied to one profile row ``r``.
+    Returns (constraint, params) tuples.
+
+    - complete column            -> ``not_null``
+    - mostly-complete column     -> ``completeness_pct_ge`` at the observed
+      completeness floored to an integer percent (slack against sampling
+      noise, Deequ's RetainCompletenessRule)
+    - complete + all-distinct    -> ``unique``
+    - numeric column             -> ``range`` [observed min, observed max]
+    - low-cardinality column     -> ``isin`` over the observed domain
+    """
+    out = []
+    if r.n_rows and r.n_nonnull == r.n_rows:
+        out.append(("not_null", ""))
+        if r.n_distinct == r.n_rows:
+            out.append(("unique", ""))
+    elif r.n_nonnull and r.n_nonnull < r.n_rows:
+        pct = int((r.n_nonnull * 100) // r.n_rows)
+        if pct > 0:
+            out.append(("completeness_pct_ge", str(pct)))
+    if r.dtype == "numeric" and r.min_num is not None:
+        out.append(("range",
+                    f"[{_fmt_num(r.min_num)},{_fmt_num(r.max_num)}]"))
+    if domain is not None:
+        out.append(("isin", ",".join(domain)))
+    return out
+
+
+def suggest_constraints(df: DataFrame, cols: list = None,
+                        max_domain: int = 10,
+                        exact_distinct: bool = False) -> DataFrame:
+    """Profile ``df`` and return suggested constraints as
+    (column, constraint, params) rows — Deequ's ConstraintSuggestionRunner
+    re-expressed over the one-pass profile.
+
+    Cluster work: the profile pass, plus ONE second pass restricted to the
+    columns the profile proved low-cardinality (n_distinct <= max_domain)
+    collecting their sorted value domains.  Rule application itself is
+    O(n_columns) driver-side metadata work (same as Deequ).  With the
+    default ``exact_distinct=False`` the cardinality screen uses HLL++;
+    a column whose approximate count sits within error of ``max_domain``
+    still yields an exact (collected) domain, so the emitted ``isin`` list
+    is always the true observed domain."""
+    prof = column_profiles(df, cols, exact_distinct=exact_distinct)
+    rows = prof.collect()            # O(n_columns) — bounded by contract
+    low = [r.column for r in rows
+           if r.n_distinct is not None and r.n_distinct <= max_domain]
+    domains = {}
+    if low:
+        drow = df.agg(*[
+            F.sort_array(F.collect_set(F.col(c).cast("string"))).alias(c)
+            for c in low]).collect()[0]
+        domains = {c: list(drow[c]) for c in low}
+    data = []
+    for r in rows:
+        for constraint, params in _rules(r, domains.get(r.column)):
+            data.append((r.column, constraint, params))
+    spark = df.sparkSession
+    return spark.createDataFrame(data, SUGGESTION_SCHEMA)
+
+
+# -------------------------------------------------------------------------
+# compiling suggestions back into an executable per-partition suite
+# -------------------------------------------------------------------------
+
+def suggested_suite_verdicts(df: DataFrame, suggestions,
+                             part_col: str = "part") -> DataFrame:
+    """Run a suggestion set as per-partition checks: ONE aggregation pass
+    computes every suggested constraint's per-partition pass/fail, emitted
+    in the standard verdict schema (part, check_name, passed, observed,
+    expected) that plans/runner.py persists.
+
+    ``suggestions`` is the DataFrame from ``suggest_constraints`` or an
+    equivalent list of (column, constraint, params) rows; it is collected
+    (bounded: a handful of rows per column) and compiled into column
+    expressions — the suite itself never leaves the JVM.
+    """
+    if isinstance(suggestions, DataFrame):
+        suggestions = suggestions.collect()
+    aggs, verdicts = [], []
+
+    def emit(name, passed, observed, expected):
+        verdicts.append(F.struct(
+            F.lit(name).alias("check_name"),
+            passed.alias("passed"),
+            observed.cast("string").alias("observed"),
+            F.lit(expected).alias("expected")))
+
+    for i, s in enumerate(suggestions):
+        col, constraint, params = s[0], s[1], s[2]
+        if constraint == "not_null":
+            a = F.sum(F.col(col).isNull().cast("long")).alias(f"_a{i}")
+            aggs.append(a)
+            emit(f"not_null({col})", F.col(f"_a{i}") == 0,
+                 F.col(f"_a{i}"), "0 nulls")
+        elif constraint == "completeness_pct_ge":
+            pct = int(params)
+            a = F.round(F.avg(F.col(col).isNotNull().cast("double")) * 100,
+                        6).alias(f"_a{i}")
+            aggs.append(a)
+            emit(f"completeness({col})", F.col(f"_a{i}") >= pct,
+                 F.col(f"_a{i}"), f">= {pct}%")
+        elif constraint == "unique":
+            aggs += [F.count_distinct(F.col(col)).alias(f"_a{i}"),
+                     F.count(F.col(col)).alias(f"_b{i}")]
+            emit(f"unique({col})", F.col(f"_a{i}") == F.col(f"_b{i}"),
+                 F.concat_ws("/", F.col(f"_a{i}"), F.col(f"_b{i}")),
+                 "distinct = rows")
+        elif constraint == "range":
+            lo, hi = params.strip("[]").split(",")
+            lo, hi = float(lo), float(hi)
+            aggs += [F.min(F.col(col).cast("double")).alias(f"_a{i}"),
+                     F.max(F.col(col).cast("double")).alias(f"_b{i}")]
+            emit(f"range({col})",
+                 (F.col(f"_a{i}") >= lo) & (F.col(f"_b{i}") <= hi),
+                 F.concat_ws("..", F.col(f"_a{i}"), F.col(f"_b{i}")),
+                 f"[{_fmt_num(lo)}, {_fmt_num(hi)}]")
+        elif constraint == "isin":
+            domain = params.split(",") if params else []
+            bad = (F.col(col).isNotNull()
+                   & ~F.col(col).cast("string").isin(domain))
+            aggs.append(F.sum(bad.cast("long")).alias(f"_a{i}"))
+            emit(f"isin({col})", F.col(f"_a{i}") == 0,
+                 F.col(f"_a{i}"), f"all in {{{params}}}")
+        else:
+            raise ValueError(f"unknown suggested constraint: {constraint}")
+
+    agged = df.groupBy(part_col).agg(*aggs)
+    return (agged.select(F.col(part_col),
+                         F.explode(F.array(*verdicts)).alias("v"))
+            .select(part_col, "v.check_name", "v.passed", "v.observed",
+                    "v.expected"))

@@ -3637,6 +3637,148 @@ def doc_epoch_order(spark, sf_dir):
 
 
 # =========================================================================
+# constraint-suggestion profiler (operators/profile.py, Deequ-style)
+# =========================================================================
+
+_PROFILE_AGG_SQL = f"""
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(clip_id) AS BIGINT)           AS nn_clip_id,
+         CAST(count(DISTINCT clip_id) AS BIGINT)  AS nd_clip_id,
+         CAST(min(length(clip_id)) AS INTEGER)    AS minl_clip_id,
+         CAST(max(length(clip_id)) AS INTEGER)    AS maxl_clip_id,
+         CAST(count(sr_hz) AS BIGINT)             AS nn_sr_hz,
+         CAST(count(DISTINCT sr_hz) AS BIGINT)    AS nd_sr_hz,
+         CAST(min(sr_hz) AS DOUBLE)               AS min_sr_hz,
+         CAST(max(sr_hz) AS DOUBLE)               AS max_sr_hz,
+         ROUND(avg(CAST(sr_hz AS DOUBLE)), 6)     AS mean_sr_hz,
+         ROUND(stddev_samp(CAST(sr_hz AS DOUBLE)), 6) AS std_sr_hz,
+         CAST(count(dur_ms) AS BIGINT)            AS nn_dur_ms,
+         CAST(count(DISTINCT dur_ms) AS BIGINT)   AS nd_dur_ms,
+         CAST(min(dur_ms) AS DOUBLE)              AS min_dur_ms,
+         CAST(max(dur_ms) AS DOUBLE)              AS max_dur_ms,
+         ROUND(avg(CAST(dur_ms AS DOUBLE)), 6)    AS mean_dur_ms,
+         ROUND(stddev_samp(CAST(dur_ms AS DOUBLE)), 6) AS std_dur_ms,
+         CAST(count(codec) AS BIGINT)             AS nn_codec,
+         CAST(count(DISTINCT codec) AS BIGINT)    AS nd_codec,
+         CAST(min(length(codec)) AS INTEGER)      AS minl_codec,
+         CAST(max(length(codec)) AS INTEGER)      AS maxl_codec,
+         CAST(count(transcript) AS BIGINT)            AS nn_transcript,
+         CAST(count(DISTINCT transcript) AS BIGINT)   AS nd_transcript,
+         CAST(min(length(transcript)) AS INTEGER)     AS minl_transcript,
+         CAST(max(length(transcript)) AS INTEGER)     AS maxl_transcript
+  FROM read_parquet('{CLIPS_SF001_GLOB}')
+"""
+
+_PROFILE_COLS = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+
+
+def _profile_row_sql(c: str, numeric: bool) -> str:
+    if numeric:
+        num = (f"min_{c} AS min_num, max_{c} AS max_num, "
+               f"mean_{c} AS mean, std_{c} AS stddev, "
+               "CAST(NULL AS INTEGER) AS min_len, "
+               "CAST(NULL AS INTEGER) AS max_len")
+    else:
+        num = ("CAST(NULL AS DOUBLE) AS min_num, "
+               "CAST(NULL AS DOUBLE) AS max_num, "
+               "CAST(NULL AS DOUBLE) AS mean, "
+               "CAST(NULL AS DOUBLE) AS stddev, "
+               f"minl_{c} AS min_len, maxl_{c} AS max_len")
+    return (f"SELECT '{c}' AS column, "
+            f"'{'numeric' if numeric else 'string'}' AS dtype, "
+            f"n AS n_rows, nn_{c} AS n_nonnull, "
+            f"ROUND(CAST(nn_{c} AS DOUBLE) / n, 6) AS completeness, "
+            f"nd_{c} AS n_distinct, {num} FROM a")
+
+
+@register("clips_profile", "WITH a AS (" + _PROFILE_AGG_SQL + ")\n" +
+          "\nUNION ALL\n".join(
+              _profile_row_sql(c, c in ("sr_hz", "dur_ms"))
+              for c in _PROFILE_COLS))
+def clips_profile(spark, sf_dir):
+    """One-pass per-column profile (operators/profile.py column_profiles,
+    exact-distinct mode for oracle parity) — the metrics layer under the
+    Deequ-style constraint suggester.  Single aggregation over the table:
+    count/nulls/distinct/min/max/mean/stddev/lengths for every profiled
+    column in one shuffle; the binary ``bytes`` payload is excluded so the
+    scan prunes it."""
+    from .operators import profile as PR
+    c = clips_df(spark, sf_dir)
+    return PR.column_profiles(c, cols=list(_PROFILE_COLS),
+                              exact_distinct=True)
+
+
+@register("clips_constraint_suggestions", "WITH a AS (" + _PROFILE_AGG_SQL + """
+), dom_sr AS (
+  SELECT array_to_string(list_sort(list(DISTINCT CAST(sr_hz AS VARCHAR))), ',')
+         AS d
+  FROM read_parquet('""" + CLIPS_SF001_GLOB + """') WHERE sr_hz IS NOT NULL
+), dom_codec AS (
+  SELECT array_to_string(list_sort(list(DISTINCT codec)), ',') AS d
+  FROM read_parquet('""" + CLIPS_SF001_GLOB + """') WHERE codec IS NOT NULL
+)
+SELECT * FROM (
+  SELECT 'clip_id' AS column, 'not_null' AS constraint, '' AS params
+    FROM a WHERE nn_clip_id = n
+  UNION ALL
+  SELECT 'clip_id', 'unique', '' FROM a
+    WHERE nn_clip_id = n AND nd_clip_id = n
+  UNION ALL
+  SELECT 'clip_id', 'completeness_pct_ge',
+         CAST(nn_clip_id * 100 // n AS VARCHAR) FROM a
+    WHERE nn_clip_id > 0 AND nn_clip_id < n AND nn_clip_id * 100 // n >= 1
+  UNION ALL
+  SELECT 'sr_hz', 'not_null', '' FROM a WHERE nn_sr_hz = n
+  UNION ALL
+  SELECT 'sr_hz', 'unique', '' FROM a WHERE nn_sr_hz = n AND nd_sr_hz = n
+  UNION ALL
+  SELECT 'sr_hz', 'range',
+         '[' || CAST(CAST(min_sr_hz AS BIGINT) AS VARCHAR) || ',' ||
+         CAST(CAST(max_sr_hz AS BIGINT) AS VARCHAR) || ']' FROM a
+  UNION ALL
+  SELECT 'sr_hz', 'isin', (SELECT d FROM dom_sr) FROM a WHERE nd_sr_hz <= 10
+  UNION ALL
+  SELECT 'dur_ms', 'not_null', '' FROM a WHERE nn_dur_ms = n
+  UNION ALL
+  SELECT 'dur_ms', 'range',
+         '[' || CAST(CAST(min_dur_ms AS BIGINT) AS VARCHAR) || ',' ||
+         CAST(CAST(max_dur_ms AS BIGINT) AS VARCHAR) || ']' FROM a
+  UNION ALL
+  SELECT 'codec', 'not_null', '' FROM a WHERE nn_codec = n
+  UNION ALL
+  SELECT 'codec', 'isin', (SELECT d FROM dom_codec) FROM a
+    WHERE nd_codec <= 10
+  UNION ALL
+  SELECT 'transcript', 'not_null', '' FROM a WHERE nn_transcript = n
+  UNION ALL
+  SELECT 'transcript', 'completeness_pct_ge',
+         CAST(nn_transcript * 100 // n AS VARCHAR) FROM a
+    WHERE nn_transcript > 0 AND nn_transcript < n
+      AND nn_transcript * 100 // n >= 1
+)
+""")
+def clips_constraint_suggestions(spark, sf_dir):
+    """Deequ-style automatic constraint suggestion over the clips table
+    (operators/profile.py suggest_constraints): the rules a trusted
+    baseline's data actually satisfies, as (column, constraint, params)
+    rows — not_null / unique / completeness floor / numeric range /
+    low-cardinality isin domain.  Cluster cost: the one-pass profile plus
+    one restricted domain pass over the columns the profile proved
+    low-cardinality; rule application is O(columns) driver metadata work
+    (the same architecture as Deequ's ConstraintSuggestionRunner).  At
+    sf0.01 the injected defects shape the output: duplicate clip_ids
+    suppress unique(clip_id), injected nulls turn transcript's not_null
+    into a completeness floor, and the 192 kHz outliers + 'opus' rows
+    widen the suggested sr_hz/codec domains — which is exactly why
+    production suggestion runs profile a CURATED baseline window
+    (tests/test_profile.py pins that loop)."""
+    from .operators import profile as PR
+    c = clips_df(spark, sf_dir)
+    return PR.suggest_constraints(c, cols=list(_PROFILE_COLS),
+                                  max_domain=10, exact_distinct=True)
+
+
+# =========================================================================
 # Driver-gate ordering
 # =========================================================================
 # The driver's correctness gate covers only the FIRST 50 entries of this
@@ -3786,6 +3928,8 @@ _DEMOTED_ORACLED = [
     # scripts/check_entry.py:
     "doc_tfidf_terms",
     "emb_health_screen",
+    "clips_profile",
+    "clips_constraint_suggestions",
 ]
 
 _oracled = [n for n in QUERIES

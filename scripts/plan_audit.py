@@ -305,6 +305,25 @@ def main() -> int:
             "w", 60),
         {"no_cartesian": True, "top_k": True}))
 
+    # constraint-suggestion profiler: the profile is ONE aggregation pass
+    # (map-side partials, bytes pruned); the compiled suggested suite is
+    # likewise one agg pass emitting every verdict row
+    from drift_detection_pibic___framework_spark.operators import (
+        profile as PRop)
+    cases.append((
+        "column_profiles (one-pass profile, bytes pruned)",
+        PRop.column_profiles(clips),
+        {"no_bytes_scan": True, "no_cartesian": True,
+         "single_exchange": True}))
+    cases.append((
+        "suggested_suite_verdicts (whole suggested suite in one agg pass)",
+        PRop.suggested_suite_verdicts(clips, [
+            ("sr_hz", "range", "[8000,48000]"),
+            ("codec", "isin", "alaw,mulaw,pcm_s16le"),
+            ("transcript", "not_null", "")]),
+        {"no_bytes_scan": True, "no_cartesian": True,
+         "single_exchange": True}))
+
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")
     print("Every scale-path plan is checked for the properties that decide "

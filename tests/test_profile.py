@@ -1,0 +1,110 @@
+"""Constraint-suggestion profiler (operators/profile.py): profile
+correctness vs a pandas model, each suggestion rule on a crafted frame,
+and the closed loop — suggest on a clean baseline, run the suggested
+suite on the dirty clips table, and the injected violations must fail
+exactly the right checks."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from drift_detection_pibic___framework_spark.operators import profile as P
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    pdf = pd.DataFrame({
+        "uid": ["a", "b", "c", "d", "e", "f"],
+        "cat": ["x", "y", "x", "x", "y", "x"],
+        "val": [10, 20, 30, 40, 50, 60],
+        "maybe": ["t", None, "t", "u", None, "t"],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_profile_matches_pandas_model(spark, toy):
+    prof = {r.column: r for r in
+            P.column_profiles(toy, exact_distinct=True).collect()}
+    assert set(prof) == {"uid", "cat", "val", "maybe"}
+
+    u = prof["uid"]
+    assert (u.dtype, u.n_rows, u.n_nonnull, u.n_distinct) == \
+        ("string", 6, 6, 6)
+    assert u.completeness == 1.0
+    assert (u.min_len, u.max_len) == (1, 1)
+    assert u.min_num is None and u.mean is None
+
+    v = prof["val"]
+    assert (v.dtype, v.n_distinct) == ("numeric", 6)
+    assert (v.min_num, v.max_num) == (10.0, 60.0)
+    assert v.mean == pytest.approx(35.0)
+    assert v.stddev == pytest.approx(pd.Series([10, 20, 30, 40, 50, 60])
+                                     .std(), abs=1e-6)
+    assert v.min_len is None
+
+    m = prof["maybe"]
+    assert (m.n_nonnull, m.n_distinct) == (4, 2)
+    assert m.completeness == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_profile_single_pass_plan(toy):
+    plan = P.column_profiles(toy, exact_distinct=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # one aggregation over the input: no join, no second scan
+    assert "Join" not in plan
+
+
+def test_suggestion_rules(spark, toy):
+    sug = {(r.column, r.constraint): r.params
+           for r in P.suggest_constraints(
+               toy, max_domain=3, exact_distinct=True).collect()}
+    assert ("uid", "not_null") in sug
+    assert ("uid", "unique") in sug            # complete + all-distinct
+    assert ("cat", "isin") in sug and sug[("cat", "isin")] == "x,y"
+    assert ("val", "range") in sug and sug[("val", "range")] == "[10,60]"
+    assert ("maybe", "completeness_pct_ge") in sug
+    assert sug[("maybe", "completeness_pct_ge")] == "66"   # floor(4/6*100)
+    assert ("maybe", "unique") not in sug      # nulls forbid unique
+    assert ("val", "isin") not in sug          # 6 distinct > max_domain 3
+    assert ("maybe", "isin") in sug and sug[("maybe", "isin")] == "t,u"
+
+
+def test_suggested_suite_catches_injections(spark, clips):
+    # the trusted baseline: clips filtered to rows free of the injected
+    # defects (a curated baseline window — the real-world suggestion input)
+    cols = ["clip_id", "sr_hz", "codec", "transcript"]
+    clean = clips.filter(
+        (F.col("sr_hz") != 192000) & F.col("transcript").isNotNull()
+        & F.col("codec").isin("pcm_s16le", "mulaw", "alaw"))
+    sug = P.suggest_constraints(clean.select(*cols, "part"), cols=cols,
+                                exact_distinct=True)
+    names = {(r.column, r.constraint) for r in sug.collect()}
+    assert ("transcript", "not_null") in names
+    assert ("codec", "isin") in names
+    assert ("sr_hz", "range") in names
+    # injected duplicate clip_ids survive the clean filter -> never unique
+    assert ("clip_id", "unique") not in names
+
+    # the clean baseline passes its OWN suggested suite everywhere
+    assert all(r.passed for r in
+               P.suggested_suite_verdicts(clean, sug).collect())
+
+    by_check = {}
+    for r in P.suggested_suite_verdicts(clips, sug).collect():
+        by_check.setdefault(r.check_name, []).append(r)
+    # dirty clips: injected 192 kHz sr_hz outliers breach the suggested
+    # range; injected transcript nulls breach not_null; injected 'opus'
+    # codec rows breach the suggested isin domain
+    assert any(not r.passed for r in by_check["range(sr_hz)"])
+    assert any(not r.passed for r in by_check["not_null(transcript)"])
+    assert any(not r.passed for r in by_check["isin(codec)"])
+    # every partition yields one verdict row per suggested check
+    n_parts = clips.select("part").distinct().count()
+    for name, rows in by_check.items():
+        assert len(rows) == n_parts, name
+
+
+def test_suggested_suite_unknown_constraint_raises(spark, toy):
+    with pytest.raises(ValueError):
+        P.suggested_suite_verdicts(toy.withColumn("part", F.lit(0)),
+                                   [("uid", "regex_match", ".*")])
