@@ -150,7 +150,7 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if float(v).is_integer() else str(round(v, 6))
 
 
-def _rules(r, domain: list = None) -> list:
+def _rules(r, domain: list = None, unique_ok: bool = None) -> list:
     """The suggestion rule set applied to one profile row ``r``.
     Returns (constraint, params) tuples.
 
@@ -158,14 +158,16 @@ def _rules(r, domain: list = None) -> list:
     - mostly-complete column     -> ``completeness_pct_ge`` at the observed
       completeness floored to an integer percent (slack against sampling
       noise, Deequ's RetainCompletenessRule)
-    - complete + all-distinct    -> ``unique``
+    - complete + all-distinct    -> ``unique`` (``unique_ok`` overrides the
+      profile's distinct count when the caller verified exactly)
     - numeric column             -> ``range`` [observed min, observed max]
     - low-cardinality column     -> ``isin`` over the observed domain
     """
     out = []
     if r.n_rows and r.n_nonnull == r.n_rows:
         out.append(("not_null", ""))
-        if r.n_distinct == r.n_rows:
+        if (unique_ok if unique_ok is not None
+                else r.n_distinct == r.n_rows):
             out.append(("unique", ""))
     elif r.n_nonnull and r.n_nonnull < r.n_rows:
         pct = int((r.n_nonnull * 100) // r.n_rows)
@@ -204,9 +206,26 @@ def suggest_constraints(df: DataFrame, cols: list = None,
             F.sort_array(F.collect_set(F.col(c).cast("string"))).alias(c)
             for c in low]).collect()[0]
         domains = {c: list(drow[c]) for c in low}
+    # unique rule under APPROX counts: HLL can under/over-shoot, so a
+    # `approx == n_rows` test both misses real keys and blesses near-keys.
+    # Screen candidates at 90% of n_rows (beyond HLL++ default error),
+    # then verify EXACTLY in one restricted extra pass — at scale that is
+    # one count_distinct per candidate key column, not per column.
+    unique_ok = {}
+    if not exact_distinct:
+        cand = [r.column for r in rows
+                if r.n_rows and r.n_nonnull == r.n_rows
+                and r.n_distinct is not None
+                and r.n_distinct >= 0.9 * r.n_rows]
+        if cand:
+            urow = df.agg(*[F.count_distinct(F.col(c)).alias(c)
+                            for c in cand]).collect()[0]
+            n = rows[0].n_rows
+            unique_ok = {c: urow[c] == n for c in cand}
     data = []
     for r in rows:
-        for constraint, params in _rules(r, domains.get(r.column)):
+        for constraint, params in _rules(r, domains.get(r.column),
+                                         unique_ok.get(r.column)):
             data.append((r.column, constraint, params))
     spark = df.sparkSession
     return spark.createDataFrame(data, SUGGESTION_SCHEMA)

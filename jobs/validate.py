@@ -75,6 +75,21 @@ def main() -> int:
                     help="with --runner: re-open validation from "
                          "partition P before running (correction path "
                          "after an upsert/backfill)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="profile the table (Deequ-style) and print "
+                         "suggested constraints; restrict the profiled "
+                         "baseline with --baseline-parts")
+    ap.add_argument("--baseline-parts", default=None, metavar="P,P,...",
+                    help="with --suggest: comma-separated partition list "
+                         "to profile (default: whole table)")
+    ap.add_argument("--contract", default=None, metavar="JSON",
+                    help="with --suggest: also write the suggestions to "
+                         "this JSON file (a data contract --run-contract "
+                         "can enforce)")
+    ap.add_argument("--run-contract", default=None, metavar="JSON",
+                    help="compile a saved contract into the per-partition "
+                         "suite and run it over the clips table (exit 1 "
+                         "on any failing verdict)")
     ap.add_argument("--quarantine", default=None, metavar="OUT_DIR",
                     help="split the clips table into admitted/quarantined "
                          "parquet sinks with per-row reasons and print the "
@@ -152,6 +167,60 @@ def main() -> int:
               f"failed of {len(res['validated']) + len(res['failed'])} "
               f"partitions in {dt:.1f}s (scope={args.scope})")
         return 1 if res["failed"] else 0
+
+    if args.suggest or args.run_contract:
+        import json
+
+        from drift_detection_pibic___framework_spark.operators import (
+            profile as PR)
+
+        cp = os.path.join(args.data, "clips")
+        if not os.path.isdir(cp):
+            print(f"error: no clips table at {cp}", file=sys.stderr)
+            return 2
+        clips = spark.read.parquet(cp)
+
+        if args.suggest:
+            base = clips
+            if args.baseline_parts:
+                parts = [int(p) for p in args.baseline_parts.split(",")]
+                base = clips.filter(F.col("part").isin(parts))
+            # rid is a synthetic surrogate and part is the partition key —
+            # constraints on them would pin fixture internals, not data
+            cols = [c for c in PR.profilable_columns(base)
+                    if c not in ("rid", "part")]
+            sug = PR.suggest_constraints(base, cols=cols).collect()
+            print(f"{'column':<12} {'constraint':<22} params")
+            for r in sug:
+                print(f"{r.column:<12} {r.constraint:<22} {r.params}")
+            if args.contract:
+                with open(args.contract, "w") as f:
+                    json.dump([{"column": r.column,
+                                "constraint": r.constraint,
+                                "params": r.params} for r in sug],
+                              f, indent=2)
+                print(f"\n{len(sug)} suggested constraints written to "
+                      f"{args.contract}")
+            dt = time.time() - t0
+            print(f"\n{len(sug)} suggestions from "
+                  f"{'parts ' + args.baseline_parts if args.baseline_parts else 'full table'} "
+                  f"in {dt:.1f}s")
+            return 0
+
+        with open(args.run_contract) as f:
+            contract = [(c["column"], c["constraint"], c["params"])
+                        for c in json.load(f)]
+        verdicts = (PR.suggested_suite_verdicts(clips, contract)
+                    .orderBy("part", "check_name").collect())
+        n_fail = sum(1 for r in verdicts if not r["passed"])
+        for r in verdicts:
+            mark = "PASS" if r["passed"] else "FAIL"
+            print(f"part={r['part']:>3} {r['check_name']:<26} {mark}  "
+                  f"observed={r['observed']}  expected={r['expected']}")
+        dt = time.time() - t0
+        print(f"\n{len(verdicts)} contract checks, {n_fail} failing "
+              f"({len(contract)} constraints) in {dt:.1f}s")
+        return 1 if n_fail else 0
 
     if args.quarantine:
         from drift_detection_pibic___framework_spark.operators import (
