@@ -19,6 +19,7 @@ Headline queries (each is an end-to-end action, fresh from parquet):
   q_knn            — brute-force cosine top-5 for 10 queries over embeddings
   q_audio_features — rms/zcr/spectral-centroid extraction over bytes
   q_quarantine     — row-level admit/divert labelling + per-part report
+  q_profile        — one-pass column profile + constraint suggestion
 
 `--scaling` runs q_batch_checks + q_invariant at local[8] and local[32] in
 subprocesses and appends the efficiency table to BENCH/BASELINE.md
@@ -183,6 +184,15 @@ def bench_queries(spark, sf_dir: str) -> tuple:
         return multimodal.audio_band_energy(clips).agg(
             F.avg("spectral_flatness")).collect()[0][0]
 
+    def q_profile():
+        # Deequ-style constraint suggestion: one-pass profile + domain
+        # pass + exact unique verification (approx-distinct scale path)
+        from drift_detection_pibic___framework_spark.operators import (
+            profile as PR)
+        cols = [c for c in PR.profilable_columns(clips)
+                if c not in ("rid", "part")]
+        return PR.suggest_constraints(clips, cols=cols).count()
+
     _ = Q  # registry imported for completeness
     core_only = os.environ.get("SPARK_GRAFT_CORE_ONLY") == "1"
     # each query runs twice; the WARM (min) time is reported: this sandbox
@@ -202,7 +212,8 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_knn", q_knn),
                   ("q_quarantine", q_quarantine),
                   ("q_standardize", q_standardize),
-                  ("q_band_energy", q_band_energy)]
+                  ("q_band_energy", q_band_energy),
+                  ("q_profile", q_profile)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
     # (2 warm laps so a single throttle blip cannot own the reported number)
     timings, cold, canaries = {}, {}, {}
