@@ -74,7 +74,11 @@ def profilable_columns(df: DataFrame) -> list:
 
 
 def _dtype_tag(dt: T.DataType) -> str:
-    return "numeric" if isinstance(dt, _NUMERIC) else "string"
+    if isinstance(dt, _NUMERIC):
+        return "numeric"
+    if isinstance(dt, T.StringType):
+        return "string"
+    return "other"          # bool/date/timestamp: counts + distinct only
 
 
 def column_profiles(df: DataFrame, cols: list = None,
@@ -91,11 +95,11 @@ def column_profiles(df: DataFrame, cols: list = None,
     by_name = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        dt = by_name[c]
+        tag = _dtype_tag(by_name[c])
         nd = (F.count_distinct(F.col(c)) if exact_distinct
               else F.approx_count_distinct(c))
         aggs += [F.count(c).alias(f"_nn_{c}"), nd.alias(f"_nd_{c}")]
-        if _dtype_tag(dt) == "numeric":
+        if tag == "numeric":
             aggs += [
                 F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
                 F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
@@ -104,7 +108,7 @@ def column_profiles(df: DataFrame, cols: list = None,
                 F.round(F.stddev_samp(F.col(c).cast("double")), round_to)
                 .alias(f"_std_{c}"),
             ]
-        else:
+        elif tag == "string":
             aggs += [
                 F.min(F.length(c)).alias(f"_minl_{c}"),
                 F.max(F.length(c)).alias(f"_maxl_{c}"),
@@ -129,10 +133,10 @@ def column_profiles(df: DataFrame, cols: list = None,
             (F.col(f"_max_{c}") if num else null_d).alias("max_num"),
             (F.col(f"_mean_{c}") if num else null_d).alias("mean"),
             (F.col(f"_std_{c}") if num else null_d).alias("stddev"),
-            (null_i if num else F.col(f"_minl_{c}").cast("int"))
-            .alias("min_len"),
-            (null_i if num else F.col(f"_maxl_{c}").cast("int"))
-            .alias("max_len"),
+            (F.col(f"_minl_{c}").cast("int") if tag == "string"
+             else null_i).alias("min_len"),
+            (F.col(f"_maxl_{c}").cast("int") if tag == "string"
+             else null_i).alias("max_len"),
         ))
     return (row.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))
@@ -148,6 +152,24 @@ def column_profiles(df: DataFrame, cols: list = None,
 
 def _fmt_num(v: float) -> str:
     return str(int(v)) if float(v).is_integer() else str(round(v, 6))
+
+
+def _range_bounds(lo: float, hi: float):
+    """Range params rounded OUTWARD at 6 dp — rounding a bound inward
+    would exclude observed values, so a table could fail its own suggested
+    range (the self-consistency invariant tests/test_properties pins).
+    Returns None for non-finite bounds (NaN min/max: no sane range)."""
+    import math
+    if not (math.isfinite(lo) and math.isfinite(hi)):
+        return None
+    try:
+        flo = math.floor(lo * 1e6) / 1e6
+        fhi = math.ceil(hi * 1e6) / 1e6
+    except OverflowError:       # |bound| ~ 1e308: keep the exact bound
+        return lo, hi
+    if not (math.isfinite(flo) and math.isfinite(fhi)):
+        return lo, hi
+    return flo, fhi
 
 
 def _rules(r, domain: list = None, unique_ok: bool = None) -> list:
@@ -174,9 +196,14 @@ def _rules(r, domain: list = None, unique_ok: bool = None) -> list:
         if pct > 0:
             out.append(("completeness_pct_ge", str(pct)))
     if r.dtype == "numeric" and r.min_num is not None:
-        out.append(("range",
-                    f"[{_fmt_num(r.min_num)},{_fmt_num(r.max_num)}]"))
-    if domain is not None:
+        b = _range_bounds(r.min_num, r.max_num)
+        if b is not None:
+            out.append(("range", f"[{_fmt_num(b[0])},{_fmt_num(b[1])}]"))
+    # isin: only a non-empty domain, and only when the comma-joined params
+    # encoding round-trips (a value containing ',' — or the empty string,
+    # which joins invisibly — could not survive a saved contract; fail
+    # safe by not suggesting)
+    if domain and not any("," in v or v == "" for v in domain):
         out.append(("isin", ",".join(domain)))
     return out
 
@@ -249,6 +276,13 @@ def suggested_suite_verdicts(df: DataFrame, suggestions,
     """
     if isinstance(suggestions, DataFrame):
         suggestions = suggestions.collect()
+    if not suggestions:         # empty contract: no checks, no rows
+        return (df.select(F.col(part_col)).limit(0)
+                .select(part_col,
+                        F.lit("").alias("check_name"),
+                        F.lit(True).alias("passed"),
+                        F.lit("").alias("observed"),
+                        F.lit("").alias("expected")))
     aggs, verdicts = [], []
 
     def emit(name, passed, observed, expected):

@@ -108,3 +108,46 @@ def test_suggested_suite_unknown_constraint_raises(spark, toy):
     with pytest.raises(ValueError):
         P.suggested_suite_verdicts(toy.withColumn("part", F.lit(0)),
                                    [("uid", "regex_match", ".*")])
+
+
+# -------------------------------------------------------------------------
+# self-consistency property: ANY table passes its own suggested constraints
+# -------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_strs = st.one_of(st.none(), st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+    max_size=8))
+_ints = st.one_of(st.none(), st.integers(-2**62, 2**62))
+_dbls = st.one_of(st.none(), st.floats(allow_nan=True, allow_infinity=True))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(_strs, _ints, _dbls),
+                     min_size=1, max_size=30),
+       exact=st.booleans())
+def test_table_satisfies_own_suggestions(spark, rows, exact):
+    """The closed-loop invariant behind the whole feature: constraints
+    suggested FROM a table must PASS on that same table (single-partition
+    scope — completeness floors are global-scope by construction, so the
+    one-partition frame makes per-part == global).  Exercises nulls,
+    all-null columns, NaN/inf (no range suggested), extreme magnitudes
+    (outward bound rounding), comma-bearing category values (isin
+    suppressed), and both distinct-count modes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType(), True),
+        T.StructField("i", T.LongType(), True),
+        T.StructField("d", T.DoubleType(), True),
+    ])
+    df = (spark.createDataFrame(rows, schema)
+          .withColumn("part", F.lit(0)))
+    sug = P.suggest_constraints(df, cols=["s", "i", "d"],
+                                max_domain=5, exact_distinct=exact)
+    verdicts = P.suggested_suite_verdicts(df, sug).collect()
+    bad = [r for r in verdicts if not r.passed]
+    assert not bad, f"self-suite failures: {bad}"
