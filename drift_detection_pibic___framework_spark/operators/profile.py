@@ -336,3 +336,68 @@ def suggested_suite_verdicts(df: DataFrame, suggestions,
                          F.explode(F.array(*verdicts)).alias("v"))
             .select(part_col, "v.check_name", "v.passed", "v.observed",
                     "v.expected"))
+
+
+def suggested_suite_violations(df: DataFrame, suggestions,
+                               id_col: str = "clip_id",
+                               part_col: str = "part") -> DataFrame:
+    """Row-level violation rows (id, check_name, observed, expected, part)
+    for the ROW-EXPRESSIBLE constraints of a contract — the north-rule
+    violation contract applied to the suggested/contract suite.
+
+    not_null / range / isin test each row independently, so every
+    violation is found in ONE narrow projection: an array of violation
+    structs per row, exploded — zero shuffle, whole-stage codegen, and at
+    10^12 rows the scan reads only the constrained columns plus id/part.
+    unique and completeness_pct_ge are PARTITION-scope constraints (a row
+    alone cannot breach them) and emit no rows here — their granularity is
+    ``suggested_suite_verdicts``, exactly like dist_drift in the
+    hand-written suite (plans/suite.py)."""
+    if isinstance(suggestions, DataFrame):
+        suggestions = suggestions.collect()
+    null_s = F.lit(None).cast("string")
+
+    def viol(name, bad, observed, expected):
+        return F.when(bad, F.struct(
+            F.lit(name).alias("check_name"),
+            observed.cast("string").alias("observed"),
+            F.lit(expected).alias("expected"))).otherwise(
+                F.lit(None).cast(
+                    "struct<check_name:string,observed:string,"
+                    "expected:string>"))
+
+    structs = []
+    for s in suggestions:
+        col, constraint, params = s[0], s[1], s[2]
+        if constraint == "not_null":
+            structs.append(viol(f"not_null({col})", F.col(col).isNull(),
+                                F.lit("NULL"), f"non-null {col}"))
+        elif constraint == "range":
+            lo, hi = (float(x) for x in params.strip("[]").split(","))
+            v = F.col(col).cast("double")
+            structs.append(viol(f"range({col})",
+                                v.isNotNull() & ((v < lo) | (v > hi)),
+                                F.col(col),
+                                f"[{_fmt_num(lo)}, {_fmt_num(hi)}]"))
+        elif constraint == "isin":
+            domain = params.split(",") if params else []
+            structs.append(viol(
+                f"isin({col})",
+                F.col(col).isNotNull()
+                & ~F.col(col).cast("string").isin(domain),
+                F.col(col), f"in {{{params}}}"))
+        elif constraint in ("unique", "completeness_pct_ge"):
+            continue            # partition-scope: verdicts only
+        else:
+            raise ValueError(f"unknown suggested constraint: {constraint}")
+    if not structs:
+        return (df.select(F.col(id_col), F.col(part_col)).limit(0)
+                .select(id_col, F.lit("").alias("check_name"),
+                        null_s.alias("observed"), null_s.alias("expected"),
+                        part_col))
+    return (df.select(
+        F.col(id_col), F.col(part_col),
+        F.explode(F.filter(F.array(*structs),
+                           lambda v: v.isNotNull())).alias("v"))
+        .select(id_col, "v.check_name", "v.observed", "v.expected",
+                part_col))

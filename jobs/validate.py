@@ -90,6 +90,11 @@ def main() -> int:
                     help="compile a saved contract into the per-partition "
                          "suite and run it over the clips table (exit 1 "
                          "on any failing verdict)")
+    ap.add_argument("--violations-out", default=None, metavar="DIR",
+                    help="with --run-contract: also write row-level "
+                         "violation rows (clip_id, check_name, observed, "
+                         "expected, part) for the row-expressible "
+                         "constraints to this parquet sink")
     ap.add_argument("--quarantine", default=None, metavar="OUT_DIR",
                     help="split the clips table into admitted/quarantined "
                          "parquet sinks with per-row reasons and print the "
@@ -217,9 +222,17 @@ def main() -> int:
             mark = "PASS" if r["passed"] else "FAIL"
             print(f"part={r['part']:>3} {r['check_name']:<26} {mark}  "
                   f"observed={r['observed']}  expected={r['expected']}")
+        n_viol = None
+        if args.violations_out:
+            v = PR.suggested_suite_violations(clips, contract)
+            v.write.mode("overwrite").partitionBy("part") \
+                .parquet(args.violations_out)
+            n_viol = spark.read.parquet(args.violations_out).count()
         dt = time.time() - t0
+        extra = (f"; {n_viol} violation rows -> {args.violations_out}"
+                 if n_viol is not None else "")
         print(f"\n{len(verdicts)} contract checks, {n_fail} failing "
-              f"({len(contract)} constraints) in {dt:.1f}s")
+              f"({len(contract)} constraints) in {dt:.1f}s{extra}")
         return 1 if n_fail else 0
 
     if args.quarantine:

@@ -316,6 +316,15 @@ def main() -> int:
         {"no_bytes_scan": True, "no_cartesian": True,
          "single_exchange": True}))
     cases.append((
+        "suggested_suite_violations (row-level contract breaches, "
+        "zero shuffle)",
+        PRop.suggested_suite_violations(clips, [
+            ("sr_hz", "range", "[8000,48000]"),
+            ("codec", "isin", "alaw,mulaw,pcm_s16le"),
+            ("transcript", "not_null", "")]),
+        {"no_bytes_scan": True, "no_cartesian": True,
+         "zero_exchange": True, "codegen": True}))
+    cases.append((
         "suggested_suite_verdicts (whole suggested suite in one agg pass)",
         PRop.suggested_suite_verdicts(clips, [
             ("sr_hz", "range", "[8000,48000]"),

@@ -151,3 +151,39 @@ def test_table_satisfies_own_suggestions(spark, rows, exact):
     verdicts = P.suggested_suite_verdicts(df, sug).collect()
     bad = [r for r in verdicts if not r.passed]
     assert not bad, f"self-suite failures: {bad}"
+
+
+def test_suggested_suite_violations_rows(spark, clips):
+    """Row-level contract violations match direct filters exactly, carry
+    the north-rule columns, and partition-scope constraints emit none."""
+    contract = [
+        ("transcript", "not_null", ""),
+        ("sr_hz", "range", "[8000,48000]"),
+        ("codec", "isin", "alaw,mulaw,pcm_s16le"),
+        ("clip_id", "unique", ""),            # partition-scope: no rows
+        ("transcript", "completeness_pct_ge", "99"),   # likewise
+    ]
+    v = P.suggested_suite_violations(clips, contract)
+    assert v.columns == ["clip_id", "check_name", "observed", "expected",
+                         "part"]
+    by = {r[0]: r[1] for r in
+          v.groupBy("check_name").count().collect()}
+    assert by.get("not_null(transcript)", 0) == \
+        clips.filter(F.col("transcript").isNull()).count()
+    assert by.get("range(sr_hz)", 0) == \
+        clips.filter((F.col("sr_hz") < 8000)
+                     | (F.col("sr_hz") > 48000)).count()
+    assert by.get("isin(codec)", 0) == \
+        clips.filter(~F.col("codec").isin(
+            "alaw", "mulaw", "pcm_s16le")).count()
+    assert set(by) <= {"not_null(transcript)", "range(sr_hz)",
+                       "isin(codec)"}
+    # zero-shuffle plan: pure projection + explode, no Exchange
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_suggested_suite_violations_empty_contract(spark, clips):
+    v = P.suggested_suite_violations(
+        clips, [("clip_id", "unique", "")])
+    assert v.count() == 0
