@@ -3778,6 +3778,36 @@ def clips_constraint_suggestions(spark, sf_dir):
                                   max_domain=10, exact_distinct=True)
 
 
+@register("clips_contract_violations", f"""
+WITH c AS (SELECT * FROM read_parquet('{CLIPS_SF001_GLOB}'))
+SELECT clip_id, 'not_null(transcript)' AS check_name,
+       'NULL' AS observed, 'non-null transcript' AS expected, part
+FROM c WHERE transcript IS NULL
+UNION ALL
+SELECT clip_id, 'range(sr_hz)',
+       CAST(sr_hz AS VARCHAR), '[8000, 48000]', part
+FROM c WHERE sr_hz < 8000 OR sr_hz > 48000
+UNION ALL
+SELECT clip_id, 'isin(codec)',
+       codec, 'in {{alaw,mulaw,pcm_s16le}}', part
+FROM c WHERE codec NOT IN ('alaw', 'mulaw', 'pcm_s16le')
+""")
+def clips_contract_violations(spark, sf_dir):
+    """Row-level breaches of a fixed data contract
+    (profile.suggested_suite_violations): every not_null/range/isin
+    violation as the north-rule (clip_id, check_name, observed,
+    expected, part) rows, found in ONE zero-shuffle projection (array of
+    violation structs per row, exploded; PLANS.md pins zero Exchange).
+    The contract here is the one --suggest derives from the clean
+    baseline window, as a literal so the oracle stays pure SQL."""
+    from .operators import profile as PR
+    c = clips_df(spark, sf_dir)
+    contract = [("transcript", "not_null", ""),
+                ("sr_hz", "range", "[8000,48000]"),
+                ("codec", "isin", "alaw,mulaw,pcm_s16le")]
+    return PR.suggested_suite_violations(c, contract)
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -3930,6 +3960,7 @@ _DEMOTED_ORACLED = [
     "emb_health_screen",
     "clips_profile",
     "clips_constraint_suggestions",
+    "clips_contract_violations",
 ]
 
 _oracled = [n for n in QUERIES
