@@ -243,6 +243,39 @@ def exact_median(df: DataFrame, group_col: str, value_col: str,
     return q.select(group_col, F.col("q50").alias(out_col))
 
 
+def group_entropy(df: DataFrame, col: str, group_col: str = "part",
+                  round_to: int = 6) -> DataFrame:
+    """Per-group Shannon entropy (bits) and evenness of a categorical
+    column — the class-balance metric (Deequ's Entropy): a training
+    corpus whose codec/language/source mix collapses toward one value
+    shows it here before any downstream skew does.
+
+    ``evenness`` = H / log2(k) in [0, 1] (1 = uniform over the group's k
+    observed values; NULL when k = 1, where balance is undefined).
+
+    Scale shape: groupBy(group, value) collapses raw rows to histogram
+    cells with map-side partial aggregation (hot categories combine per
+    task before the shuffle), then one groupBy(group) folds cells into
+    the entropy sum — two keyed shuffles, both over cell counts, never
+    raw rows.  Nulls are excluded (SQL aggregate semantics).
+    """
+    cells = (df.filter(F.col(col).isNotNull())
+             .groupBy(group_col, col)
+             .agg(F.count(F.lit(1)).alias("_cnt")))
+    ent = -F.sum((F.col("_cnt") / F.col("_n"))
+                 * F.log2(F.col("_cnt") / F.col("_n")))
+    return (cells
+            .withColumn("_n", F.sum("_cnt").over(
+                Window.partitionBy(group_col)))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_values"),
+                 F.max("_n").alias("n_rows"),
+                 F.round(ent, round_to).alias("entropy_bits"),
+                 F.round(F.when(F.count(F.lit(1)) > 1,
+                                ent / F.log2(F.count(F.lit(1))))
+                         , round_to).alias("evenness")))
+
+
 def mad_outlier_screen(df: DataFrame, group_col: str, value_col: str,
                        k: float = 6.0, round_to: int = 6) -> DataFrame:
     """Robust per-group outlier screen: median + MAD (median absolute

@@ -3778,6 +3778,37 @@ def clips_constraint_suggestions(spark, sf_dir):
                                   max_domain=10, exact_distinct=True)
 
 
+@register("clips_codec_entropy", f"""
+WITH cells AS (
+  SELECT part, codec, CAST(count(*) AS BIGINT) AS cnt
+  FROM read_parquet('{CLIPS_SF001_GLOB}')
+  WHERE codec IS NOT NULL GROUP BY part, codec
+), n AS (
+  SELECT part, CAST(SUM(cnt) AS BIGINT) AS n FROM cells GROUP BY part
+), tot AS (
+  SELECT cells.part, CAST(count(*) AS BIGINT) AS n_values,
+         CAST(MAX(n.n) AS BIGINT) AS n_rows,
+         -SUM((CAST(cnt AS DOUBLE) / n.n)
+              * log2(CAST(cnt AS DOUBLE) / n.n)) AS h
+  FROM cells JOIN n USING (part) GROUP BY cells.part
+)
+SELECT part, n_values, n_rows, ROUND(h, 6) AS entropy_bits,
+       ROUND(CASE WHEN n_values > 1 THEN h / log2(CAST(n_values AS DOUBLE))
+             END, 6) AS evenness
+FROM tot
+""")
+def clips_codec_entropy(spark, sf_dir):
+    """Per-partition Shannon entropy + evenness of the codec mix
+    (stats.group_entropy) — the class-balance metric (Deequ Entropy): the
+    fixtures' 80/15/5 codec skew reads as evenness ~0.5, and the injected
+    'opus' partitions lift n_values to 4.  Two keyed shuffles over
+    histogram cells (map-side combine collapses the hot codec per task),
+    never raw rows."""
+    from .operators import stats as ST
+    c = clips_df(spark, sf_dir)
+    return ST.group_entropy(c, "codec")
+
+
 @register("clips_contract_violations", f"""
 WITH c AS (SELECT * FROM read_parquet('{CLIPS_SF001_GLOB}'))
 SELECT clip_id, 'not_null(transcript)' AS check_name,
@@ -3961,6 +3992,7 @@ _DEMOTED_ORACLED = [
     "clips_profile",
     "clips_constraint_suggestions",
     "clips_contract_violations",
+    "clips_codec_entropy",
 ]
 
 _oracled = [n for n in QUERIES

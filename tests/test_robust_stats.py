@@ -191,3 +191,30 @@ def test_temperature_mix_deterministic_and_partition_invariant(spark, docs):
 def test_temperature_mix_rejects_bad_target(spark, docs):
     with pytest.raises(ValueError):
         sampling.temperature_mix(docs, "source", "doc_id", 0)
+
+
+def test_group_entropy_model(spark):
+    """Entropy/evenness against hand math: uniform group -> evenness 1;
+    skewed group -> the exact -sum(p log2 p); single-value group ->
+    entropy 0 with NULL evenness; nulls excluded from the histogram."""
+    rows = ([Row(part=0, c="a")] * 2 + [Row(part=0, c="b")] * 2
+            + [Row(part=1, c="a")] * 3 + [Row(part=1, c="b")] * 1
+            + [Row(part=2, c="x")] * 4
+            + [Row(part=3, c=None)] * 2 + [Row(part=3, c="y")] * 2)
+    df = spark.createDataFrame(rows)
+    out = {r.part: r for r in stats.group_entropy(df, "c").collect()}
+
+    assert out[0].n_values == 2 and out[0].n_rows == 4
+    assert out[0].entropy_bits == pytest.approx(1.0)
+    assert out[0].evenness == pytest.approx(1.0)
+
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert out[1].entropy_bits == pytest.approx(h, abs=1e-6)
+    assert out[1].evenness == pytest.approx(h, abs=1e-6)  # log2(2)=1
+
+    assert out[2].n_values == 1
+    assert out[2].entropy_bits == pytest.approx(0.0)
+    assert out[2].evenness is None
+
+    # nulls excluded: part 3 is a single-value group of size 2
+    assert out[3].n_values == 1 and out[3].n_rows == 2
