@@ -82,6 +82,47 @@ def validate_stream(spark: SparkSession, clips_dir: str, dim_path: str,
     return writer.start()
 
 
+def contract_stream(spark: SparkSession, clips_dir: str, contract,
+                    out_dir: str, checkpoint_dir: str,
+                    available_now: bool = True,
+                    max_files_per_trigger: int = 4):
+    """Enforce a data contract (operators/profile.py suggestions — e.g.
+    the JSON written by ``jobs/validate.py --suggest``) CONTINUOUSLY:
+    each micro-batch runs the compiled suggested suite and writes
+    per-partition verdict rows to an epoch-partitioned parquet sink
+    (same idempotent dynamic-overwrite scheme as validate_stream).
+
+    Streaming safety mirrors the hand-written registry (plans/suite.py):
+    ``unique`` is DROPPED — a partition may span micro-batches, so
+    within-batch distinct==rows proves nothing about the table (exactly
+    why unique(clip_id) is streaming_safe=False there); cross-batch
+    uniqueness belongs to the batch runner or the HLL commit gate.  All
+    other constraints (not_null / completeness floor / range / isin) are
+    row- or rate-expressible within a batch, like the null-rate and
+    range checks the streaming suite already runs.  Returns the
+    StreamingQuery."""
+    from ..operators import profile as PR
+
+    rows = (contract.collect() if isinstance(contract, DataFrame)
+            else list(contract))
+    safe = [s for s in rows if s[1] != "unique"]
+    stream = stream_clips(spark, clips_dir, max_files_per_trigger)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        v = PR.suggested_suite_verdicts(batch, safe) \
+            .withColumn("epoch", F.lit(epoch_id))
+        (v.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(out_dir))
+
+    writer = (stream.writeStream.foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 GATE_TABLE = "stream_ingest"
 GATE_SCOPE = "stream_gate_epochs"
 

@@ -590,3 +590,39 @@ def test_stream_gate_quarantine_diverts_before_commit(
     mx = io.read_appended(spark, stream_validate.GATE_TABLE) \
         .agg({"sr_hz": "max"}).collect()[0][0]
     assert mx <= 48000
+
+
+def test_contract_stream_matches_batch(spark, fixture_dir, clips, tmp_path):
+    """Streaming contract enforcement: per-partition verdicts across all
+    epochs equal the batch suggested-suite run (one file per partition,
+    so no partition splits across micro-batches), and the streaming-unsafe
+    ``unique`` constraint is dropped like the hand suite drops it."""
+    from drift_detection_pibic___framework_spark.operators import (
+        profile as PR)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_validate)
+
+    contract = [
+        ("transcript", "not_null", ""),
+        ("sr_hz", "range", "[8000,48000]"),
+        ("codec", "isin", "alaw,mulaw,pcm_s16le"),
+        ("clip_id", "unique", ""),           # must be dropped in streaming
+        ("transcript", "completeness_pct_ge", "99"),
+    ]
+    q = stream_validate.contract_stream(
+        spark, f"{fixture_dir}/clips", contract,
+        str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out"))
+
+    g = {(r["part"], r["check_name"]): r["passed"] for r in got.collect()}
+    assert not any(k[1].startswith("unique") for k in g)
+    want = {(r["part"], r["check_name"]): r["passed"]
+            for r in PR.suggested_suite_verdicts(
+                clips, [c for c in contract if c[1] != "unique"]).collect()}
+    assert g == want
+    # the injected defects flag through the stream
+    assert any(not p for (part, name), p in g.items()
+               if name == "not_null(transcript)")
+    assert any(not p for (part, name), p in g.items()
+               if name == "isin(codec)")
