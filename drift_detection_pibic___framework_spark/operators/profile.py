@@ -259,6 +259,112 @@ def suggest_constraints(df: DataFrame, cols: list = None,
 
 
 # -------------------------------------------------------------------------
+# zero-scan suggestion from TableIO commit sidecars
+# -------------------------------------------------------------------------
+
+def suggest_from_sidecars(spark, io, name: str, max_domain: int = 10,
+                          hll_rse: float = 0.016) -> DataFrame:
+    """Constraint suggestion over a TableIO table WITHOUT scanning it:
+    fold the per-commit stats sidecars (``append(..., stats_cols/
+    cat_cols/key_cols)``) that snapshot_diff's drift gates already
+    maintain.  At 100 TB this is the difference between an O(table)
+    profiling job and O(commits) JSON reads plus one tiny sketch-merge
+    job — the same zero-rescan trade the commit gates make.
+
+    Per sidecar family:
+    - moment sidecars (numeric ``stats_cols``) -> not_null /
+      completeness floor / range, exactly as the scan path (sums, nulls
+      and min/max are exact and mergeable);
+    - Misra-Gries sidecars (``cat_cols``) -> not_null / completeness
+      from the sketch's exact item count; ``isin`` ONLY when the merged
+      sketch's error bound is zero (no counter evictions ever happened),
+      which proves the counter set IS the complete observed domain;
+    - HLL sidecars (``key_cols``) -> ``unique`` when the union estimate
+      covers the row count within 3x the sketch's relative std error
+      (lgK=12 -> ~1.6%); params are set to ``approx`` because HLL noise
+      cannot rule out a sub-percent duplicate rate — run the scan-path
+      ``suggest_constraints`` when exact key verification matters.
+
+    A column missing from ANY profiled commit is skipped (its values in
+    those commits are unknown — fail safe).  Constraints for a column
+    appearing in several families are deduplicated.
+    """
+    import base64
+
+    from ..functions.sketches import MisraGries
+
+    sidecars = io.snapshot_stats(name)
+    if not sidecars:
+        raise ValueError(f"table {name} has no stats sidecars")
+    rows_total = sum(sc["rows"] for sc in sidecars)
+    out, seen = [], set()
+
+    def emit(col, constraint, params):
+        if (col, constraint) not in seen:
+            seen.add((col, constraint))
+            out.append((col, constraint, params))
+
+    def completeness_rules(col, n_nonnull):
+        if rows_total and n_nonnull == rows_total:
+            emit(col, "not_null", "")
+        elif n_nonnull and n_nonnull < rows_total:
+            pct = int((n_nonnull * 100) // rows_total)
+            if pct > 0:
+                emit(col, "completeness_pct_ge", str(pct))
+
+    num_cols = set(sidecars[0].get("cols", ()))
+    for sc in sidecars[1:]:
+        num_cols &= set(sc.get("cols", ()))
+    for c in sorted(num_cols):
+        n = nulls = 0
+        mn = mx = None
+        for sc in sidecars:
+            cc = sc["cols"][c]
+            n += cc["n"]
+            nulls += cc["nulls"]
+            if cc["n"]:
+                mn = cc["min"] if mn is None else min(mn, cc["min"])
+                mx = cc["max"] if mx is None else max(mx, cc["max"])
+        completeness_rules(c, n)
+        if mn is not None:
+            b = _range_bounds(float(mn), float(mx))
+            if b is not None:
+                emit(c, "range", f"[{_fmt_num(b[0])},{_fmt_num(b[1])}]")
+
+    mg_cols = set(sidecars[0].get("mg", ()))
+    for sc in sidecars[1:]:
+        mg_cols &= set(sc.get("mg", ()))
+    for c in sorted(mg_cols):
+        merged = None
+        for sc in sidecars:
+            sk = MisraGries.deserialize(base64.b64decode(sc["mg"][c]))
+            merged = sk if merged is None else merged.merge(sk)
+        completeness_rules(c, merged.n)
+        if merged.err == 0 and 0 < len(merged.counters) <= max_domain:
+            domain = sorted(str(v) for v in merged.counters)
+            if not any("," in v or v == "" for v in domain):
+                emit(c, "isin", ",".join(domain))
+
+    hll_cols = set(sidecars[0].get("hll", ()))
+    for sc in sidecars[1:]:
+        hll_cols &= set(sc.get("hll", ()))
+    for c in sorted(hll_cols):
+        n = sum(sc["hll"][c]["n"] for sc in sidecars)
+        completeness_rules(c, n)
+        if n == rows_total and rows_total:
+            sk_rows = [(base64.b64decode(sc["hll"][c]["sketch"]),)
+                       for sc in sidecars]
+            est = (spark.createDataFrame(sk_rows, "sketch binary")
+                   .agg(F.expr(
+                       "hll_sketch_estimate(hll_union_agg(sketch, true))"))
+                   .collect()[0][0])
+            if est is not None and \
+                    float(est) >= (1.0 - 3.0 * hll_rse) * rows_total:
+                emit(c, "unique", "approx")
+    return spark.createDataFrame(out, SUGGESTION_SCHEMA)
+
+
+# -------------------------------------------------------------------------
 # compiling suggestions back into an executable per-partition suite
 # -------------------------------------------------------------------------
 

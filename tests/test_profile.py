@@ -187,3 +187,63 @@ def test_suggested_suite_violations_empty_contract(spark, clips):
     v = P.suggested_suite_violations(
         clips, [("clip_id", "unique", "")])
     assert v.count() == 0
+
+
+def test_suggest_from_sidecars_zero_scan(spark, clips, tmp_path):
+    """Sidecar-fold suggestion agrees with the scan path on the same data
+    (ranges/domains/not_null identical; unique via HLL marked approx),
+    after multi-commit ingestion with all three sidecar families."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+
+    io = ParquetTableIO(str(tmp_path))
+    # three clean commits (parts 0,1,4: no injected dupes/nulls/codecs)
+    clean = clips.filter(F.col("part").isin(0, 1, 4)) \
+        .select("clip_id", "sr_hz", "dur_ms", "codec", "transcript", "part")
+    for p in (0, 1, 4):
+        io.append(clean.filter(F.col("part") == p).repartition(1), "t",
+                  stats_cols=("sr_hz", "dur_ms"), cat_cols=("codec",),
+                  key_cols=("clip_id",))
+
+    got = {(r.column, r.constraint): r.params for r in
+           P.suggest_from_sidecars(spark, io, "t").collect()}
+    want = {(r.column, r.constraint): r.params for r in
+            P.suggest_constraints(
+                clean, cols=["clip_id", "sr_hz", "dur_ms", "codec"],
+                exact_distinct=True).collect()}
+
+    # moments: identical range + not_null
+    for c in ("sr_hz", "dur_ms"):
+        assert got[(c, "range")] == want[(c, "range")]
+        assert (c, "not_null") in got
+    # MG err==0 at 4 distinct codecs -> exact domain, identical isin
+    assert got[("codec", "isin")] == want[("codec", "isin")]
+    assert ("codec", "not_null") in got
+    # HLL: clean parts have unique ids -> unique suggested, marked approx
+    assert got[("clip_id", "unique")] == "approx"
+    assert ("clip_id", "not_null") in got
+    # zero-scan contract still enforceable: the suggested suite runs
+    verd = P.suggested_suite_verdicts(
+        clean, [(c, k, v) for (c, k), v in got.items()]).collect()
+    assert all(r.passed for r in verd)
+
+
+def test_suggest_from_sidecars_nulls_and_no_sidecars(spark, clips, tmp_path):
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+
+    io = ParquetTableIO(str(tmp_path))
+    with pytest.raises(ValueError):
+        P.suggest_from_sidecars(spark, io, "missing")
+    # a commit with injected transcript nulls -> completeness floor, and
+    # cat nulls are invisible to MG counts so codec completeness uses n
+    dirty = clips.filter(F.col("part").isin(2, 10)) \
+        .select("clip_id", "sr_hz", "transcript", "part")
+    io.append(dirty.repartition(1), "d", stats_cols=("sr_hz",),
+              cat_cols=("transcript",))
+    got = {(r.column, r.constraint): r.params for r in
+           P.suggest_from_sidecars(spark, io, "d").collect()}
+    assert ("transcript", "completeness_pct_ge") in got
+    assert ("transcript", "not_null") not in got
+    # 400 long random transcripts: far beyond max_domain -> no isin
+    assert ("transcript", "isin") not in got
