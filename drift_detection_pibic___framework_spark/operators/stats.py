@@ -276,6 +276,53 @@ def group_entropy(df: DataFrame, col: str, group_col: str = "part",
                          , round_to).alias("evenness")))
 
 
+def mutual_information(df: DataFrame, col_a: str, col_b: str,
+                       round_to: int = 6) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, plus
+    the normalized coefficient MI / min(H_a, H_b) in [0, 1] — the
+    association metric (Deequ's MutualInformation): MI(codec, part) near
+    0 says the codec mix is stationary across partitions; a jump says
+    some partitions carry a different mix (exactly the injected-'opus'
+    signature).  Rows with a null on either side are excluded.
+
+    Scale shape: ONE groupBy over the joint (a, b) histogram — map-side
+    partials collapse hot cells per task — then the marginals and total
+    fold from the joint cells themselves (two window sums over cells +
+    one global agg over cells), so nothing after the first shuffle ever
+    touches raw rows.  Returns one row: (n_rows, mi_bits, h_a, h_b,
+    normalized_mi)."""
+    cells = (df.filter(F.col(col_a).isNotNull()
+                       & F.col(col_b).isNotNull())
+             .groupBy(col_a, col_b)
+             .agg(F.count(F.lit(1)).alias("_c")))
+    w_all = Window.partitionBy()
+    cells = (cells
+             .withColumn("_n", F.sum("_c").over(w_all))
+             .withColumn("_ca", F.sum("_c").over(
+                 Window.partitionBy(col_a)))
+             .withColumn("_cb", F.sum("_c").over(
+                 Window.partitionBy(col_b))))
+    p = F.col("_c") / F.col("_n")
+    mi = F.sum(p * F.log2(p / ((F.col("_ca") / F.col("_n"))
+                               * (F.col("_cb") / F.col("_n")))))
+    # marginal entropies from the joint cells: group each cell's p into
+    # its marginal via sum over the OTHER axis — equivalently sum over
+    # distinct (_ca) weighted once; use sum(p*log2(pa)) / duplicates-safe
+    # form: -sum_cells p * log2(pa) counts each a-cell p once toward pa
+    h_a = -F.sum(p * F.log2(F.col("_ca") / F.col("_n")))
+    h_b = -F.sum(p * F.log2(F.col("_cb") / F.col("_n")))
+    agg = cells.agg(F.max("_n").alias("n_rows"), mi.alias("_mi"),
+                    h_a.alias("_ha"), h_b.alias("_hb"))
+    hmin = F.least(F.col("_ha"), F.col("_hb"))
+    return agg.select(
+        F.col("n_rows"),
+        F.round(F.col("_mi"), round_to).alias("mi_bits"),
+        F.round(F.col("_ha"), round_to).alias("h_a"),
+        F.round(F.col("_hb"), round_to).alias("h_b"),
+        F.round(F.when(hmin > 0, F.col("_mi") / hmin).otherwise(0.0),
+                round_to).alias("normalized_mi"))
+
+
 def mad_outlier_screen(df: DataFrame, group_col: str, value_col: str,
                        k: float = 6.0, round_to: int = 6) -> DataFrame:
     """Robust per-group outlier screen: median + MAD (median absolute

@@ -3809,6 +3809,62 @@ def clips_codec_entropy(spark, sf_dir):
     return ST.group_entropy(c, "codec")
 
 
+@register("clips_codec_part_mi", f"""
+WITH cells AS (
+  SELECT codec AS a, part AS b, CAST(count(*) AS BIGINT) AS c
+  FROM read_parquet('{CLIPS_SF001_GLOB}')
+  WHERE codec IS NOT NULL AND part IS NOT NULL GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY a),
+mb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+s AS (
+  SELECT MAX(t.n) AS n_rows,
+         SUM((c * 1.0 / t.n) * log2((c * 1.0 / t.n)
+             / ((ca * 1.0 / t.n) * (cb * 1.0 / t.n)))) AS mi,
+         -SUM((c * 1.0 / t.n) * log2(ca * 1.0 / t.n)) AS ha,
+         -SUM((c * 1.0 / t.n) * log2(cb * 1.0 / t.n)) AS hb
+  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot t
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows, ROUND(mi, 6) AS mi_bits,
+       ROUND(ha, 6) AS h_a, ROUND(hb, 6) AS h_b,
+       ROUND(CASE WHEN LEAST(ha, hb) > 0 THEN mi / LEAST(ha, hb)
+             ELSE 0.0 END, 6) AS normalized_mi
+FROM s
+""")
+def clips_codec_part_mi(spark, sf_dir):
+    """Mutual information between codec and partition
+    (stats.mutual_information) — the association/stationarity metric
+    (Deequ MutualInformation): ~0 bits when every partition draws the
+    same codec mix; the injected-'opus' partitions (5, 11) give it a
+    small positive signature.  One shuffle over the joint histogram;
+    marginals fold from the cells."""
+    from .operators import stats as ST
+    c = clips_df(spark, sf_dir)
+    return ST.mutual_information(c, "codec", "part")
+
+
+@register("clips_dur_bytes_corr", f"""
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(corr(dur_ms, octet_length(bytes)), 4) AS corr_dur_bytes
+FROM read_parquet('{CLIPS_SF001_GLOB}')
+GROUP BY codec
+""")
+def clips_dur_bytes_corr(spark, sf_dir):
+    """Per-codec Pearson correlation between declared duration and
+    payload size (Deequ Correlation) — the cheap cross-column
+    consistency screen behind clips_len_consistency: within a codec,
+    bytes is a fixed multiple of samples, so corr ~ 1; a batch whose
+    payloads stopped tracking their metadata collapses it.  One
+    aggregation pass; this query deliberately scans ``bytes`` (its
+    subject), like the invariant check."""
+    c = clips_df(spark, sf_dir)
+    return c.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("dur_ms", F.length("bytes")), 4)
+        .alias("corr_dur_bytes"))
+
+
 @register("clips_contract_violations", f"""
 WITH c AS (SELECT * FROM read_parquet('{CLIPS_SF001_GLOB}'))
 SELECT clip_id, 'not_null(transcript)' AS check_name,
@@ -3993,6 +4049,8 @@ _DEMOTED_ORACLED = [
     "clips_constraint_suggestions",
     "clips_contract_violations",
     "clips_codec_entropy",
+    "clips_codec_part_mi",
+    "clips_dur_bytes_corr",
 ]
 
 _oracled = [n for n in QUERIES

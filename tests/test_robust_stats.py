@@ -218,3 +218,36 @@ def test_group_entropy_model(spark):
 
     # nulls excluded: part 3 is a single-value group of size 2
     assert out[3].n_values == 1 and out[3].n_rows == 2
+
+
+def test_mutual_information_model(spark):
+    """MI against hand math: independent columns -> 0; fully dependent
+    (a == b) -> MI = H(a) and normalized 1; constant column -> 0/0-safe."""
+    # independent: every (a, b) combo equally likely
+    ind = spark.createDataFrame(
+        [Row(a=x, b=y) for x in ("p", "q") for y in ("u", "v")] * 3)
+    r = stats.mutual_information(ind, "a", "b").collect()[0]
+    assert r.n_rows == 12
+    assert r.mi_bits == pytest.approx(0.0, abs=1e-9)
+    assert r.normalized_mi == pytest.approx(0.0, abs=1e-9)
+    assert r.h_a == pytest.approx(1.0) and r.h_b == pytest.approx(1.0)
+
+    # dependent: b determined by a, 2 equally-likely values
+    dep = spark.createDataFrame(
+        [Row(a="p", b="u")] * 5 + [Row(a="q", b="v")] * 5)
+    r = stats.mutual_information(dep, "a", "b").collect()[0]
+    assert r.mi_bits == pytest.approx(1.0)
+    assert r.normalized_mi == pytest.approx(1.0)
+
+    # constant a: H(a) = 0 -> normalized defined as 0, MI 0
+    const = spark.createDataFrame(
+        [Row(a="k", b="u")] * 3 + [Row(a="k", b="v")] * 3)
+    r = stats.mutual_information(const, "a", "b").collect()[0]
+    assert r.mi_bits == pytest.approx(0.0, abs=1e-9)
+    assert r.normalized_mi == pytest.approx(0.0, abs=1e-9)
+
+    # nulls on either side are excluded
+    withnull = spark.createDataFrame(
+        [Row(a="p", b="u"), Row(a=None, b="u"), Row(a="p", b=None)])
+    r = stats.mutual_information(withnull, "a", "b").collect()[0]
+    assert r.n_rows == 1
