@@ -365,6 +365,88 @@ def suggest_from_sidecars(spark, io, name: str, max_domain: int = 10,
 
 
 # -------------------------------------------------------------------------
+# contract diffing: constraint-level drift detection
+# -------------------------------------------------------------------------
+
+def diff_contracts(pinned, observed) -> list:
+    """Diff a PINNED contract against the constraints OBSERVED on current
+    data (a fresh ``suggest_constraints`` run) — drift detection at the
+    constraint level: the moment data stops supporting a pinned
+    constraint, the re-suggestion loosens or drops it, and that is the
+    drift signal (the semantic complement of the distribution gates in
+    drift_dist/snapshot_diff).
+
+    Classification (``drift=True`` marks a LOOSENING — current data no
+    longer satisfies what the pin promises):
+    - pinned constraint absent from observed        -> removed, drift
+    - range widened / isin gained values /
+      completeness floor lowered                    -> drift
+    - range narrowed / isin lost values /
+      completeness floor raised                     -> tightened, no drift
+      (current data satisfies the pin with room to spare)
+    - constraint observed but not pinned            -> added, no drift
+      (candidate to adopt)
+
+    Pure metadata work over two tiny row lists (driver-side, like rule
+    application itself); inputs are DataFrames, (column, constraint,
+    params) tuples, or dicts as saved in the contract JSON.  Returns a
+    list of dicts (column, constraint, change, before, after, drift).
+    """
+    def norm(rows):
+        if isinstance(rows, DataFrame):
+            rows = rows.collect()
+        out = {}
+        for r in rows:
+            if isinstance(r, dict):
+                out[(r["column"], r["constraint"])] = r["params"]
+            else:
+                out[(r[0], r[1])] = r[2]
+        return out
+
+    def parse_range(params):
+        lo, hi = params.strip("[]").split(",")
+        return float(lo), float(hi)
+
+    old, new = norm(pinned), norm(observed)
+    diffs = []
+
+    def add(key, change, before, after, drift):
+        diffs.append({"column": key[0], "constraint": key[1],
+                      "change": change, "before": before, "after": after,
+                      "drift": drift})
+
+    for key in sorted(old):
+        bef = old[key]
+        if key not in new:
+            add(key, "removed", bef, None, True)
+            continue
+        aft = new[key]
+        if bef == aft:
+            continue
+        col, constraint = key
+        if constraint == "range":
+            (blo, bhi), (alo, ahi) = parse_range(bef), parse_range(aft)
+            loosened = alo < blo or ahi > bhi
+            add(key, "widened" if loosened else "narrowed", bef, aft,
+                loosened)
+        elif constraint == "isin":
+            b = set(bef.split(",")) if bef else set()
+            a = set(aft.split(",")) if aft else set()
+            loosened = bool(a - b)
+            add(key, "domain_grew" if loosened else "domain_shrank",
+                bef, aft, loosened)
+        elif constraint == "completeness_pct_ge":
+            loosened = int(aft) < int(bef)
+            add(key, "floor_lowered" if loosened else "floor_raised",
+                bef, aft, loosened)
+        else:                    # not_null/unique param cosmetics
+            add(key, "params_changed", bef, aft, False)
+    for key in sorted(set(new) - set(old)):
+        add(key, "added", None, new[key], False)
+    return diffs
+
+
+# -------------------------------------------------------------------------
 # compiling suggestions back into an executable per-partition suite
 # -------------------------------------------------------------------------
 

@@ -90,6 +90,10 @@ def main() -> int:
                     help="compile a saved contract into the per-partition "
                          "suite and run it over the clips table (exit 1 "
                          "on any failing verdict)")
+    ap.add_argument("--diff-contract", default=None, metavar="JSON",
+                    help="with --suggest: diff the fresh suggestions "
+                         "against this pinned contract and exit 1 on any "
+                         "LOOSENED constraint (constraint-level drift)")
     ap.add_argument("--violations-out", default=None, metavar="DIR",
                     help="with --run-contract: also write row-level "
                          "violation rows (clip_id, check_name, observed, "
@@ -206,11 +210,29 @@ def main() -> int:
                               f, indent=2)
                 print(f"\n{len(sug)} suggested constraints written to "
                       f"{args.contract}")
+            drifting = 0
+            if args.diff_contract:
+                with open(args.diff_contract) as f:
+                    pinned = json.load(f)
+                diffs = PR.diff_contracts(
+                    pinned, [(r.column, r.constraint, r.params)
+                             for r in sug])
+                if diffs:
+                    print(f"\n{'column':<12} {'constraint':<22} "
+                          f"{'change':<14} {'before':<28} after")
+                for d in diffs:
+                    drifting += bool(d["drift"])
+                    mark = "  DRIFT" if d["drift"] else ""
+                    print(f"{d['column']:<12} {d['constraint']:<22} "
+                          f"{d['change']:<14} {str(d['before']):<28} "
+                          f"{d['after']}{mark}")
+                print(f"\ncontract diff vs {args.diff_contract}: "
+                      f"{len(diffs)} changes, {drifting} loosened")
             dt = time.time() - t0
             print(f"\n{len(sug)} suggestions from "
                   f"{'parts ' + args.baseline_parts if args.baseline_parts else 'full table'} "
                   f"in {dt:.1f}s")
-            return 0
+            return 1 if drifting else 0
 
         with open(args.run_contract) as f:
             contract = [(c["column"], c["constraint"], c["params"])

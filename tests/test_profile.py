@@ -247,3 +247,42 @@ def test_suggest_from_sidecars_nulls_and_no_sidecars(spark, clips, tmp_path):
     assert ("transcript", "not_null") not in got
     # 400 long random transcripts: far beyond max_domain -> no isin
     assert ("transcript", "isin") not in got
+
+
+def test_diff_contracts_classification():
+    """Each change class and its drift polarity, driver-side pure diff."""
+    pinned = [("t", "not_null", ""), ("s", "range", "[10,20]"),
+              ("c", "isin", "a,b"), ("m", "completeness_pct_ge", "95"),
+              ("k", "unique", "")]
+    observed = [("s", "range", "[5,20]"),          # widened -> drift
+                ("c", "isin", "a,b,z"),            # grew -> drift
+                ("m", "completeness_pct_ge", "90"),  # lowered -> drift
+                ("k", "unique", "approx"),         # params cosmetics
+                ("x", "range", "[0,1]")]           # added
+    d = {(r["column"], r["constraint"]): r
+         for r in P.diff_contracts(pinned, observed)}
+    assert d[("t", "not_null")]["change"] == "removed"
+    assert d[("t", "not_null")]["drift"]
+    assert d[("s", "range")]["change"] == "widened"
+    assert d[("s", "range")]["drift"]
+    assert d[("c", "isin")]["change"] == "domain_grew"
+    assert d[("c", "isin")]["drift"]
+    assert d[("m", "completeness_pct_ge")]["change"] == "floor_lowered"
+    assert d[("m", "completeness_pct_ge")]["drift"]
+    assert not d[("k", "unique")]["drift"]
+    assert d[("x", "range")]["change"] == "added"
+    assert not d[("x", "range")]["drift"]
+
+    # tightening directions carry no drift
+    d2 = {(r["column"], r["constraint"]): r for r in P.diff_contracts(
+        [("s", "range", "[5,20]"), ("c", "isin", "a,b,z"),
+         ("m", "completeness_pct_ge", "90")],
+        [("s", "range", "[10,20]"), ("c", "isin", "a,b"),
+         ("m", "completeness_pct_ge", "95")])}
+    assert all(not r["drift"] for r in d2.values())
+    assert d2[("s", "range")]["change"] == "narrowed"
+    assert d2[("c", "isin")]["change"] == "domain_shrank"
+    assert d2[("m", "completeness_pct_ge")]["change"] == "floor_raised"
+
+    # identical contracts diff to nothing
+    assert P.diff_contracts(pinned, pinned) == []

@@ -68,3 +68,37 @@ def test_run_contract_clean_table_passes(fixture_dir, tmp_path, monkeypatch):
         "validate.py", "--data", fixture_dir,
         "--run-contract", contract])
     assert V.main() == 0
+
+
+def test_suggest_diff_contract_flags_drift(fixture_dir, tmp_path,
+                                           monkeypatch, capsys):
+    """Pin the clean-window contract, re-suggest over the FULL dirty
+    table: injected defects loosen not_null/isin/range -> exit 1 with
+    DRIFT rows; diffing the clean window against itself exits 0."""
+    import jobs.validate as V
+
+    pinned = str(tmp_path / "pinned.json")
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--data", fixture_dir, "--suggest",
+        "--baseline-parts", "0,1,4,6,7", "--contract", pinned])
+    assert V.main() == 0
+    capsys.readouterr()
+
+    # same window vs its own pin: no drift
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--data", fixture_dir, "--suggest",
+        "--baseline-parts", "0,1,4,6,7", "--diff-contract", pinned])
+    assert V.main() == 0
+    assert "0 loosened" in capsys.readouterr().out
+
+    # full dirty table vs the pin: loosened constraints flag
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--data", fixture_dir, "--suggest",
+        "--diff-contract", pinned])
+    assert V.main() == 1
+    out = capsys.readouterr().out
+    assert "DRIFT" in out
+    # transcript nulls drop the pinned not_null
+    assert "not_null" in out and "removed" in out
+    # opus rows grow the pinned codec domain
+    assert "domain_grew" in out
