@@ -287,21 +287,21 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str,
 
     Scale shape: ONE groupBy over the joint (a, b) histogram — map-side
     partials collapse hot cells per task — then the marginals and total
-    fold from the joint cells themselves (two window sums over cells +
-    one global agg over cells), so nothing after the first shuffle ever
-    touches raw rows.  Returns one row: (n_rows, mi_bits, h_a, h_b,
-    normalized_mi)."""
+    fold from the joint cells themselves via keyed aggregations and
+    equi-joins (the 1-row total broadcasts), so nothing after the first
+    shuffle ever touches raw rows AND no stage ever gathers all cells
+    onto one task (a global window here would break the moment both
+    columns are high-cardinality).  Returns one row: (n_rows, mi_bits,
+    h_a, h_b, normalized_mi)."""
     cells = (df.filter(F.col(col_a).isNotNull()
                        & F.col(col_b).isNotNull())
              .groupBy(col_a, col_b)
              .agg(F.count(F.lit(1)).alias("_c")))
-    w_all = Window.partitionBy()
-    cells = (cells
-             .withColumn("_n", F.sum("_c").over(w_all))
-             .withColumn("_ca", F.sum("_c").over(
-                 Window.partitionBy(col_a)))
-             .withColumn("_cb", F.sum("_c").over(
-                 Window.partitionBy(col_b))))
+    tot = cells.agg(F.sum("_c").alias("_n"))
+    ma = cells.groupBy(col_a).agg(F.sum("_c").alias("_ca"))
+    mb = cells.groupBy(col_b).agg(F.sum("_c").alias("_cb"))
+    cells = (cells.join(ma, col_a).join(mb, col_b)
+             .crossJoin(F.broadcast(tot)))
     p = F.col("_c") / F.col("_n")
     mi = F.sum(p * F.log2(p / ((F.col("_ca") / F.col("_n"))
                                * (F.col("_cb") / F.col("_n")))))
