@@ -364,6 +364,22 @@ def suggest_from_sidecars(spark, io, name: str, max_domain: int = 10,
     return spark.createDataFrame(out, SUGGESTION_SCHEMA)
 
 
+def sidecar_contract_drift(spark, io, name: str, pinned,
+                           max_domain: int = 10) -> list:
+    """Constraint-level drift gate at COMMIT granularity with zero table
+    scan: re-suggest from the table's commit sidecars
+    (``suggest_from_sidecars``) and diff against the pinned contract
+    (``diff_contracts``).  Run it after every ``append`` beside the
+    snapshot_diff gates — a loosened constraint (drift=True row) means
+    the ingested history no longer supports what the pin promises, at
+    O(commits) JSON reads + one sketch-merge job regardless of table
+    size.  Returns diff_contracts' row dicts."""
+    observed = suggest_from_sidecars(spark, io, name,
+                                     max_domain=max_domain)
+    return [d for d in diff_contracts(pinned, observed)
+            if d["change"] != "added" or d["drift"]]
+
+
 # -------------------------------------------------------------------------
 # contract diffing: constraint-level drift detection
 # -------------------------------------------------------------------------

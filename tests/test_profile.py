@@ -286,3 +286,38 @@ def test_diff_contracts_classification():
 
     # identical contracts diff to nothing
     assert P.diff_contracts(pinned, pinned) == []
+
+
+def test_sidecar_contract_drift_gate(spark, clips, tmp_path):
+    """Zero-scan commit gate: pin the clean history's contract, append a
+    defect-bearing commit, and the sidecar-fold diff must flag loosened
+    constraints without scanning the table."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+
+    io = ParquetTableIO(str(tmp_path))
+    sel = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript", "part")
+    clean = clips.filter(F.col("part").isin(0, 1)).select(*sel)
+    kw = dict(stats_cols=("sr_hz", "dur_ms"), cat_cols=("codec",),
+              key_cols=("clip_id",))
+    for p in (0, 1):
+        io.append(clean.filter(F.col("part") == p).repartition(1),
+                  "t", **kw)
+    pinned = [(r.column, r.constraint, r.params) for r in
+              P.suggest_from_sidecars(spark, io, "t").collect()]
+
+    # clean history vs its own pin: silent
+    assert P.sidecar_contract_drift(spark, io, "t", pinned) == []
+
+    # ingest partitions carrying injected opus codecs + 192 kHz outliers
+    dirty = clips.filter(F.col("part").isin(5, 11, 14)).select(*sel)
+    io.append(dirty.repartition(1), "t", **kw)
+    drift = P.sidecar_contract_drift(spark, io, "t", pinned)
+    by = {(d["column"], d["constraint"]): d for d in drift}
+    assert by[("codec", "isin")]["change"] == "domain_grew"
+    assert by[("codec", "isin")]["drift"]
+    assert by[("sr_hz", "range")]["change"] == "widened"
+    assert by[("sr_hz", "range")]["drift"]
+    # sidecar isin domains come only from MG cat_cols, so no sr_hz isin
+    # appears on either side of the diff (sr_hz rides the moment sidecar)
+    assert ("sr_hz", "isin") not in by
