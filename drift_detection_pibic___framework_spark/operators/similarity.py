@@ -250,6 +250,49 @@ def semantic_dedup(emb: DataFrame, centroids: np.ndarray = None,
     return emb.join(drop, id_col, "left_anti")
 
 
+def semantic_contamination(emb: DataFrame, eval_emb: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_id_col: str = "vec_id") -> DataFrame:
+    """Corpus vectors whose cosine similarity to ANY held-out eval vector
+    clears ``threshold`` — the SEMANTIC axis of eval-set decontamination
+    (dedup.decontaminate catches verbatim 13-gram leaks; paraphrased or
+    re-embedded benchmark text only shows up here).  Returns
+    (vec_id, eval_id, cosine), one row per contaminated (corpus, eval)
+    pair above threshold.
+
+    Scale shape: the eval side is small by nature (benchmarks), so it
+    BROADCASTS and the corpus side streams through one narrow
+    scan-and-score pass — O(N * E) dot products inside codegen'd array
+    expressions, no shuffle at all.  This is the one similarity problem
+    where brute force IS the scale path (E is bounded); the ANN machinery
+    (IVF/LSH) exists for N-vs-N problems."""
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("nv"))
+    ev = eval_emb.select(F.col(eval_id_col).alias("eval_id"),
+                         F.col(vec_col).alias("qv"))
+    cos = F.round(_dot(F.col("qv"), F.col("nv")) /
+                  (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+    return (base.crossJoin(F.broadcast(ev))
+            .select("vec_id", "eval_id", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def semantic_decontaminate(emb: DataFrame, eval_emb: DataFrame,
+                           threshold: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           eval_id_col: str = "vec_id") -> DataFrame:
+    """Drop every corpus row contaminated per ``semantic_contamination``
+    (left-anti join on the tiny contaminated-id set — broadcast in
+    practice).  The embedding-space complement of dedup.decontaminate."""
+    hits = (semantic_contamination(emb, eval_emb, threshold, id_col,
+                                   vec_col, eval_id_col)
+            .select(F.col("vec_id").alias(id_col)).distinct())
+    return emb.join(hits, id_col, "left_anti")
+
+
 def embedding_health(emb: DataFrame, z: float = 6.0,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

@@ -3809,6 +3809,34 @@ def clips_codec_entropy(spark, sf_dir):
     return ST.group_entropy(c, "codec")
 
 
+@register("emb_semantic_contamination", """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20)
+SELECT c.vec_id, ev.eval_id,
+       ROUND(list_dot_product(ev.qv, c.v) /
+             (sqrt(list_dot_product(ev.qv, ev.qv)) *
+              sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+FROM c, ev
+WHERE ROUND(list_dot_product(ev.qv, c.v) /
+            (sqrt(list_dot_product(ev.qv, ev.qv)) *
+             sqrt(list_dot_product(c.v, c.v))), 4) >= 0.4
+""")
+def emb_semantic_contamination(spark, sf_dir):
+    """Semantic eval-set contamination (similarity.semantic_contamination):
+    corpus vectors too close in embedding space to the held-out eval set
+    (vec_id < 20 plays the benchmark) — catches paraphrased leakage the
+    13-gram decontaminate cannot.  The eval side broadcasts (benchmarks
+    are small by contract) and the corpus streams through one narrow
+    scan-and-score pass — brute force IS the scale path when one side is
+    bounded."""
+    from .operators import similarity as S2
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return S2.semantic_contamination(corpus, ev, threshold=0.4)
+
+
 @register("clips_codec_part_mi", f"""
 WITH cells AS (
   SELECT codec AS a, part AS b, CAST(count(*) AS BIGINT) AS c
@@ -4051,6 +4079,7 @@ _DEMOTED_ORACLED = [
     "clips_codec_entropy",
     "clips_codec_part_mi",
     "clips_dur_bytes_corr",
+    "emb_semantic_contamination",
 ]
 
 _oracled = [n for n in QUERIES

@@ -1686,3 +1686,34 @@ def test_epoch_order_deterministic_and_permutes(spark, docs):
         per[s].append(p)
     for s, ps in per.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_semantic_decontaminate_drops_injected_near_dups(spark):
+    """A corpus vector nearly identical to an eval vector is dropped;
+    orthogonal vectors survive; the survivors frame keeps its columns."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from drift_detection_pibic___framework_spark.operators import (
+        similarity as S)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 16)).astype("float32")
+    ev_rows = [Row(vec_id=100 + i, embedding=[float(x) for x in base[i]])
+               for i in range(2)]
+    corpus_rows = [
+        # 0: near-copy of eval vector 0 (tiny noise) -> contaminated
+        Row(vec_id=0, embedding=[float(x) for x in
+                                 base[0] + 0.01 * rng.normal(size=16)]),
+        # 1, 2: independent -> survive
+        Row(vec_id=1, embedding=[float(x) for x in base[2]]),
+        Row(vec_id=2, embedding=[float(x) for x in base[3]]),
+    ]
+    corpus = spark.createDataFrame(corpus_rows)
+    ev = spark.createDataFrame(ev_rows)
+
+    hits = S.semantic_contamination(corpus, ev, threshold=0.95).collect()
+    assert {(r.vec_id, r.eval_id) for r in hits} == {(0, 100)}
+    kept = S.semantic_decontaminate(corpus, ev, threshold=0.95)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 2]
+    assert kept.columns == corpus.columns
