@@ -373,11 +373,49 @@ def sidecar_contract_drift(spark, io, name: str, pinned,
     snapshot_diff gates — a loosened constraint (drift=True row) means
     the ingested history no longer supports what the pin promises, at
     O(commits) JSON reads + one sketch-merge job regardless of table
-    size.  Returns diff_contracts' row dicts."""
+    size.  Returns diff_contracts' row dicts.
+
+    The pin may come from the SCAN path (``--suggest``), which observes
+    constraint families the sidecars cannot (isin needs a Misra-Gries
+    sidecar, unique an HLL one, everything needs the column profiled at
+    all).  A pinned constraint whose family is UNOBSERVABLE from the
+    committed sidecars is skipped rather than reported "removed" —
+    absence of evidence, not drift.  "added" rows are dropped too (the
+    pin's silence on a constraint is a decision, not a gap)."""
+    sidecars = io.snapshot_stats(name)
     observed = suggest_from_sidecars(spark, io, name,
                                      max_domain=max_domain)
+
+    def family_sets(key):
+        out = set()
+        for sc in sidecars:
+            out |= {(c, key) for c in sc.get(key, ())}
+        return out
+
+    num = {c for c, _ in family_sets("cols")}
+    mg = {c for c, _ in family_sets("mg")}
+    hll = {c for c, _ in family_sets("hll")}
+    completeness_ok = num | mg | hll
+
+    def observable(col, constraint):
+        if constraint in ("not_null", "completeness_pct_ge"):
+            return col in completeness_ok
+        if constraint == "range":
+            return col in num
+        if constraint == "isin":
+            return col in mg
+        if constraint == "unique":
+            return col in hll
+        return False
+
+    if isinstance(pinned, DataFrame):
+        pinned = pinned.collect()
+    pinned = [(r["column"], r["constraint"], r["params"])
+              if isinstance(r, dict) else (r[0], r[1], r[2])
+              for r in pinned]
+    pinned = [p for p in pinned if observable(p[0], p[1])]
     return [d for d in diff_contracts(pinned, observed)
-            if d["change"] != "added" or d["drift"]]
+            if d["change"] != "added"]
 
 
 # -------------------------------------------------------------------------

@@ -135,7 +135,8 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
                               compact_keep: int = 8,
                               quarantine: bool = False,
                               acoustic: bool = False,
-                              max_files_per_trigger: int = 4):
+                              max_files_per_trigger: int = 4,
+                              pinned_contract=None):
     """Streaming validation + commit-time drift gates: every micro-batch
     becomes ONE sidecar-profiled TableIO commit (moments + KLL + MG + HLL,
     operators/snapshot_diff.py), gated against the fold of all prior
@@ -163,6 +164,13 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
     rows land beside the verdicts under ``<out_dir>_quarantined`` with
     their reason strings, epoch-partitioned with the same idempotent
     dynamic overwrite.
+
+    ``pinned_contract`` (list of (column, constraint, params) rows or
+    contract-JSON dicts) adds a fifth gate family: after each commit the
+    ingested history's constraints re-fold from the sidecars
+    (profile.sidecar_contract_drift — zero scans) and every LOOSENED
+    constraint emits a flagged ``contract`` gate row (removed not_null,
+    widened range, grown isin domain, lowered completeness floor).
 
     ``acoustic`` extends the gate to the PAYLOAD: each admitted
     micro-batch additionally runs the band-energy kernel once (the
@@ -243,6 +251,14 @@ def validate_stream_with_gate(spark: SparkSession, clips_dir: str,
             rows.append(("uniqueness", r.column,
                          f"cross={r.cross_dup_rate} intra={r.intra_dup_rate}",
                          bool(r.flagged)))
+        if pinned_contract is not None:
+            from ..operators import profile as PR
+            for d in PR.sidecar_contract_drift(
+                    spark, io, GATE_TABLE, pinned_contract):
+                rows.append((
+                    "contract", f"{d['column']}.{d['constraint']}",
+                    f"{d['change']}: {d['before']} -> {d['after']}",
+                    bool(d["drift"])))
         gates = spark.createDataFrame(
             rows, "gate string, subject string, detail string, "
                   "flagged boolean") \

@@ -43,6 +43,11 @@ def main() -> int:
                          "sidecar-profiled TableIO commit, drift-gated "
                          "against the fold of prior epochs); exits 1 when "
                          "any gate flags")
+    ap.add_argument("--pinned-contract", default=None, metavar="JSON",
+                    help="with --stream-gate: add the zero-scan contract "
+                         "gate — each epoch diffs the ingested history's "
+                         "sidecar-fold constraints against this pinned "
+                         "contract and flags any loosening")
     ap.add_argument("--acoustic", action="store_true",
                     help="with --stream-gate: also decode each admitted "
                          "micro-batch once and gate rolloff/flatness "
@@ -385,10 +390,16 @@ def main() -> int:
             print(f"error: no clips table at {cp}", file=sys.stderr)
             return 2
         work = tempfile.mkdtemp(prefix="stream-gate-")
+        pinned = None
+        if args.pinned_contract:
+            import json
+            with open(args.pinned_contract) as f:
+                pinned = json.load(f)
         try:
             q = stream_validate.validate_stream_with_gate(
                 spark, cp, dp, f"{work}/out", f"{work}/ckpt",
-                f"{work}/gate", acoustic=args.acoustic)
+                f"{work}/gate", acoustic=args.acoustic,
+                pinned_contract=pinned)
             if not q.awaitTermination(600):
                 q.stop()
                 print("error: gate stream did not drain within 600s; "

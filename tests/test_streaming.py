@@ -626,3 +626,50 @@ def test_contract_stream_matches_batch(spark, fixture_dir, clips, tmp_path):
                if name == "not_null(transcript)")
     assert any(not p for (part, name), p in g.items()
                if name == "isin(codec)")
+
+
+def test_stream_gate_pinned_contract(spark, fixture_dir, tmp_path):
+    """Fifth gate family: each epoch folds the ingested history's
+    constraints from sidecars and diffs against a scan-path pin.  The
+    baseline epoch (parts 0-3, carrying 192 kHz outliers) already widens
+    the pinned sr_hz range; the opus epoch (parts 4-7) grows the codec
+    domain; scan-only constraint families in the pin (sr_hz isin: no MG
+    sidecar for sr_hz) are skipped, never reported removed."""
+    from drift_detection_pibic___framework_spark.operators import (
+        profile as P)
+    from drift_detection_pibic___framework_spark.streaming import (
+        stream_validate)
+    from pyspark.sql import functions as F
+
+    clips = spark.read.parquet(f"{fixture_dir}/clips")
+    clean = (clips.filter((F.col("part").isin(0, 1))
+                          & (F.col("sr_hz") != 192000))
+             .select("clip_id", "sr_hz", "dur_ms", "codec"))
+    pinned = [(r.column, r.constraint, r.params) for r in
+              P.suggest_constraints(
+                  clean, cols=["clip_id", "sr_hz", "dur_ms", "codec"],
+                  exact_distinct=True).collect()]
+    assert ("sr_hz", "isin") in {(c, k) for c, k, _ in pinned}
+
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = stream_validate.validate_stream_with_gate(
+        spark, f"{fixture_dir}/clips",
+        f"{fixture_dir}/allowed_codecs.parquet", out, ckpt,
+        str(tmp_path / "g"), pinned_contract=pinned)
+    assert q.awaitTermination(300)
+
+    rows = [r for r in spark.read.parquet(out + "_gates").collect()
+            if r.gate == "contract"]
+    assert rows, "contract gate emitted no rows"
+    flagged = {(r.epoch, r.subject) for r in rows if r.flagged}
+    # epoch 0 ingests parts 2-3's 192 kHz outliers -> range widens at once
+    assert (0, "sr_hz.range") in flagged
+    # epoch 1 ingests part 5's opus -> domain grows from then on
+    assert (1, "codec.isin") in flagged
+    assert (2, "codec.isin") in flagged
+    # the scan-only sr_hz isin pin is unobservable from sidecars: skipped
+    assert not any(s == "sr_hz.isin" for _, s in flagged)
+    assert not any(r.subject == "sr_hz.isin" for r in rows)
+    # dur_ms range: the pin came from parts 0/1 only, so later parts'
+    # longer/shorter durations widen it -> flagged at every epoch
+    assert any(s == "dur_ms.range" for _, s in flagged)
