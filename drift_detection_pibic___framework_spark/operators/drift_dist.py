@@ -150,9 +150,55 @@ def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
         "part",
         ((pe - be) * F.log(pe / be)).alias("psi_term"),
         F.abs(F.sum("p").over(w) - F.sum("b").over(w)).alias("ecdf_gap"))
-    return (scored.groupBy("part")
-            .agg(F.round(F.sum("psi_term"), round_to).alias("psi"),
-                 F.round(F.max("ecdf_gap"), round_to).alias("ks")))
+    out = (scored.groupBy("part")
+           .agg(F.round(F.sum("psi_term"), round_to).alias("psi"),
+                F.round(F.max("ecdf_gap"), round_to).alias("ks")))
+    return out
+
+
+def ks_asymptotic_p(d, n1, n2, terms: int = 20):
+    """Asymptotic two-sample KS p-value as a column expression — the
+    Kolmogorov distribution tail Q(λ) = 2·Σ_{j≥1} (-1)^{j-1} e^{-2j²λ²}
+    with the finite-sample correction λ = (√nₑ + 0.12 + 0.11/√nₑ)·D,
+    nₑ = n₁n₂/(n₁+n₂) (Numerical Recipes §14.3; same series as the KSWIN
+    oracle at detectors/oracle.py:346, lifted to a JVM-side expression so
+    the partition gate can emit significance without Python).  The series
+    alternates and collapses double-exponentially, so ``terms``=20 is far
+    past float64 exhaustion for any λ where p is distinguishable from 1;
+    the clamp keeps tiny-λ truncation inside [0, 1]."""
+    ne = (n1.cast("double") * n2) / (n1 + n2)
+    lam = (F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne)) * d
+    term = lambda j: (F.when(j % 2 == 1, 2.0).otherwise(-2.0)  # noqa: E731
+                      * F.exp(-2.0 * (j * lam) * (j * lam)))
+    series = F.aggregate(F.sequence(F.lit(1), F.lit(int(terms))),
+                         F.lit(0.0),
+                         lambda acc, j: acc + term(j.cast("double")))
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), series))
+
+
+def drift_scores_with_p(clips: DataFrame, col: str = "dur_ms",
+                        width: float = 100.0, n_bins: int = 40,
+                        baseline_parts=DEFAULT_BASELINE_PARTS,
+                        baseline: DataFrame = None,
+                        round_to: int = 6) -> DataFrame:
+    """``drift_scores`` plus the binned-KS asymptotic p-value per
+    partition (SURVEY §7.2 step 4's "with asymptotic p-value").  Sample
+    sizes ride the same single aggregation pass (per-partition and
+    baseline row counts over the binned values)."""
+    scores = drift_scores(clips, col, width, n_bins, baseline_parts,
+                          baseline, round_to)
+    hist = histogram(clips, col, width, n_bins)
+    base_src = (histogram(baseline, col, width, n_bins)
+                if baseline is not None else hist)
+    totals = hist.groupBy("part").agg(F.sum("cnt").alias("n_part"))
+    btot = (base_src.filter(F.col("part").isin(list(baseline_parts)))
+            .agg(F.sum("cnt").alias("n_base")))
+    j = scores.join(F.broadcast(totals), "part").crossJoin(F.broadcast(btot))
+    return j.select(
+        "part", "psi", "ks", "n_part", "n_base",
+        F.round(ks_asymptotic_p(F.col("ks"), F.col("n_part"),
+                                F.col("n_base")), round_to)
+        .alias("ks_p"))
 
 
 def drift_verdicts(clips: DataFrame, col: str = "dur_ms",

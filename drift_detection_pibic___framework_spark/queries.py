@@ -3809,6 +3809,64 @@ def clips_codec_entropy(spark, sf_dir):
     return ST.group_entropy(c, "codec")
 
 
+@register("clips_ks_pvalue", f"""
+WITH hist AS (
+  SELECT part,
+         CAST(least(greatest(floor(dur_ms / 100.0), 0), 39) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY 1, 2),
+bins AS (SELECT unnest(generate_series(0, 39)) AS bin),
+parts AS (SELECT DISTINCT part FROM hist),
+base AS (SELECT bin, sum(cnt) AS bcnt FROM hist WHERE part IN (0,1,2,3) GROUP BY bin),
+btot AS (SELECT sum(bcnt) AS btot FROM base),
+tot AS (SELECT part, sum(cnt) AS tot FROM hist GROUP BY part),
+grid AS (
+  SELECT p.part, b.bin,
+         COALESCE(h.cnt, 0) * 1.0 / t.tot   AS p,
+         COALESCE(ba.bcnt, 0) * 1.0 / bt.btot AS b
+  FROM parts p CROSS JOIN bins b
+  LEFT JOIN hist h ON h.part = p.part AND h.bin = b.bin
+  LEFT JOIN base ba ON ba.bin = b.bin
+  JOIN tot t ON t.part = p.part
+  CROSS JOIN btot bt),
+cum AS (
+  SELECT part, bin,
+         SUM(p) OVER (PARTITION BY part ORDER BY bin) AS cp,
+         SUM(b) OVER (PARTITION BY part ORDER BY bin) AS cb,
+         (p + 1e-6 - (b + 1e-6)) * ln((p + 1e-6) / (b + 1e-6)) AS psi_t
+  FROM grid),
+ks AS (SELECT part, ROUND(SUM(psi_t), 6) AS psi,
+              ROUND(MAX(ABS(cp - cb)), 6) AS ks
+       FROM cum GROUP BY part),
+lam AS (
+  SELECT k.part, k.psi, k.ks,
+         CAST(t.tot AS BIGINT) AS n_part, CAST(bt.btot AS BIGINT) AS n_base,
+         (sqrt(t.tot * bt.btot * 1.0 / (t.tot + bt.btot)) + 0.12
+          + 0.11 / sqrt(t.tot * bt.btot * 1.0 / (t.tot + bt.btot))) * k.ks
+         AS l
+  FROM ks k JOIN tot t ON t.part = k.part CROSS JOIN btot bt),
+series AS (SELECT unnest(generate_series(1, 20)) AS j)
+SELECT part, psi, ks, n_part, n_base,
+       ROUND(LEAST(1.0, GREATEST(0.0,
+           SUM((CASE WHEN j % 2 = 1 THEN 2.0 ELSE -2.0 END)
+               * exp(-2.0 * (j * l) * (j * l))))), 6) AS ks_p
+FROM lam CROSS JOIN series
+GROUP BY part, psi, ks, n_part, n_base
+""")
+def clips_ks_pvalue(spark, sf_dir):
+    """Binned-KS drift scores WITH asymptotic significance
+    (drift_dist.drift_scores_with_p): per partition, PSI + KS + the
+    Kolmogorov-distribution p-value under the finite-sample correction
+    (SURVEY §7.2 step 4's "ECDF-based two-sample KS with asymptotic
+    p-value").  Baseline parts 0-3: drifted partitions (8+) collapse to
+    p ~ 0 while in-baseline partitions stay insignificant.  The 20-term
+    alternating series runs as a JVM-side F.aggregate expression — no
+    Python anywhere."""
+    from .operators import drift_dist
+    c = clips_df(spark, sf_dir)
+    return drift_dist.drift_scores_with_p(c, "dur_ms")
+
+
 @register("emb_semantic_contamination", """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 ev AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id < 20),
@@ -4080,6 +4138,7 @@ _DEMOTED_ORACLED = [
     "clips_codec_part_mi",
     "clips_dur_bytes_corr",
     "emb_semantic_contamination",
+    "clips_ks_pvalue",
 ]
 
 _oracled = [n for n in QUERIES

@@ -180,3 +180,35 @@ def test_check_suite_registry_is_single_source(spark, clips, allowed_codecs):
     assert {"clip_id", "check_name", "observed", "expected",
             "part"} <= set(viol.columns)
     assert viol.count() > 0
+
+
+def test_ks_pvalue_matches_scipy_style_oracle(spark, clips):
+    """The JVM-side asymptotic p expression equals the numpy KS-tail
+    oracle (detectors/oracle.py uses the same series), and significance
+    lands where drift was injected: baseline parts insignificant,
+    drifted parts (8+) p ~ 0."""
+    import math
+
+    import pytest
+
+    from drift_detection_pibic___framework_spark.operators import drift_dist
+
+    rows = {r.part: r for r in
+            drift_dist.drift_scores_with_p(clips, "dur_ms").collect()}
+
+    def q_ks(lam):
+        return max(0.0, min(1.0, sum(
+            (2.0 if j % 2 == 1 else -2.0) * math.exp(-2 * (j * lam) ** 2)
+            for j in range(1, 21))))
+
+    for p, r in rows.items():
+        ne = r.n_part * r.n_base / (r.n_part + r.n_base)
+        lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * r.ks
+        assert r.ks_p == pytest.approx(q_ks(lam), abs=1e-6), p
+
+    # injected dur_ms drift on parts >= 8 is overwhelmingly significant
+    for p in range(8, 16):
+        assert rows[p].ks_p < 1e-4, p
+    # baseline members compared against their own window: insignificant
+    for p in range(0, 4):
+        assert rows[p].ks_p > 0.2, p
