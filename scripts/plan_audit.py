@@ -333,6 +333,40 @@ def main() -> int:
         {"no_bytes_scan": True, "no_cartesian": True,
          "single_exchange": True}))
 
+    # association metrics: joint-histogram fold, marginals via keyed
+    # joins + 1-row broadcast total (never a global window over cells)
+    cases.append((
+        "mutual_information (joint-cell fold, keyed joins, 1-row bcast)",
+        stats.mutual_information(clips.select("codec", "part"),
+                                 "codec", "part"),
+        {"no_bytes_scan": True, "no_cartesian_data": True,
+         "broadcast": True}))
+    cases.append((
+        "group_entropy (histogram cells, per-group window)",
+        stats.group_entropy(clips, "codec"),
+        {"no_bytes_scan": True, "no_cartesian": True}))
+    # KS + asymptotic p: series runs as a JVM aggregate expression over
+    # the same broadcast bin grid as drift_scores
+    from drift_detection_pibic___framework_spark.operators import (
+        drift_dist as DDop)
+    cases.append((
+        "drift_scores_with_p (bin grid + JVM-side Kolmogorov series)",
+        DDop.drift_scores_with_p(clips, "dur_ms"),
+        {"no_bytes_scan": True, "no_cartesian_data": True,
+         "broadcast": True}))
+    # semantic decontamination: eval side broadcast BY DESIGN — the one
+    # similarity problem where brute force is the scale path (E bounded);
+    # assert the broadcast, not no-cartesian (it IS a bounded cross join)
+    if emb is not None:
+        # codegen NOT asserted: the dot products are higher-order array
+        # expressions (aggregate/zip_with) — JVM-side but outside
+        # whole-stage codegen, same caveat as ivf_topk above
+        cases.append((
+            "semantic_contamination (bounded eval side broadcast)",
+            SIMop.semantic_contamination(
+                emb, emb.filter("vec_id < 20"), threshold=0.4),
+            {"broadcast": True}))
+
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")
     print("Every scale-path plan is checked for the properties that decide "
