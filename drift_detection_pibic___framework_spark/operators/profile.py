@@ -504,6 +504,17 @@ def diff_contracts(pinned, observed) -> list:
 # compiling suggestions back into an executable per-partition suite
 # -------------------------------------------------------------------------
 
+def _norm_rows(suggestions) -> list:
+    """Accept a suggestions DataFrame, (column, constraint, params)
+    tuples/Rows, or contract-JSON dicts — every compile surface takes any
+    of the three."""
+    if isinstance(suggestions, DataFrame):
+        suggestions = suggestions.collect()
+    return [(r["column"], r["constraint"], r["params"])
+            if isinstance(r, dict) else (r[0], r[1], r[2])
+            for r in suggestions]
+
+
 def suggested_suite_verdicts(df: DataFrame, suggestions,
                              part_col: str = "part") -> DataFrame:
     """Run a suggestion set as per-partition checks: ONE aggregation pass
@@ -516,8 +527,7 @@ def suggested_suite_verdicts(df: DataFrame, suggestions,
     (bounded: a handful of rows per column) and compiled into column
     expressions — the suite itself never leaves the JVM.
     """
-    if isinstance(suggestions, DataFrame):
-        suggestions = suggestions.collect()
+    suggestions = _norm_rows(suggestions)
     if not suggestions:         # empty contract: no checks, no rows
         return (df.select(F.col(part_col)).limit(0)
                 .select(part_col,
@@ -595,8 +605,7 @@ def suggested_suite_violations(df: DataFrame, suggestions,
     alone cannot breach them) and emit no rows here — their granularity is
     ``suggested_suite_verdicts``, exactly like dist_drift in the
     hand-written suite (plans/suite.py)."""
-    if isinstance(suggestions, DataFrame):
-        suggestions = suggestions.collect()
+    suggestions = _norm_rows(suggestions)
     null_s = F.lit(None).cast("string")
 
     def viol(name, bad, observed, expected):

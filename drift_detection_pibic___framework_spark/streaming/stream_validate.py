@@ -105,6 +105,8 @@ def contract_stream(spark: SparkSession, clips_dir: str, contract,
 
     rows = (contract.collect() if isinstance(contract, DataFrame)
             else list(contract))
+    rows = [(r["column"], r["constraint"], r["params"])
+            if isinstance(r, dict) else (r[0], r[1], r[2]) for r in rows]
     safe = [s for s in rows if s[1] != "unique"]
     stream = stream_clips(spark, clips_dir, max_files_per_trigger)
 
