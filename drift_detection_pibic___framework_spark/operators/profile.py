@@ -504,6 +504,57 @@ def diff_contracts(pinned, observed) -> list:
 # compiling suggestions back into an executable per-partition suite
 # -------------------------------------------------------------------------
 
+KNOWN_CONSTRAINTS = ("not_null", "unique", "completeness_pct_ge",
+                     "range", "isin")
+
+
+def load_contract(path: str) -> list:
+    """Load + validate a contract JSON file (the --suggest --contract
+    artifact): a list of {column, constraint, params} dicts with a known
+    constraint name and a parseable params format.  Raises ValueError
+    with the offending entry spelled out — a malformed contract must fail
+    HERE, not as an opaque analysis error deep inside the compiled
+    suite."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    if not isinstance(data, list):
+        raise ValueError(f"contract {path}: expected a JSON list, "
+                         f"got {type(data).__name__}")
+    out = []
+    for i, r in enumerate(data):
+        if not isinstance(r, dict) or not {"column", "constraint",
+                                           "params"} <= set(r):
+            raise ValueError(
+                f"contract {path}[{i}]: each entry needs column/"
+                f"constraint/params, got {r!r}")
+        col, constraint, params = r["column"], r["constraint"], r["params"]
+        if constraint not in KNOWN_CONSTRAINTS:
+            raise ValueError(
+                f"contract {path}[{i}]: unknown constraint "
+                f"{constraint!r} (known: {', '.join(KNOWN_CONSTRAINTS)})")
+        if constraint == "range":
+            try:
+                lo, hi = (float(x) for x in params.strip("[]").split(","))
+            except (ValueError, TypeError):
+                raise ValueError(
+                    f"contract {path}[{i}]: range params must be "
+                    f"'[lo,hi]', got {params!r}") from None
+            if lo > hi:
+                raise ValueError(
+                    f"contract {path}[{i}]: empty range {params!r}")
+        elif constraint == "completeness_pct_ge":
+            if not (isinstance(params, str) and params.isdigit()
+                    and 0 < int(params) <= 100):
+                raise ValueError(
+                    f"contract {path}[{i}]: completeness_pct_ge params "
+                    f"must be an integer percent in (0, 100], "
+                    f"got {params!r}")
+        out.append((col, constraint, params))
+    return out
+
+
 def _norm_rows(suggestions) -> list:
     """Accept a suggestions DataFrame, (column, constraint, params)
     tuples/Rows, or contract-JSON dicts — every compile surface takes any

@@ -217,8 +217,7 @@ def main() -> int:
                       f"{args.contract}")
             drifting = 0
             if args.diff_contract:
-                with open(args.diff_contract) as f:
-                    pinned = json.load(f)
+                pinned = PR.load_contract(args.diff_contract)
                 diffs = PR.diff_contracts(
                     pinned, [(r.column, r.constraint, r.params)
                              for r in sug])
@@ -239,9 +238,7 @@ def main() -> int:
                   f"in {dt:.1f}s")
             return 1 if drifting else 0
 
-        with open(args.run_contract) as f:
-            contract = [(c["column"], c["constraint"], c["params"])
-                        for c in json.load(f)]
+        contract = PR.load_contract(args.run_contract)
         verdicts = (PR.suggested_suite_verdicts(clips, contract)
                     .orderBy("part", "check_name").collect())
         n_fail = sum(1 for r in verdicts if not r["passed"])
@@ -392,9 +389,9 @@ def main() -> int:
         work = tempfile.mkdtemp(prefix="stream-gate-")
         pinned = None
         if args.pinned_contract:
-            import json
-            with open(args.pinned_contract) as f:
-                pinned = json.load(f)
+            from drift_detection_pibic___framework_spark.operators import (
+                profile as PRc)
+            pinned = PRc.load_contract(args.pinned_contract)
         try:
             q = stream_validate.validate_stream_with_gate(
                 spark, cp, dp, f"{work}/out", f"{work}/ckpt",

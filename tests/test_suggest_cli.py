@@ -102,3 +102,18 @@ def test_suggest_diff_contract_flags_drift(fixture_dir, tmp_path,
     assert "not_null" in out and "removed" in out
     # opus rows grow the pinned codec domain
     assert "domain_grew" in out
+
+
+def test_run_contract_malformed_json_fails_loud(fixture_dir, tmp_path,
+                                                monkeypatch, capsys):
+    import pytest
+
+    import jobs.validate as V
+
+    bad = str(tmp_path / "bad.json")
+    json.dump([{"column": "sr_hz", "constraint": "regex_match",
+                "params": ".*"}], open(bad, "w"))
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--data", fixture_dir, "--run-contract", bad])
+    with pytest.raises(ValueError, match="unknown constraint"):
+        V.main()
