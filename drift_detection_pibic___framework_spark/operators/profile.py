@@ -162,11 +162,16 @@ def _range_bounds(lo: float, hi: float):
     import math
     if not (math.isfinite(lo) and math.isfinite(hi)):
         return None
-    try:
-        flo = math.floor(lo * 1e6) / 1e6
-        fhi = math.ceil(hi * 1e6) / 1e6
-    except OverflowError:       # |bound| ~ 1e308: keep the exact bound
-        return lo, hi
+    # the *1e6 scaling is only exact while v*1e6 stays below 2^53 — past
+    # that, floor(v*1e6)/1e6 can land ABOVE v (inward!), breaking the
+    # self-consistency invariant for huge magnitudes (hypothesis found
+    # 6_499_472_767_520_849).  Large doubles are >= integer-spaced, so
+    # plain floor/ceil is exact and outward there.
+    LIM = 8.0e9      # 8e9 * 1e6 = 8e15 < 2^53
+    flo = (math.floor(lo * 1e6) / 1e6 if abs(lo) < LIM
+           else float(math.floor(lo)))
+    fhi = (math.ceil(hi * 1e6) / 1e6 if abs(hi) < LIM
+           else float(math.ceil(hi)))
     if not (math.isfinite(flo) and math.isfinite(fhi)):
         return lo, hi
     return flo, fhi
