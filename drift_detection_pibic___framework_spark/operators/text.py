@@ -11,6 +11,7 @@ production scale (the ``documents`` driver table stands in here).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 # tiny public stopword seeds per language for the n-gram/stopword heuristic
@@ -419,3 +420,139 @@ def length_buckets(docs: DataFrame, col: str = "text",
         bucket = step if bucket is None else bucket + step
     return (toks.crossJoin(F.broadcast(cuts.drop("_g")))
             .select("doc_id", "n_tokens", bucket.alias("bucket")))
+
+
+# -------------------------------------------------------------------------
+# edit-distance metrics: CER / WER between two transcript columns
+# -------------------------------------------------------------------------
+
+# codepoints 33..126 then 161..255 (printable ASCII, then printable
+# Latin-1) — 189 collision-free single-codepoint slots for the token ->
+# char encoding below; both Spark and DuckDB count these as ONE char in
+# levenshtein, so the encoded distance is exactly the token-level one
+EDIT_MAX_VOCAB = 189
+
+
+def _edit_norm(col):
+    """lower + whitespace collapse + trim; NULL reads as '' (a missing
+    transcript is maximally distant from any text, zero-distant from
+    another missing one)."""
+    return F.lower(F.trim(F.regexp_replace(
+        F.coalesce(col, F.lit("")), r"\s+", " ")))
+
+
+def edit_metrics(df: DataFrame, col_a: str, col_b: str,
+                 max_vocab: int = EDIT_MAX_VOCAB) -> DataFrame:
+    """Char- and token-level edit-distance metrics between two string
+    columns — the ASR-corpus adjudication math (how BADLY do two
+    transcripts of the same recording disagree): ``char_dist``/``cer``
+    (character error rate) and ``tok_dist``/``wer`` (word error rate),
+    with the a-side as the reference for both denominators.
+
+    Pure built-in expressions (oracle-checkable): char distance is
+    ``levenshtein`` over the normalized strings; TOKEN distance rides the
+    same JVM levenshtein through an alphabet-renaming trick — each
+    distinct token of the pair maps to one codepoint (the pair's own
+    ``array_union`` vocabulary indexes into 189 printable
+    ASCII/Latin-1 slots), and edit distance is invariant under any
+    bijective renaming, so the engines need not even agree on vocab
+    ORDER, only on the (identical) token sets.  Pairs whose joint
+    vocabulary exceeds ``max_vocab`` get NULL tok_dist/wer — real
+    minutes-long transcripts overflow 189 distinct tokens, which is what
+    the Arrow twin ``edit_metrics_kernel`` (no cap, same parity-pinned
+    semantics) is for.
+
+    Adds: char_dist, cer, tok_dist, wer.  cer = char_dist /
+    max(len(norm_a), 1); wer = tok_dist / max(n_tokens_a, 1); both
+    rounded to 6dp.  Empty/NULL a-side with non-empty b-side yields
+    cer/wer > 1 by the insertion count — standard WER behavior."""
+    na, nb = _edit_norm(F.col(col_a)), _edit_norm(F.col(col_b))
+
+    def toks(n):
+        return F.when(n == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(n, " "))
+
+    d = (df.withColumn("_na", na).withColumn("_nb", nb)
+         .withColumn("_ta", toks(F.col("_na")))
+         .withColumn("_tb", toks(F.col("_nb")))
+         .withColumn("_vocab", F.array_union("_ta", "_tb")))
+
+    def enc(t):
+        # 1-based array_position -> 0-based index -> printable codepoint
+        i0 = F.array_position(F.col("_vocab"), t) - 1
+        return F.char(i0 + 33 + F.when(i0 >= 94, 34).otherwise(0))
+
+    enc_a = F.concat_ws("", F.transform("_ta", enc))
+    enc_b = F.concat_ws("", F.transform("_tb", enc))
+    char_dist = F.levenshtein("_na", "_nb")
+    tok_dist = F.when(F.size("_vocab") <= max_vocab,
+                      F.levenshtein(enc_a, enc_b))
+    return (d.withColumn("char_dist", char_dist)
+            .withColumn("cer", F.round(
+                F.col("char_dist") /
+                F.greatest(F.length("_na"), F.lit(1)), 6))
+            .withColumn("tok_dist", tok_dist)
+            .withColumn("wer", F.round(
+                F.col("tok_dist") /
+                F.greatest(F.size("_ta"), F.lit(1)), 6))
+            .drop("_na", "_nb", "_ta", "_tb", "_vocab"))
+
+
+def edit_distance_reference(a: list, b: list) -> int:
+    """Plain DP Levenshtein over two token (or char) sequences — the
+    parity target for edit_metrics_kernel and, through the alphabet-
+    renaming argument, for edit_metrics' encoded form."""
+    import numpy as np
+    prev = np.arange(len(b) + 1, dtype=np.int64)
+    cur = np.empty_like(prev)
+    bb = np.asarray(b, dtype=object)
+    for i, x in enumerate(a, 1):
+        cur[0] = i
+        sub = prev[:-1] + (bb != x)
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        for j in range(1, len(b) + 1):      # carry insertions left->right
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def edit_metrics_kernel(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Arrow twin of ``edit_metrics`` with NO vocabulary cap — the scale
+    path for real transcripts (hundreds of distinct tokens).  One
+    vectorized pandas UDF computes char and token distance per pair;
+    normalization, NULL handling and denominators are parity-pinned
+    against the expression form (tests/test_text_ops).  Cost is
+    O(len_a·len_b) per pair — pairs feeding this are conflict candidates
+    (tiny vs the corpus), never the full table."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _dists(a: pd.Series, b: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+")
+        out = []
+        for x, y in zip(a, b):
+            nx = ws.sub(" ", x or "").strip(" ").lower()
+            ny = ws.sub(" ", y or "").strip(" ").lower()
+            out.append([
+                edit_distance_reference(list(nx), list(ny)),
+                edit_distance_reference(
+                    nx.split(" ") if nx else [],
+                    ny.split(" ") if ny else [])])
+        return pd.Series(out)
+
+    na = _edit_norm(F.col(col_a))
+    d = (df.withColumn("_d", _dists(F.col(col_a), F.col(col_b)))
+         .withColumn("_na", na))
+    n_tok_a = F.when(F.col("_na") == "", 0).otherwise(
+        F.size(F.split(F.col("_na"), " ")))
+    return (d.withColumn("char_dist", F.col("_d")[0])
+            .withColumn("cer", F.round(
+                F.col("char_dist") /
+                F.greatest(F.length("_na"), F.lit(1)), 6))
+            .withColumn("tok_dist", F.col("_d")[1])
+            .withColumn("wer", F.round(
+                F.col("tok_dist") / F.greatest(n_tok_a, F.lit(1)), 6))
+            .drop("_d", "_na"))

@@ -3981,6 +3981,72 @@ def clips_contract_violations(spark, sf_dir):
     return PR.suggested_suite_violations(c, contract)
 
 
+@register("clips_dup_transcript_wer", f"""
+WITH c AS (
+  SELECT part, clip_id, rid,
+         lower(trim(regexp_replace(coalesce(transcript, ''), '\\s+', ' ',
+                                   'g'))) AS n
+  FROM read_parquet('{CLIPS_SF001_GLOB}')),
+p AS (
+  SELECT a.clip_id, a.part, a.rid AS rid_a, b.rid AS rid_b,
+         a.n AS na, b.n AS nb
+  FROM c a JOIN c b
+    ON a.part = b.part AND a.clip_id = b.clip_id AND a.rid < b.rid),
+t AS (
+  SELECT *,
+         CASE WHEN na = '' THEN [] ELSE str_split(na, ' ') END AS ta,
+         CASE WHEN nb = '' THEN [] ELSE str_split(nb, ' ') END AS tb
+  FROM p),
+v AS (SELECT *, list_distinct(list_concat(ta, tb)) AS vocab FROM t),
+e AS (
+  SELECT *,
+         array_to_string(list_transform(ta, x ->
+           chr(list_position(vocab, x) + 32 +
+               CASE WHEN list_position(vocab, x) > 94 THEN 34 ELSE 0
+               END)), '') AS ea,
+         array_to_string(list_transform(tb, x ->
+           chr(list_position(vocab, x) + 32 +
+               CASE WHEN list_position(vocab, x) > 94 THEN 34 ELSE 0
+               END)), '') AS eb
+  FROM v)
+SELECT clip_id, part, rid_a, rid_b,
+       CAST(levenshtein(na, nb) AS INTEGER) AS char_dist,
+       ROUND(levenshtein(na, nb) / greatest(length(na), 1), 6) AS cer,
+       CAST(CASE WHEN len(vocab) <= 189
+                 THEN levenshtein(ea, eb) END AS INTEGER) AS tok_dist,
+       ROUND(CASE WHEN len(vocab) <= 189
+                  THEN levenshtein(ea, eb) END
+             / greatest(len(ta), 1), 6) AS wer
+FROM e
+""")
+def clips_dup_transcript_wer(spark, sf_dir):
+    """CER/WER adjudication of duplicate-id label conflicts: rows sharing
+    an injected duplicate (part, clip_id) are two claims about the same
+    recording, and the edit metrics quantify how badly their transcripts
+    disagree (drop-one at wer ~ 1, re-adjudicate at wer ~ 0.1, merge at
+    0) — the standard ASR-corpus triage after a duplicate screen.
+
+    Scale shape: the self-join is equi-keyed on (part, clip_id) (one
+    shuffle, uniform — dup ids are rare so no skew) over a 3-column
+    projection (bytes pruned); the metric math is operators/text
+    edit_metrics — pure JVM expressions, token-level distance riding
+    ``levenshtein`` through the alphabet-renaming encoding.  The Arrow
+    twin (edit_metrics_kernel, no vocab cap) is parity-pinned in
+    tests/test_text_ops for real-length transcripts."""
+    from .operators.text import edit_metrics
+    c = clips_df(spark, sf_dir).select("part", "clip_id", "rid",
+                                       "transcript")
+    a = c.select("part", "clip_id", F.col("rid").alias("rid_a"),
+                 F.col("transcript").alias("t_a"))
+    b = c.select("part", "clip_id", F.col("rid").alias("rid_b"),
+                 F.col("transcript").alias("t_b"))
+    pairs = (a.join(b, ["part", "clip_id"])
+             .filter(F.col("rid_a") < F.col("rid_b")))
+    return (edit_metrics(pairs, "t_a", "t_b")
+            .select("clip_id", "part", "rid_a", "rid_b",
+                    "char_dist", "cer", "tok_dist", "wer"))
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -4006,6 +4072,11 @@ _DEMOTED_ORACLED = [
     # vacuous at sf0.01 (0 rows both engines); superseded by the injected
     # fixture twin emb_injected_near_dups which IS in the window
     "emb_near_dups",
+    # driver-green r1-r3 null-rate rows (the same null-rate math is
+    # certified in-window by clips_part_stats' transcript_null_rate
+    # column and clips_contract_violations' not_null rows); rotated out
+    # late-r4 to admit the WER adjudication (clips_dup_transcript_wer):
+    "clips_null_rate_check",
     # driver-green r1-r3 (CORRECTNESS_r01..r03), rotated out for r4:
     "events_znorm_params",
     "events_znorm_rows",

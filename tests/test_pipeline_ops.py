@@ -1717,3 +1717,96 @@ def test_semantic_decontaminate_drops_injected_near_dups(spark):
     kept = S.semantic_decontaminate(corpus, ev, threshold=0.95)
     assert sorted(r.vec_id for r in kept.collect()) == [1, 2]
     assert kept.columns == corpus.columns
+
+
+# ---------------------------------------------------------------------------
+# edit-distance metrics (CER/WER): expression form vs Arrow kernel vs DP ref
+# ---------------------------------------------------------------------------
+
+def test_edit_metrics_golden(spark):
+    """Hand-computed CER/WER cases for the expression form, including the
+    NULL/empty conventions (NULL reads as '', a-side is the reference)."""
+    from drift_detection_pibic___framework_spark.operators.text import \
+        edit_metrics
+    rows = [
+        ("p1", "the quick brown fox", "the quick brown fox"),
+        ("p2", "the quick brown fox", "the quick brown cat"),
+        ("p3", "the quick brown fox", "quick brown fox"),
+        ("p4", "hello world", "HELLO   world"),      # norm: identical
+        ("p5", None, "two words"),                   # NULL vs text
+        ("p6", None, None),                          # both missing
+        ("p7", "abc", ""),                           # text vs empty
+    ]
+    df = spark.createDataFrame(rows, "pid string, t_a string, t_b string")
+    out = {r["pid"]: r for r in edit_metrics(df, "t_a", "t_b").collect()}
+    assert (out["p1"]["char_dist"], out["p1"]["tok_dist"],
+            out["p1"]["wer"]) == (0, 0, 0.0)
+    assert out["p2"]["tok_dist"] == 1 and out["p2"]["wer"] == 0.25
+    assert out["p2"]["char_dist"] == 3          # fox -> cat
+    assert out["p3"]["tok_dist"] == 1           # one deletion
+    assert out["p3"]["char_dist"] == 4          # 'the ' removed
+    assert out["p4"]["char_dist"] == 0 and out["p4"]["wer"] == 0.0
+    assert out["p5"]["tok_dist"] == 2           # 2 insertions from []
+    assert out["p5"]["wer"] == 2.0              # denominator max(0,1)=1
+    assert out["p6"]["char_dist"] == 0 and out["p6"]["wer"] == 0.0
+    assert out["p7"]["char_dist"] == 3 and out["p7"]["tok_dist"] == 1
+    assert out["p7"]["cer"] == 1.0 and out["p7"]["wer"] == 1.0
+
+
+def test_edit_metrics_kernel_parity(spark):
+    """The Arrow kernel must agree with the expression form column-for-
+    column on a randomized pair set (within the expression form's vocab
+    cap), and must keep working ABOVE the cap where the expression form
+    returns NULL tok_dist/wer."""
+    from drift_detection_pibic___framework_spark.operators.text import \
+        EDIT_MAX_VOCAB, edit_metrics, edit_metrics_kernel
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(80)]
+    rows = []
+    for i in range(60):
+        a = " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+        b = list(a.split(" ")) if a else []
+        for _ in range(rng.integers(0, 5)):     # mutate b a few times
+            op = rng.integers(0, 3)
+            j = int(rng.integers(0, max(len(b), 1)))
+            if op == 0 and b:
+                b[j] = str(rng.choice(vocab))
+            elif op == 1:
+                b.insert(j, str(rng.choice(vocab)))
+            elif op == 2 and b:
+                del b[j]
+        rows.append((f"r{i}", a or None, " ".join(b) or None))
+    df = spark.createDataFrame(rows, "pid string, t_a string, t_b string")
+    cols = ["char_dist", "cer", "tok_dist", "wer"]
+    expr = {r["pid"]: tuple(r[c] for c in cols)
+            for r in edit_metrics(df, "t_a", "t_b").collect()}
+    kern = {r["pid"]: tuple(r[c] for c in cols)
+            for r in edit_metrics_kernel(df, "t_a", "t_b").collect()}
+    assert expr == kern
+
+    # above the vocab cap: expression form NULLs out, kernel still exact
+    big_a = " ".join(f"a{i}" for i in range(150))
+    big_b = " ".join(f"a{i}" for i in range(100, 260))
+    big = spark.createDataFrame([("big", big_a, big_b)],
+                                "pid string, t_a string, t_b string")
+    assert 150 + 160 - 50 > EDIT_MAX_VOCAB      # joint vocab overflows
+    e = edit_metrics(big, "t_a", "t_b").collect()[0]
+    assert e["tok_dist"] is None and e["wer"] is None
+    assert e["char_dist"] is not None           # char path has no cap
+    k = edit_metrics_kernel(big, "t_a", "t_b").collect()[0]
+    # keeping the 50-token common block would cost 100 deletions + 110
+    # insertions = 210; 150 substitutions + 10 insertions is cheaper, so
+    # the distance is max(len) = 160 (Levenshtein <= max length always)
+    assert k["tok_dist"] == 160
+    assert k["wer"] == round(160 / 150, 6)
+
+
+def test_edit_distance_reference_dp():
+    """The DP helper against python-bruteforce on tiny sequences."""
+    from drift_detection_pibic___framework_spark.operators.text import \
+        edit_distance_reference as ed
+    assert ed([], []) == 0
+    assert ed(list("kitten"), list("sitting")) == 3
+    assert ed(list("flaw"), list("lawn")) == 2
+    assert ed(["a", "b", "c"], ["a", "c"]) == 1
+    assert ed([], ["x", "y"]) == 2
