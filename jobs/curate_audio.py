@@ -15,7 +15,11 @@ the way a speech-pretraining pipeline does —
                       wrong and we cannot adjudicate which — the standard
                       ASR-corpus conservative policy).  Runs BEFORE
                       payload dedup: dedup would collapse the pair and
-                      silently keep one possibly-wrong label
+                      silently keep one possibly-wrong label.
+                      --wer-threshold W relaxes the blanket drop into
+                      adjudication: conflicts at word-error-rate <= W are
+                      transcription noise (keep; payload dedup collapses
+                      them), only WER > W pairs drop both members
   2c. audio dedup     optional: drop near-duplicate PAYLOADS (envelope-
                       fingerprint Hamming pairs closed into groups, keep
                       the min-clip_id representative) — the re-upload case
@@ -77,6 +81,15 @@ def main() -> int:
                     help="drop both members of near-identical audio "
                          "pairs (Hamming <= 2) with disagreeing "
                          "transcripts")
+    ap.add_argument("--wer-threshold", type=float, default=None,
+                    metavar="W",
+                    help="adjudicate label conflicts instead of blanket-"
+                         "dropping: pairs whose word error rate is <= W "
+                         "are minor transcription noise — BOTH members "
+                         "are kept (payload dedup collapses them to the "
+                         "min-clip_id copy); only pairs with WER > W "
+                         "are genuinely conflicting labels and drop "
+                         "both.  Requires --drop-label-conflicts")
     ap.add_argument("--band-features", action="store_true",
                     help="annotate curated rows with band-energy "
                          "fractions + spectral flatness (computed on the "
@@ -97,6 +110,10 @@ def main() -> int:
     dim_path = os.path.join(args.data, "allowed_codecs.parquet")
     if not os.path.isdir(clips_path):
         print(f"error: {clips_path} not found", file=sys.stderr)
+        return 2
+    if args.wer_threshold is not None and not args.drop_label_conflicts:
+        print("error: --wer-threshold requires --drop-label-conflicts",
+              file=sys.stderr)
         return 2
 
     t0 = time.time()
@@ -149,6 +166,23 @@ def main() -> int:
     if args.drop_label_conflicts:
         conf = multimodal.transcript_conflicts(
             screened, max_hamming=2, pairs=pairs)
+        if args.wer_threshold is not None:
+            # adjudicate: WER <= threshold is transcription noise, not a
+            # conflicting label — keep the pair and let payload dedup
+            # collapse it.  The Arrow kernel (no vocabulary cap) scores
+            # only the conflict pairs (tiny vs the corpus).
+            from drift_detection_pibic___framework_spark.operators.text \
+                import edit_metrics_kernel
+            tr = screened.select("clip_id", "transcript")
+            scored = (conf
+                      .join(tr.select(F.col("clip_id").alias("clip_a"),
+                                      F.col("transcript").alias("t_a")),
+                            "clip_a")
+                      .join(tr.select(F.col("clip_id").alias("clip_b"),
+                                      F.col("transcript").alias("t_b")),
+                            "clip_b"))
+            conf = (edit_metrics_kernel(scored, "t_a", "t_b")
+                    .filter(F.col("wer") > args.wer_threshold))
         bad_ids = (conf.select(F.col("clip_a").alias("clip_id"))
                    .unionByName(conf.select(F.col("clip_b")
                                             .alias("clip_id")))

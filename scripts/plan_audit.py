@@ -345,6 +345,21 @@ def main() -> int:
         "group_entropy (histogram cells, per-group window)",
         stats.group_entropy(clips, "codec"),
         {"no_bytes_scan": True, "no_cartesian": True}))
+    # CER/WER adjudication: the dup-id self-join must land on an equi
+    # hash join keyed (part, clip_id) over a bytes-pruned projection;
+    # the token->char encoding is pure expression work (no Python stage)
+    from drift_detection_pibic___framework_spark.operators import (
+        text as TXop)
+    _ea = clips.select("part", "clip_id", F.col("rid").alias("rid_a"),
+                       F.col("transcript").alias("t_a"))
+    _eb = clips.select("part", "clip_id", F.col("rid").alias("rid_b"),
+                       F.col("transcript").alias("t_b"))
+    cases.append((
+        "edit_metrics dup-pair adjudication (equi self-join, bytes pruned)",
+        TXop.edit_metrics(
+            _ea.join(_eb, ["part", "clip_id"]).filter("rid_a < rid_b"),
+            "t_a", "t_b"),
+        {"no_bytes_scan": True, "no_cartesian": True, "hash_join": True}))
     # KS + asymptotic p: series runs as a JVM aggregate expression over
     # the same broadcast bin grid as drift_scores
     from drift_detection_pibic___framework_spark.operators import (

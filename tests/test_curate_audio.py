@@ -74,3 +74,35 @@ def test_curate_audio_job_dedup_conflicts_band(spark, fixture_dir,
     # fractions are a distribution per row
     row = cur.limit(1).collect()[0]
     assert abs(sum(row[f"band_frac_{j}"] for j in range(6)) - 1.0) < 1e-3
+
+
+def test_curate_audio_wer_adjudication(spark, fixture_dir, tmp_path,
+                                       monkeypatch):
+    """--wer-threshold relaxes the blanket conflict drop into
+    adjudication: at a huge threshold every conflict reads as
+    transcription noise, so no pair members are dropped at stage 2b and
+    the curated table is strictly larger than the blanket-drop run
+    (payload dedup may still collapse the H=0 twins).  The flag without
+    --drop-label-conflicts is a usage error."""
+    import jobs.curate_audio as J
+
+    out_blanket = str(tmp_path / "blanket")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_audio.py", "--data", fixture_dir, "--out", out_blanket,
+        "--dedup-audio", "0", "--drop-label-conflicts"])
+    assert J.main() == 0
+    n_blanket = spark.read.parquet(out_blanket).count()
+
+    out_keep = str(tmp_path / "adjudicated")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_audio.py", "--data", fixture_dir, "--out", out_keep,
+        "--dedup-audio", "0", "--drop-label-conflicts",
+        "--wer-threshold", "1e9"])
+    assert J.main() == 0
+    n_keep = spark.read.parquet(out_keep).count()
+    assert n_keep > n_blanket
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate_audio.py", "--data", fixture_dir,
+        "--wer-threshold", "0.3"])
+    assert J.main() == 2
