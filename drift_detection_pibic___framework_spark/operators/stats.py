@@ -349,3 +349,84 @@ def mad_outlier_screen(df: DataFrame, group_col: str, value_col: str,
                     F.round(F.col("med"), round_to).alias("median"),
                     F.round(F.col("mad2") / 2.0, round_to).alias("mad"),
                     F.col("outliers")))
+
+
+def fd_violations(df: DataFrame, lhs, rhs: str,
+                  max_sample: int = 5) -> DataFrame:
+    """Functional-dependency check ``lhs -> rhs``: one row per lhs group
+    that maps to MORE than one distinct rhs value — the Deequ-class
+    integrity check behind "a clip_id determines its transcript" (the
+    injected duplicate-id rows violate exactly this: same id, two
+    labels).  A NULL rhs counts as its own value (a group holding
+    {NULL, 'x'} IS two claims about the key): distinct-count of the
+    non-null values plus one if the group holds any NULL — arithmetic
+    both engines express identically, no sentinel string needed.
+
+    Scale shape: ONE groupBy on the lhs key (map-side partial agg;
+    uniform unless the caller picks a pathological lhs).  The distinct
+    count is ``size(collect_set)`` rather than ``count_distinct`` — the
+    latter plans as the two-shuffle distinct-aggregate expand, while the
+    set is ALREADY being carried for ``rhs_sample``, so deriving the
+    count from it keeps the whole check one shuffle (PLANS.md pins it).
+    Per-group state is the distinct rhs set: small by definition for an
+    FD check (a key mapping to millions of values is a broken key,
+    caught by the uniqueness check first).
+
+    Returns lhs columns + (n_rows, n_distinct_rhs, rhs_sample) with
+    ``rhs_sample`` = at most ``max_sample`` distinct non-null values,
+    sorted for determinism."""
+    if isinstance(lhs, str):
+        lhs = [lhs]
+    has_null = F.max(F.when(F.col(rhs).isNull(), 1).otherwise(0))
+    out = (df.groupBy(*lhs)
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sort_array(F.collect_set(rhs)).alias("_set"),
+                has_null.alias("_has_null"))
+           .select(*lhs, "n_rows",
+                   (F.size("_set") + F.col("_has_null"))
+                   .cast("long").alias("n_distinct_rhs"),
+                   F.slice("_set", 1, max_sample).alias("rhs_sample"))
+           .filter(F.col("n_distinct_rhs") > 1))
+    return out
+
+
+BENFORD_CHI2_CRIT = 15.507  # chi-squared 0.95 quantile, 8 dof
+
+
+def benford_check(df: DataFrame, col: str,
+                  group_col: str = "part") -> DataFrame:
+    """First-significant-digit distribution vs Benford's law per group —
+    the classic tamper/synthetic-data screen for positive magnitudes
+    spanning decades (Benford '38; standard in audit practice): digit d
+    should appear with probability log10(1 + 1/d).  A partition whose
+    durations were fabricated, unit-swapped, or re-scaled shifts the
+    digit histogram even when mean/stddev stay plausible — a different
+    failure axis than the moment and PSI gates.
+
+    Scale shape: one map-side-combining groupBy on the group key; the
+    shuffle carries 9 digit counts per group, never values.  chi2 is a
+    closed-form expression over the 9 cells; ``benford_suspect`` flags
+    chi2 above the 0.05 critical value (8 dof).  Non-positive rows are
+    excluded (Benford is defined on magnitudes).
+
+    Returns (group_col, n_rows, chi2, benford_suspect)."""
+    import math
+    d1 = F.substring(F.col(col).cast("string"), 1, 1)
+    g = (df.filter(F.col(col) > 0)
+         .select(F.col(group_col), d1.alias("_d")))
+    counts = [F.sum(F.when(F.col("_d") == str(i), 1).otherwise(0))
+              .alias(f"_c{i}") for i in range(1, 10)]
+    agg = g.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"),
+                                   *counts)
+    chi2 = None
+    for i in range(1, 10):
+        # dev*dev (not pow) so the oracle SQL can mirror the exact double
+        # op sequence; p is embedded as the same 17-digit literal there
+        p = math.log10(1.0 + 1.0 / i)
+        dev = F.col(f"_c{i}") - F.col("n_rows") * F.lit(p)
+        term = dev * dev / (F.col("n_rows") * F.lit(p))
+        chi2 = term if chi2 is None else chi2 + term
+    return (agg.withColumn("chi2", F.round(chi2, 6))
+            .withColumn("benford_suspect",
+                        F.col("chi2") > BENFORD_CHI2_CRIT)
+            .select(group_col, "n_rows", "chi2", "benford_suspect"))

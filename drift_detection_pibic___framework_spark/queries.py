@@ -4047,6 +4047,77 @@ def clips_dup_transcript_wer(spark, sf_dir):
                     "char_dist", "cer", "tok_dist", "wer"))
 
 
+@register("clips_fd_transcript", f"""
+SELECT * FROM (
+  SELECT part, clip_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT transcript)
+              + max(CASE WHEN transcript IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_distinct_rhs,
+         list_slice(list_sort(array_agg(DISTINCT transcript)
+                              FILTER (transcript IS NOT NULL)), 1, 5)
+           AS rhs_sample
+  FROM read_parquet('{CLIPS_SF001_GLOB}')
+  GROUP BY part, clip_id)
+WHERE n_distinct_rhs > 1
+""")
+def clips_fd_transcript(spark, sf_dir):
+    """Functional-dependency check (part, clip_id) -> transcript: groups
+    where one id carries MORE than one distinct label (NULL counts as a
+    value) — the integrity axis of the duplicate-id defect that
+    clips_duplicate_violations (row counting) and
+    clips_dup_transcript_wer (disagreement severity) don't state
+    directly.  One map-side-combined groupBy on the key
+    (operators/stats.fd_violations)."""
+    from .operators.stats import fd_violations
+    c = clips_df(spark, sf_dir).select("part", "clip_id", "transcript")
+    return fd_violations(c, ["part", "clip_id"], "transcript")
+
+
+def _benford_oracle() -> str:
+    import math
+    cases = ",\n         ".join(
+        f"CAST(sum(CASE WHEN d = '{i}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS _c{i}" for i in range(1, 10))
+    # CAST: DuckDB reads a bare float literal as DECIMAL and overflows
+    # squaring the deviation; the cast pins the whole term to double,
+    # matching Spark's op sequence exactly
+    terms = "\n           + ".join(
+        f"(_c{i} - n_rows * CAST({math.log10(1.0 + 1.0 / i)!r} AS DOUBLE))"
+        f" * (_c{i} - n_rows * CAST({math.log10(1.0 + 1.0 / i)!r}"
+        f" AS DOUBLE))"
+        f" / (n_rows * CAST({math.log10(1.0 + 1.0 / i)!r} AS DOUBLE))"
+        for i in range(1, 10))
+    return f"""
+WITH g AS (
+  SELECT part, substring(CAST(dur_ms AS VARCHAR), 1, 1) AS d
+  FROM read_parquet('{CLIPS_SF001_GLOB}') WHERE dur_ms > 0),
+a AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+         {cases}
+  FROM g GROUP BY part),
+c AS (
+  SELECT part, n_rows,
+         ROUND({terms}, 6) AS chi2
+  FROM a)
+SELECT part, n_rows, chi2, chi2 > 15.507 AS benford_suspect FROM c
+"""
+
+
+@register("clips_benford_dur", _benford_oracle())
+def clips_benford_dur(spark, sf_dir):
+    """First-significant-digit (Benford) screen on dur_ms per partition —
+    the tamper/synthetic-magnitude axis the moment and PSI gates miss: a
+    fabricated or unit-swapped batch shifts the leading-digit histogram
+    even at a plausible mean.  The shuffle carries 9 digit counts per
+    group (operators/stats.benford_check); the chi-squared fold mirrors
+    the oracle's double op sequence term for term, so the 6dp rounding
+    hashes identically."""
+    from .operators.stats import benford_check
+    c = clips_df(spark, sf_dir).select("part", "dur_ms")
+    return benford_check(c, "dur_ms", "part")
+
+
 # =========================================================================
 # Driver-gate ordering
 # =========================================================================
@@ -4200,6 +4271,8 @@ _DEMOTED_ORACLED = [
     "doc_quality",
     # registered with the window already full; verified every round via
     # scripts/check_entry.py:
+    "clips_fd_transcript",
+    "clips_benford_dur",
     "doc_tfidf_terms",
     "emb_health_screen",
     "clips_profile",

@@ -360,6 +360,20 @@ def main() -> int:
             _ea.join(_eb, ["part", "clip_id"]).filter("rid_a < rid_b"),
             "t_a", "t_b"),
         {"no_bytes_scan": True, "no_cartesian": True, "hash_join": True}))
+    # FD + Benford: each ONE map-side-combined groupBy, bytes pruned
+    cases.append((
+        "fd_violations (single keyed groupBy, bytes pruned)",
+        stats.fd_violations(
+            clips.select("part", "clip_id", "transcript"),
+            ["part", "clip_id"], "transcript"),
+        {"no_bytes_scan": True, "no_cartesian": True,
+         "single_exchange": True}))
+    cases.append((
+        "benford_check (9 digit counts per group, bytes pruned)",
+        stats.benford_check(clips.select("part", "dur_ms"),
+                            "dur_ms", "part"),
+        {"no_bytes_scan": True, "no_cartesian": True,
+         "single_exchange": True}))
     # KS + asymptotic p: series runs as a JVM aggregate expression over
     # the same broadcast bin grid as drift_scores
     from drift_detection_pibic___framework_spark.operators import (

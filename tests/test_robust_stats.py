@@ -251,3 +251,54 @@ def test_mutual_information_model(spark):
         [Row(a="p", b="u"), Row(a=None, b="u"), Row(a="p", b=None)])
     r = stats.mutual_information(withnull, "a", "b").collect()[0]
     assert r.n_rows == 1
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency violations + Benford first-digit screen
+# ---------------------------------------------------------------------------
+
+def test_fd_violations_model(spark):
+    """lhs -> rhs violations: only multi-valued groups surface, NULL
+    counts as its own value, and rhs_sample is sorted and capped."""
+    rows = [
+        ("k1", "a"), ("k1", "a"),                    # clean: one value
+        ("k2", "b"), ("k2", "c"), ("k2", "a"),       # violation: 3 values
+        ("k3", None), ("k3", None),                  # clean: one (null)
+        ("k4", None), ("k4", "x"),                   # violation via null
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {r["k"]: r for r in
+           stats.fd_violations(df, "k", "v", max_sample=2).collect()}
+    assert set(out) == {"k2", "k4"}
+    assert out["k2"]["n_rows"] == 3
+    assert out["k2"]["n_distinct_rhs"] == 3
+    assert out["k2"]["rhs_sample"] == ["a", "b"]     # sorted, capped at 2
+    assert out["k4"]["n_distinct_rhs"] == 2          # NULL + 'x'
+    assert out["k4"]["rhs_sample"] == ["x"]          # nulls never sampled
+
+
+def test_benford_check_model(spark):
+    """A log-uniform magnitude sample conforms to Benford (not suspect);
+    a uniform 100..999 sample has uniform first digits (suspect);
+    non-positive rows are excluded from the digit histogram."""
+    rng = np.random.default_rng(11)
+    conforming = np.floor(10 ** rng.uniform(1, 5, 4000)).astype(int)
+    uniform = rng.integers(100, 1000, 4000)
+    rows = ([("conf", int(v)) for v in conforming]
+            + [("unif", int(v)) for v in uniform]
+            + [("unif", 0), ("unif", -7)])           # excluded rows
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in stats.benford_check(df, "v", "g").collect()}
+    assert out["unif"]["n_rows"] == 4000             # 0 and -7 dropped
+    assert not out["conf"]["benford_suspect"]
+    assert out["conf"]["chi2"] < stats.BENFORD_CHI2_CRIT
+    assert out["unif"]["benford_suspect"]
+    assert out["unif"]["chi2"] > 100                 # wildly non-Benford
+
+    # chi2 agrees with a numpy recomputation of the same formula
+    d = np.array([int(str(v)[0]) for v in conforming])
+    n = len(d)
+    obs = np.array([(d == i).sum() for i in range(1, 10)], dtype=float)
+    exp = n * np.log10(1 + 1 / np.arange(1, 10))
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    assert abs(out["conf"]["chi2"] - chi2) < 1e-4
