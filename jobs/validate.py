@@ -104,6 +104,18 @@ def main() -> int:
                          "violation rows (clip_id, check_name, observed, "
                          "expected, part) for the row-expressible "
                          "constraints to this parquet sink")
+    ap.add_argument("--fd", default=None, metavar="LHS[,LHS..]:RHS",
+                    help="functional-dependency audit: report every "
+                         "LHS-key group carrying more than one distinct "
+                         "RHS value (NULL counts as a value), e.g. "
+                         "--fd part,clip_id:transcript.  Exit 1 when "
+                         "violations exist")
+    ap.add_argument("--benford", default=None, metavar="COL",
+                    help="Benford first-digit screen on COL per "
+                         "partition: chi-squared of the leading-digit "
+                         "histogram vs Benford's law.  Reports suspects; "
+                         "always exit 0 (screen, not a gate — most real "
+                         "single-unit magnitudes are NOT Benford)")
     ap.add_argument("--quarantine", default=None, metavar="OUT_DIR",
                     help="split the clips table into admitted/quarantined "
                          "parquet sinks with per-row reasons and print the "
@@ -258,6 +270,55 @@ def main() -> int:
         print(f"\n{len(verdicts)} contract checks, {n_fail} failing "
               f"({len(contract)} constraints) in {dt:.1f}s{extra}")
         return 1 if n_fail else 0
+
+    if args.fd or args.benford:
+        from drift_detection_pibic___framework_spark.operators import (
+            stats as ST)
+
+        cp = os.path.join(args.data, "clips")
+        if not os.path.isdir(cp):
+            print(f"error: no clips table at {cp}", file=sys.stderr)
+            return 2
+        clips = spark.read.parquet(cp)
+        rc = 0
+        if args.fd:
+            if ":" not in args.fd:
+                print("error: --fd wants LHS[,LHS..]:RHS", file=sys.stderr)
+                return 2
+            lhs_s, rhs = args.fd.rsplit(":", 1)
+            lhs = [c.strip() for c in lhs_s.split(",") if c.strip()]
+            bad = [c for c in lhs + [rhs] if c not in clips.columns]
+            if bad:
+                print(f"error: unknown column(s) {bad}", file=sys.stderr)
+                return 2
+            rows = (ST.fd_violations(clips, lhs, rhs)
+                    .orderBy(F.desc("n_distinct_rhs"), *lhs)
+                    .limit(50).collect())
+            print(f"FD {'+'.join(lhs)} -> {rhs}: "
+                  f"{len(rows)} violating key(s)"
+                  f"{' (top 50 shown)' if len(rows) == 50 else ''}")
+            for r in rows:
+                key = ", ".join(str(r[c]) for c in lhs)
+                print(f"  ({key}): {r['n_rows']} rows, "
+                      f"{r['n_distinct_rhs']} distinct {rhs} "
+                      f"e.g. {r['rhs_sample'][:2]}")
+            rc = 1 if rows else 0
+        if args.benford:
+            col = args.benford
+            if col not in clips.columns:
+                print(f"error: unknown column {col}", file=sys.stderr)
+                return 2
+            rows = ST.benford_check(clips, col).orderBy("part").collect()
+            n_sus = sum(1 for r in rows if r["benford_suspect"])
+            print(f"Benford({col}): {n_sus}/{len(rows)} partitions "
+                  f"suspect (chi2 > {ST.BENFORD_CHI2_CRIT}, 8 dof)")
+            for r in rows:
+                mark = " SUSPECT" if r["benford_suspect"] else ""
+                print(f"  part={r['part']:>3} n={r['n_rows']:>7} "
+                      f"chi2={r['chi2']:.3f}{mark}")
+        dt = time.time() - t0
+        print(f"done in {dt:.1f}s")
+        return rc
 
     if args.quarantine:
         from drift_detection_pibic___framework_spark.operators import (
