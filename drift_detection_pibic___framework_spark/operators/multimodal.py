@@ -1423,3 +1423,106 @@ def _chunk_audio_chunks(b: pd.DataFrame, store_rate: int, win_ms: int,
         "n_samples": w_ns.astype(np.int32),
         "rms": np.round(rms, 6),
         "bytes": payloads})
+
+
+# ---------------------------------------------------------------------------
+# dropout detection: runs of constant samples (decoder faults / digital
+# dropouts) — a quality axis the silence/clipping screens don't see
+# ---------------------------------------------------------------------------
+
+AUDIO_DROPOUT_SCHEMA = ("rid long, clip_id string, part int, "
+                        "n_samples int, max_const_run int, "
+                        "n_dropout_runs int, dropout_ratio double")
+
+#: minimum run of IDENTICAL consecutive samples to call a dropout: 16
+#: samples = 8 ms at STORE_RATE 2000.  Natural audio with even tiny noise
+#: almost never repeats an exact int16 code 16x in a row; sample-and-hold
+#: decoder faults, concealment fills and digital dropouts do exactly that.
+DROPOUT_MIN_RUN = 16
+
+
+def audio_dropouts_reference(pcm: np.ndarray,
+                             min_run: int = DROPOUT_MIN_RUN) -> tuple:
+    """Per-row reference (max_const_run, n_dropout_runs, dropout_ratio) —
+    parity target for the batched kernel.  A run is a maximal stretch of
+    identical consecutive samples; runs >= min_run are dropouts; the
+    ratio is dropout samples over total."""
+    if not len(pcm):
+        return 0, 0, 0.0
+    runs, cur = [], 1
+    for i in range(1, len(pcm)):
+        if pcm[i] == pcm[i - 1]:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    runs = np.asarray(runs)
+    drop = runs >= min_run
+    return (int(runs.max()), int(drop.sum()),
+            float((runs * drop).sum() / len(pcm)))
+
+
+def audio_dropouts(clips: DataFrame,
+                   min_run: int = DROPOUT_MIN_RUN) -> DataFrame:
+    """Per-clip DROPOUT screen: longest constant-sample run, the count of
+    runs at/above ``min_run``, and the fraction of samples inside such
+    runs.  Mid-clip constant stretches are decoder sample-and-hold
+    faults, packet-loss concealment fills, or digital dropouts — clips
+    the silence screen (leading/trailing/low-level) and the clipping
+    screen (magnitude) both pass.  Zero-runs count too (a mid-clip hard
+    mute IS a dropout); the leading/trailing silence case is owned by
+    audio_trim_offsets.
+
+    Execution shape: same discipline as audio_quality — mapInPandas over
+    pruned columns, 1,024-row sub-chunks, scratch-pooled buffers.  Run
+    detection is fully vectorized ACROSS rows: one not-equal pass over
+    the flat decoded buffer, row boundaries forced to run starts, then
+    per-row folds ride ``reduceat`` over the run-length array (rows are
+    contiguous in run order, and _decode_rows guarantees ns >= 1 so the
+    reduceat index vector is strictly valid)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in batches:
+            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
+                yield _chunk_audio_dropouts(
+                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], min_run)
+
+    cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
+    return cols.mapInPandas(gen, AUDIO_DROPOUT_SCHEMA)
+
+
+def _chunk_audio_dropouts(b: pd.DataFrame, min_run: int) -> pd.DataFrame:
+    n = len(b)
+    if not n:
+        return pd.DataFrame({
+            "rid": pd.Series(dtype=np.int64),
+            "clip_id": pd.Series(dtype=object),
+            "part": pd.Series(dtype=np.int32),
+            "n_samples": pd.Series(dtype=np.int32),
+            "max_const_run": pd.Series(dtype=np.int32),
+            "n_dropout_runs": pd.Series(dtype=np.int32),
+            "dropout_ratio": pd.Series(dtype=np.float64)})
+    flat, starts, ns, total = _decode_rows(b)
+    # new-run markers: position 0 of every row, plus every sample that
+    # differs from its predecessor (boundary positions forced, so a run
+    # can never straddle two rows)
+    nr = _scratch("drnew", total, np.bool_)
+    if total > 1:
+        np.not_equal(flat[1:], flat[:-1], out=nr[1:])
+    nr[starts] = True
+    run_starts = np.flatnonzero(nr)             # ascending, covers starts
+    run_lengths = np.diff(np.append(run_starts, total))
+    first_run = np.searchsorted(run_starts, starts)   # row -> first run
+    max_run = np.maximum.reduceat(run_lengths, first_run)
+    drop = run_lengths >= min_run
+    n_drop = np.add.reduceat(drop.astype(np.float64), first_run)
+    drop_samples = np.add.reduceat(
+        (run_lengths * drop).astype(np.float64), first_run)
+    return pd.DataFrame({
+        "rid": b["rid"].to_numpy(),
+        "clip_id": b["clip_id"].to_numpy(),
+        "part": b["part"].to_numpy(),
+        "n_samples": ns.astype(np.int32),
+        "max_const_run": max_run.astype(np.int32),
+        "n_dropout_runs": n_drop.astype(np.int32),
+        "dropout_ratio": np.round(drop_samples / ns, 6)})

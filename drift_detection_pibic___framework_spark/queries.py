@@ -1122,6 +1122,22 @@ def clips_audio_quality(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+@register("clips_audio_dropouts")  # audio decode: no SQL equivalent
+def clips_audio_dropouts(spark, sf_dir):
+    """Dropout screen (constant-sample runs: sample-and-hold decoder
+    faults, concealment fills, digital dropouts) per partition — the
+    quality axis silence/clipping both pass (correctness pinned by the
+    per-row parity + injection tests in tests/test_pipeline_ops.py)."""
+    from .operators import multimodal
+    c = clips_df(spark, sf_dir)
+    d = multimodal.audio_dropouts(c)
+    return d.groupBy("part").agg(
+        F.max("max_const_run").alias("max_const_run"),
+        F.sum("n_dropout_runs").alias("n_dropout_runs"),
+        F.round(F.avg("dropout_ratio"), 6).alias("dropout_ratio_mean"),
+        F.count(F.lit(1)).alias("n"))
+
+
 @register("clips_audio_segments")  # audio decode: no SQL equivalent
 def clips_audio_segments(spark, sf_dir):
     """Voiced-segment structure (VAD-style framed-RMS runs) per clip,

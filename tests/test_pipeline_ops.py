@@ -1810,3 +1810,59 @@ def test_edit_distance_reference_dp():
     assert ed(list("flaw"), list("lawn")) == 2
     assert ed(["a", "b", "c"], ["a", "c"]) == 1
     assert ed([], ["x", "y"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# audio dropout screen: constant-sample runs
+# ---------------------------------------------------------------------------
+
+def test_audio_dropouts_match_per_row_reference(spark, clips):
+    """The vectorized run-length kernel must agree with the per-row
+    reference on real fixture payloads across all codecs (run equality
+    is invariant under the injective int16 -> float64 decode, so the
+    int16 reference pins the float kernel exactly)."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    sub = clips.filter("part = 5").limit(80)     # has mulaw/alaw/pcm mix
+    got = (multimodal.audio_dropouts(sub)
+           .toPandas().set_index("rid"))
+    pdf = sub.select("rid", "bytes", "codec").toPandas()
+    assert len(got) == len(pdf)
+    for _, r in pdf.iterrows():
+        pcm = audio.decode(r["bytes"], r["codec"])
+        mx, nd, ratio = multimodal.audio_dropouts_reference(pcm)
+        g = got.loc[r["rid"]]
+        assert g["n_samples"] == len(pcm)
+        assert g["max_const_run"] == mx
+        assert g["n_dropout_runs"] == nd
+        assert abs(g["dropout_ratio"] - round(ratio, 6)) < 1e-9
+
+
+def test_audio_dropouts_synthetic_injection(spark):
+    """A clip with an injected mid-clip sample-and-hold fault must be
+    the ONLY dropout suspect; a clean noisy clip's longest run stays far
+    below the 16-sample threshold; a boundary-straddling pair of rows
+    must NOT merge runs across rows."""
+    from drift_detection_pibic___framework_spark.functions import audio
+    rng = np.random.default_rng(3)
+    sig = audio.float_to_int16(rng.normal(0, 0.1, 2000))
+    held = sig.copy()
+    held[800:900] = held[800]                   # 100-sample hold fault
+    # two rows ending/starting with the SAME value: runs must not merge
+    edge_a = sig.copy(); edge_a[-10:] = 777
+    edge_b = sig.copy(); edge_b[:10] = 777
+    rows = [
+        (1, "c1", 0, bytes(audio.encode(sig, "pcm_s16le")), "pcm_s16le"),
+        (2, "c2", 0, bytes(audio.encode(held, "pcm_s16le")), "pcm_s16le"),
+        (3, "c3", 0, bytes(audio.encode(edge_a, "pcm_s16le")), "pcm_s16le"),
+        (4, "c4", 0, bytes(audio.encode(edge_b, "pcm_s16le")), "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, clip_id string, part int, bytes binary, "
+              "codec string")
+    out = {r["rid"]: r for r in multimodal.audio_dropouts(df).collect()}
+    assert out[2]["max_const_run"] == 100
+    assert out[2]["n_dropout_runs"] == 1
+    assert abs(out[2]["dropout_ratio"] - 0.05) < 1e-9
+    assert out[1]["max_const_run"] < 16 and out[1]["n_dropout_runs"] == 0
+    assert out[3]["max_const_run"] == 10 and out[3]["n_dropout_runs"] == 0
+    assert out[4]["max_const_run"] == 10 and out[4]["n_dropout_runs"] == 0
