@@ -102,6 +102,36 @@ def divergence_scores(clips: DataFrame, col: str = "dur_ms",
                  F.round(F.sum("chi2_term"), round_to).alias("chi2")))
 
 
+def emd_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
+               n_bins: int = 40,
+               baseline_parts=DEFAULT_BASELINE_PARTS,
+               baseline: DataFrame = None,
+               round_to: int = 6) -> DataFrame:
+    """Per-partition Wasserstein-1 (earth-mover) distance vs the baseline
+    window, from the same binned histograms as PSI/KS: for equal-width
+    bins, W1 = width * sum over bins of |CDF_part - CDF_baseline|.  The
+    magnitude-aware complement of the existing gates — KS reports the
+    LARGEST CDF gap (shift detection), PSI/JSD weigh probability ratios
+    (shape), while W1 integrates the gap, so its value is the average
+    shift IN THE COLUMN'S OWN UNITS (ms for dur_ms): an effect size a
+    threshold policy can read directly ("dur_ms moved ~300 ms").
+
+    Binning granularity bounds the error at +-width (exact W1 needs a
+    global sort — the same trade the binned KS makes).  No smoothing: W1
+    has no ratios or logs, so zero bins need no EPS.  Same
+    O(parts x bins) shuffle shape as drift_scores."""
+    from pyspark.sql import Window
+    g = _proportions_grid(clips, col, width, n_bins, baseline_parts,
+                          baseline)
+    w = (Window.partitionBy("part").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    gap = F.abs(F.sum("p").over(w) - F.sum("b").over(w))
+    return (g.select("part", gap.alias("gap"))
+            .groupBy("part")
+            .agg(F.round(F.sum("gap") * F.lit(width), round_to)
+                 .alias("emd")))
+
+
 def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
                  n_bins: int = 40,
                  baseline_parts=DEFAULT_BASELINE_PARTS,

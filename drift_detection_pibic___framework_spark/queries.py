@@ -4063,6 +4063,45 @@ def clips_dup_transcript_wer(spark, sf_dir):
                     "char_dist", "cer", "tok_dist", "wer"))
 
 
+@register("clips_emd_drift", f"""
+WITH hist AS (
+  SELECT part,
+         CAST(least(greatest(floor(dur_ms / 100.0), 0), 39) AS INTEGER) AS bin,
+         count(*) AS cnt
+  FROM read_parquet('{CLIPS_SF001_GLOB}') GROUP BY 1, 2),
+bins AS (SELECT unnest(generate_series(0, 39)) AS bin),
+parts AS (SELECT DISTINCT part FROM hist),
+base AS (SELECT bin, sum(cnt) AS bcnt FROM hist WHERE part IN (0,1,2,3) GROUP BY bin),
+btot AS (SELECT sum(bcnt) AS btot FROM base),
+tot AS (SELECT part, sum(cnt) AS tot FROM hist GROUP BY part),
+grid AS (
+  SELECT p.part, b.bin,
+         COALESCE(h.cnt, 0) * 1.0 / t.tot   AS p,
+         COALESCE(ba.bcnt, 0) * 1.0 / bt.btot AS b
+  FROM parts p CROSS JOIN bins b
+  LEFT JOIN hist h ON h.part = p.part AND h.bin = b.bin
+  LEFT JOIN base ba ON ba.bin = b.bin
+  JOIN tot t ON t.part = p.part
+  CROSS JOIN btot bt),
+cum AS (
+  SELECT part,
+         sum(p) OVER (PARTITION BY part ORDER BY bin) AS cp,
+         sum(b) OVER (PARTITION BY part ORDER BY bin) AS cb
+  FROM grid)
+SELECT part, ROUND(sum(abs(cp - cb)) * 100.0, 4) AS emd
+FROM cum GROUP BY part
+""")
+def clips_emd_drift(spark, sf_dir):
+    """Wasserstein-1 (earth-mover) drift of dur_ms vs baseline p0-p3 —
+    the magnitude-aware gate beside PSI (ratio) and KS (max gap): the
+    score reads in MILLISECONDS of average shift, the effect size a
+    threshold policy can interpret directly.  Same binned O(parts x
+    bins) shape as clips_psi_drift (operators/drift_dist.emd_scores)."""
+    from .operators import drift_dist
+    c = clips_df(spark, sf_dir)
+    return drift_dist.emd_scores(c, "dur_ms", round_to=4)
+
+
 @register("clips_fd_transcript", f"""
 SELECT * FROM (
   SELECT part, clip_id,
@@ -4287,6 +4326,7 @@ _DEMOTED_ORACLED = [
     "doc_quality",
     # registered with the window already full; verified every round via
     # scripts/check_entry.py:
+    "clips_emd_drift",
     "clips_fd_transcript",
     "clips_benford_dur",
     "doc_tfidf_terms",

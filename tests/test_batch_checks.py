@@ -212,3 +212,30 @@ def test_ks_pvalue_matches_scipy_style_oracle(spark, clips):
     # baseline members compared against their own window: insignificant
     for p in range(0, 4):
         assert rows[p].ks_p > 0.2, p
+
+
+def test_emd_against_numpy_oracle(spark, clips, duck):
+    """Binned Wasserstein-1 must match width * sum|CDF gap| recomputed in
+    numpy, separate drifted partitions from clean ones, and read roughly
+    as the injected mean shift in ms (400 -> 700 lognormal)."""
+    got = (drift_dist.emd_scores(clips).toPandas()
+           .set_index("part").sort_index())
+    pdf = duck.sql("select part, dur_ms from clips").df()
+    width, n_bins = 100.0, 40
+    edges = np.arange(0, (n_bins + 1) * width, width)
+    base = pdf[pdf["part"].isin([0, 1, 2, 3])]["dur_ms"].to_numpy()
+    bh, _ = np.histogram(np.clip(base, 0, edges[-1] - 1), bins=edges)
+    b = bh / bh.sum()
+    for part, grp in pdf.groupby("part"):
+        ph, _ = np.histogram(
+            np.clip(grp["dur_ms"].to_numpy(), 0, edges[-1] - 1), bins=edges)
+        p = ph / ph.sum()
+        ref = width * np.sum(np.abs(np.cumsum(p) - np.cumsum(b)))
+        assert abs(got.loc[part, "emd"] - ref) < 1e-3, part
+    # effect size in the column's units: drifted parts (mean 700 vs 400)
+    # sit around the injected ~300 ms shift, clean parts near zero
+    clean = got.loc[[p for p in got.index if p < 8], "emd"]
+    drifted = got.loc[[p for p in got.index if p >= 8], "emd"]
+    assert clean.max() < 100
+    assert drifted.min() > 150
+    assert 150 < drifted.mean() < 500
