@@ -256,3 +256,29 @@ class MisraGries:
         sk.n, sk.err = d["n"], d["err"]
         sk.counters = dict(d["counters"])
         return sk
+
+
+def kll_w1_distance(a: KLL, b: KLL) -> float:
+    """Wasserstein-1 (earth-mover) distance between two KLL sketches:
+    the integral of |F_a - F_b| over the union of retained items (both
+    CDFs are step functions, so the integral is an exact sum of
+    rectangle areas between consecutive support points).  The
+    magnitude-aware companion of kll_ks_distance — its value reads in
+    the COLUMN'S OWN UNITS (how far mass moved, not just that it moved)
+    with error bounded by the sketches' rank-error times the support
+    span.  Same zero-rescan use: compare a 100-TB baseline fold to a
+    commit from sidecar bytes alone."""
+    ia, wa = a._weighted()
+    ib, wb = b._weighted()
+    if ia.size == 0 or ib.size == 0:
+        return float("nan")
+    support = np.union1d(ia, ib)
+    if support.size < 2:
+        return 0.0
+    gap = np.zeros(support.size)
+    for items, weights, sign in ((ia, wa, 1.0), (ib, wb, -1.0)):
+        cw = np.cumsum(weights)
+        idx = np.searchsorted(items, support, side="right")
+        cdf = np.where(idx > 0, cw[np.maximum(idx - 1, 0)], 0) / cw[-1]
+        gap += cdf * sign
+    return float(np.sum(np.abs(gap[:-1]) * np.diff(support)))

@@ -16,9 +16,10 @@ Two gates, both sidecar-only:
 - ``stat_drift_report`` — mean shift in baseline-stddev units (Cohen's-d
   style effect size) + null-rate jump + min/max range escapes, from the
   moment sidecars;
-- ``quantile_drift_report`` — KS distance between the commit's KLL sketch
-  and the merged baseline sketch, catching same-mean shape drift the
-  moment gate is blind to;
+- ``quantile_drift_report`` — KS + Wasserstein-1 distance between the
+  commit's KLL sketch and the merged baseline sketch, catching same-mean
+  shape drift the moment gate is blind to (W1 reads in the column's own
+  units: how far mass moved);
 - ``category_drift_report`` — heavy-hitter share swings and new-arrival
   categories from Misra-Gries sketches (the hot-codec screen at commit
   granularity);
@@ -128,6 +129,7 @@ QUANTILE_DRIFT_SCHEMA = TT.StructType([
     TT.StructField("p50_before", TT.DoubleType()),
     TT.StructField("p50_after", TT.DoubleType()),
     TT.StructField("ks", TT.DoubleType()),
+    TT.StructField("w1", TT.DoubleType()),
     TT.StructField("flagged", TT.BooleanType()),
 ])
 
@@ -143,7 +145,7 @@ def quantile_drift_report(spark: SparkSession, io, name: str,
     but moves the CDF.  Cost: O(commits × k) sketch bytes, zero scans."""
     import base64
 
-    from ..functions.sketches import KLL, kll_ks_distance
+    from ..functions.sketches import KLL, kll_ks_distance, kll_w1_distance
 
     sidecars = [s for s in io.snapshot_stats(name) if s.get("kll")]
     if len(sidecars) < 2:
@@ -164,7 +166,9 @@ def quantile_drift_report(spark: SparkSession, io, name: str,
         out.append((c, base.n, cur.n,
                     round(float(base.quantile(0.5)), round_to),
                     round(float(cur.quantile(0.5)), round_to),
-                    round(ks, round_to), bool(ks > ks_threshold)))
+                    round(ks, round_to),
+                    round(kll_w1_distance(base, cur), round_to),
+                    bool(ks > ks_threshold)))
     return spark.createDataFrame(out, QUANTILE_DRIFT_SCHEMA)
 
 

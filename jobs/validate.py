@@ -410,11 +410,12 @@ def main() -> int:
                   f"{str(r.range_escape):>6}  "
                   f"{'DRIFT' if r.flagged else 'ok'}")
         print(f"\n{'column':<8} {'p50_before':>10} {'p50_after':>9} "
-              f"{'ks':>8}  verdict")
+              f"{'ks':>8} {'w1':>9}  verdict")
         for r in shapes:
             flagged += bool(r.flagged)
             print(f"{r.column:<8} {r.p50_before:>10} {r.p50_after:>9} "
-                  f"{r.ks:>8}  {'SHAPE-DRIFT' if r.flagged else 'ok'}")
+                  f"{r.ks:>8} {r.w1:>9}  "
+                  f"{'SHAPE-DRIFT' if r.flagged else 'ok'}")
         print(f"\n{'column':<8} {'item':<12} {'share_before':>12} "
               f"{'share_after':>11} {'delta':>8}  verdict")
         for r in cats:

@@ -310,3 +310,23 @@ def test_rollback_into_compacted_range_drops_baseline(spark, io):
     _commit(spark, io, "t", 100, 50)
     rows = snapshot_diff.stat_drift_report(spark, io, "t").collect()
     assert len(rows) == 1 and rows[0].n_before == 100
+
+
+def test_kll_w1_distance_matches_exact_w1():
+    import numpy as np
+    from drift_detection_pibic___framework_spark.functions.sketches import (
+        kll_from_values, kll_w1_distance)
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 1, 20000)
+    b = rng.normal(0.5, 1, 20000)
+    # exact W1 between equal-size empirical samples = mean |sorted diff|
+    exact = float(np.mean(np.abs(np.sort(a) - np.sort(b))))
+    got = kll_w1_distance(kll_from_values(a), kll_from_values(b))
+    # a pure location shift of 0.5 moves W1 ~ 0.5 (in the column's units)
+    assert got == pytest.approx(exact, rel=0.15)
+    assert got == pytest.approx(0.5, abs=0.1)
+    same = kll_w1_distance(kll_from_values(a), kll_from_values(a.copy()))
+    assert same < 0.05
+    # degenerate: single-point sketches at the same value
+    assert kll_w1_distance(kll_from_values(np.array([3.0])),
+                           kll_from_values(np.array([3.0]))) == 0.0
