@@ -20,6 +20,7 @@ Headline queries (each is an end-to-end action, fresh from parquet):
   q_audio_features — rms/zcr/spectral-centroid extraction over bytes
   q_quarantine     — row-level admit/divert labelling + per-part report
   q_profile        — one-pass column profile + constraint suggestion
+  q_dropouts       — constant-sample-run dropout screen (decode + folds)
 
 `--scaling` runs q_batch_checks + q_invariant at local[8] and local[32] in
 subprocesses and appends the efficiency table to BENCH/BASELINE.md
@@ -193,6 +194,11 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                 if c not in ("rid", "part")]
         return PR.suggest_constraints(clips, cols=cols).count()
 
+    def q_dropouts():
+        # constant-sample-run screen: decode + vectorized run-length folds
+        return multimodal.audio_dropouts(clips).agg(
+            F.max("max_const_run")).collect()[0][0]
+
     _ = Q  # registry imported for completeness
     core_only = os.environ.get("SPARK_GRAFT_CORE_ONLY") == "1"
     # each query runs twice; the WARM (min) time is reported: this sandbox
@@ -213,7 +219,8 @@ def bench_queries(spark, sf_dir: str) -> tuple:
                   ("q_quarantine", q_quarantine),
                   ("q_standardize", q_standardize),
                   ("q_band_energy", q_band_energy),
-                  ("q_profile", q_profile)]
+                  ("q_profile", q_profile),
+                  ("q_dropouts", q_dropouts)]
     # 1 cold + 2 warm runs; report min (steady state) — see cold note above
     # (2 warm laps so a single throttle blip cannot own the reported number)
     timings, cold, canaries = {}, {}, {}

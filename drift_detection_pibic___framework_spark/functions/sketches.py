@@ -166,6 +166,25 @@ def kll_from_values(values: np.ndarray, k: int = _DEF_K) -> KLL:
     return KLL(k).update(values)
 
 
+def _cdf_gap(a: KLL, b: KLL):
+    """(support, F_a - F_b) between two sketches over the union of their
+    retained items — both sketch CDFs are step functions, so every
+    CDF-comparison statistic (KS sup, W1 integral) is exact on this
+    grid.  Returns (None, None) when either sketch is empty."""
+    ia, wa = a._weighted()
+    ib, wb = b._weighted()
+    if ia.size == 0 or ib.size == 0:
+        return None, None
+    support = np.union1d(ia, ib)
+    gap = np.zeros(support.size)
+    for items, weights, sign in ((ia, wa, 1.0), (ib, wb, -1.0)):
+        cw = np.cumsum(weights)
+        idx = np.searchsorted(items, support, side="right")
+        gap += sign * np.where(idx > 0, cw[np.maximum(idx - 1, 0)],
+                               0) / cw[-1]
+    return support, gap
+
+
 def kll_ks_distance(a: KLL, b: KLL) -> float:
     """Two-sample Kolmogorov-Smirnov statistic sup|F_a - F_b| between two
     KLL sketches, evaluated on the union of their retained items (the
@@ -173,18 +192,10 @@ def kll_ks_distance(a: KLL, b: KLL) -> float:
     Error is bounded by the sketches' rank-error ε, independent of the
     row counts they summarize — the shape-drift primitive for comparing a
     100-TB baseline to a commit without touching either's raw rows."""
-    ia, wa = a._weighted()
-    ib, wb = b._weighted()
-    if ia.size == 0 or ib.size == 0:
+    support, gap = _cdf_gap(a, b)
+    if support is None:
         return float("nan")
-    support = np.union1d(ia, ib)
-    out = 0.0
-    for items, weights, sign in ((ia, wa, 1.0), (ib, wb, -1.0)):
-        cw = np.cumsum(weights)
-        idx = np.searchsorted(items, support, side="right")
-        cdf = np.where(idx > 0, cw[np.maximum(idx - 1, 0)], 0) / cw[-1]
-        out = cdf * sign + out
-    return float(np.max(np.abs(out)))
+    return float(np.max(np.abs(gap)))
 
 
 class MisraGries:
@@ -268,17 +279,9 @@ def kll_w1_distance(a: KLL, b: KLL) -> float:
     with error bounded by the sketches' rank-error times the support
     span.  Same zero-rescan use: compare a 100-TB baseline fold to a
     commit from sidecar bytes alone."""
-    ia, wa = a._weighted()
-    ib, wb = b._weighted()
-    if ia.size == 0 or ib.size == 0:
+    support, gap = _cdf_gap(a, b)
+    if support is None:
         return float("nan")
-    support = np.union1d(ia, ib)
     if support.size < 2:
         return 0.0
-    gap = np.zeros(support.size)
-    for items, weights, sign in ((ia, wa, 1.0), (ib, wb, -1.0)):
-        cw = np.cumsum(weights)
-        idx = np.searchsorted(items, support, side="right")
-        cdf = np.where(idx > 0, cw[np.maximum(idx - 1, 0)], 0) / cw[-1]
-        gap += cdf * sign
     return float(np.sum(np.abs(gap[:-1]) * np.diff(support)))

@@ -409,9 +409,16 @@ def benford_check(df: DataFrame, col: str,
     chi2 above the 0.05 critical value (8 dof).  Non-positive rows are
     excluded (Benford is defined on magnitudes).
 
+    The leading SIGNIFICANT digit is the first [1-9] char of the decimal
+    string — not the first char, which for values in (0, 1) would be
+    '0' (landing in no bucket while still counted in n_rows, inflating
+    chi2), and which also diverges across engines for small doubles
+    (Spark renders 1e-4 as '1.0E-4', DuckDB as '0.0001'; the first
+    nonzero digit is '1' in both notations).
+
     Returns (group_col, n_rows, chi2, benford_suspect)."""
     import math
-    d1 = F.substring(F.col(col).cast("string"), 1, 1)
+    d1 = F.regexp_extract(F.col(col).cast("string"), "[1-9]", 0)
     g = (df.filter(F.col(col) > 0)
          .select(F.col(group_col), d1.alias("_d")))
     counts = [F.sum(F.when(F.col("_d") == str(i), 1).otherwise(0))

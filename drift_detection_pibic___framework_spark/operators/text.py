@@ -426,11 +426,13 @@ def length_buckets(docs: DataFrame, col: str = "text",
 # edit-distance metrics: CER / WER between two transcript columns
 # -------------------------------------------------------------------------
 
-# codepoints 33..126 then 161..255 (printable ASCII, then printable
-# Latin-1) — 189 collision-free single-codepoint slots for the token ->
-# char encoding below; both Spark and DuckDB count these as ONE char in
-# levenshtein, so the encoded distance is exactly the token-level one
-EDIT_MAX_VOCAB = 189
+# printable-ASCII codepoints 33..126 — 94 collision-free single-BYTE
+# slots for the token -> char encoding below.  ASCII only, because
+# DuckDB's levenshtein counts BYTES while Spark's counts codepoints:
+# any multi-byte slot (e.g. Latin-1 161..255) would silently double its
+# edit cost in the oracle.  Within ASCII the two engines agree exactly,
+# so the encoded distance IS the token-level one in both
+EDIT_MAX_VOCAB = 94
 
 
 def _edit_norm(col):
@@ -452,15 +454,17 @@ def edit_metrics(df: DataFrame, col_a: str, col_b: str,
     Pure built-in expressions (oracle-checkable): char distance is
     ``levenshtein`` over the normalized strings; TOKEN distance rides the
     same JVM levenshtein through an alphabet-renaming trick — each
-    distinct token of the pair maps to one codepoint (the pair's own
-    ``array_union`` vocabulary indexes into 189 printable
-    ASCII/Latin-1 slots), and edit distance is invariant under any
-    bijective renaming, so the engines need not even agree on vocab
-    ORDER, only on the (identical) token sets.  Pairs whose joint
-    vocabulary exceeds ``max_vocab`` get NULL tok_dist/wer — real
-    minutes-long transcripts overflow 189 distinct tokens, which is what
-    the Arrow twin ``edit_metrics_kernel`` (no cap, same parity-pinned
-    semantics) is for.
+    distinct token of the pair maps to one printable-ASCII char (the
+    pair's own ``array_union`` vocabulary indexes into 94 single-byte
+    slots), and edit distance is invariant under any bijective renaming,
+    so the engines need not even agree on vocab ORDER, only on the
+    (identical) token sets.  ASCII-only on purpose: DuckDB's levenshtein
+    is byte-based, so multi-byte slots would break oracle parity (the
+    same caveat applies to char_dist on non-ASCII transcript text).
+    Pairs whose joint vocabulary exceeds ``max_vocab`` get NULL
+    tok_dist/wer — real minutes-long transcripts overflow 94 distinct
+    tokens, which is what the Arrow twin ``edit_metrics_kernel`` (no
+    cap, same parity-pinned semantics) is for.
 
     Adds: char_dist, cer, tok_dist, wer.  cer = char_dist /
     max(len(norm_a), 1); wer = tok_dist / max(n_tokens_a, 1); both
@@ -478,9 +482,8 @@ def edit_metrics(df: DataFrame, col_a: str, col_b: str,
          .withColumn("_vocab", F.array_union("_ta", "_tb")))
 
     def enc(t):
-        # 1-based array_position -> 0-based index -> printable codepoint
-        i0 = F.array_position(F.col("_vocab"), t) - 1
-        return F.char(i0 + 33 + F.when(i0 >= 94, 34).otherwise(0))
+        # 1-based array_position -> 0-based index -> printable ASCII
+        return F.char(F.array_position(F.col("_vocab"), t) + 32)
 
     enc_a = F.concat_ws("", F.transform("_ta", enc))
     enc_b = F.concat_ws("", F.transform("_tb", enc))
@@ -522,7 +525,7 @@ def edit_metrics_kernel(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     path for real transcripts (hundreds of distinct tokens).  One
     vectorized pandas UDF computes char and token distance per pair;
     normalization, NULL handling and denominators are parity-pinned
-    against the expression form (tests/test_text_ops).  Cost is
+    against the expression form (tests/test_pipeline_ops).  Cost is
     O(len_a·len_b) per pair — pairs feeding this are conflict candidates
     (tiny vs the corpus), never the full table."""
     import re
@@ -531,7 +534,11 @@ def edit_metrics_kernel(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
 
     @pandas_udf("array<int>")
     def _dists(a: pd.Series, b: pd.Series) -> pd.Series:
-        ws = re.compile(r"\s+")
+        # re.ASCII: Java/Spark \s is ASCII-only, and the expression form
+        # is the semantics contract (same parity note as dedup.py's
+        # simhash kernel) — without it unicode whitespace (NBSP) would
+        # tokenize differently between the twins
+        ws = re.compile(r"\s+", re.ASCII)
         out = []
         for x, y in zip(a, b):
             nx = ws.sub(" ", x or "").strip(" ").lower()

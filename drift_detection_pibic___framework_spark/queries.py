@@ -4017,20 +4017,16 @@ v AS (SELECT *, list_distinct(list_concat(ta, tb)) AS vocab FROM t),
 e AS (
   SELECT *,
          array_to_string(list_transform(ta, x ->
-           chr(list_position(vocab, x) + 32 +
-               CASE WHEN list_position(vocab, x) > 94 THEN 34 ELSE 0
-               END)), '') AS ea,
+           chr(list_position(vocab, x) + 32)), '') AS ea,
          array_to_string(list_transform(tb, x ->
-           chr(list_position(vocab, x) + 32 +
-               CASE WHEN list_position(vocab, x) > 94 THEN 34 ELSE 0
-               END)), '') AS eb
+           chr(list_position(vocab, x) + 32)), '') AS eb
   FROM v)
 SELECT clip_id, part, rid_a, rid_b,
        CAST(levenshtein(na, nb) AS INTEGER) AS char_dist,
        ROUND(levenshtein(na, nb) / greatest(length(na), 1), 6) AS cer,
-       CAST(CASE WHEN len(vocab) <= 189
+       CAST(CASE WHEN len(vocab) <= 94
                  THEN levenshtein(ea, eb) END AS INTEGER) AS tok_dist,
-       ROUND(CASE WHEN len(vocab) <= 189
+       ROUND(CASE WHEN len(vocab) <= 94
                   THEN levenshtein(ea, eb) END
              / greatest(len(ta), 1), 6) AS wer
 FROM e
@@ -4046,9 +4042,10 @@ def clips_dup_transcript_wer(spark, sf_dir):
     shuffle, uniform — dup ids are rare so no skew) over a 3-column
     projection (bytes pruned); the metric math is operators/text
     edit_metrics — pure JVM expressions, token-level distance riding
-    ``levenshtein`` through the alphabet-renaming encoding.  The Arrow
-    twin (edit_metrics_kernel, no vocab cap) is parity-pinned in
-    tests/test_text_ops for real-length transcripts."""
+    ``levenshtein`` through the alphabet-renaming encoding (ASCII
+    slots only: DuckDB levenshtein counts bytes).  The Arrow twin
+    (edit_metrics_kernel, no vocab cap) is parity-pinned in
+    tests/test_pipeline_ops for real-length transcripts."""
     from .operators.text import edit_metrics
     c = clips_df(spark, sf_dir).select("part", "clip_id", "rid",
                                        "transcript")
@@ -4145,7 +4142,7 @@ def _benford_oracle() -> str:
         for i in range(1, 10))
     return f"""
 WITH g AS (
-  SELECT part, substring(CAST(dur_ms AS VARCHAR), 1, 1) AS d
+  SELECT part, regexp_extract(CAST(dur_ms AS VARCHAR), '[1-9]') AS d
   FROM read_parquet('{CLIPS_SF001_GLOB}') WHERE dur_ms > 0),
 a AS (
   SELECT part, CAST(count(*) AS BIGINT) AS n_rows,

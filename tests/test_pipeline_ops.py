@@ -1784,6 +1784,22 @@ def test_edit_metrics_kernel_parity(spark):
             for r in edit_metrics_kernel(df, "t_a", "t_b").collect()}
     assert expr == kern
 
+    # at the cap boundary (94 joint tokens = every ASCII slot used) the
+    # expression form still matches the kernel; one more token NULLs it
+    for n_joint, expect_null in ((94, False), (95, True)):
+        ja = " ".join(f"t{i}" for i in range(n_joint - 10))
+        jb = " ".join(f"t{i}" for i in range(n_joint - 20, n_joint - 10)) \
+            + " " + " ".join(f"t{i}" for i in range(n_joint - 10, n_joint))
+        jd = spark.createDataFrame([("j", ja, jb)],
+                                   "pid string, t_a string, t_b string")
+        je = edit_metrics(jd, "t_a", "t_b").collect()[0]
+        jk = edit_metrics_kernel(jd, "t_a", "t_b").collect()[0]
+        if expect_null:
+            assert je["tok_dist"] is None
+        else:
+            assert je["tok_dist"] == jk["tok_dist"] is not None
+            assert je["wer"] == jk["wer"]
+
     # above the vocab cap: expression form NULLs out, kernel still exact
     big_a = " ".join(f"a{i}" for i in range(150))
     big_b = " ".join(f"a{i}" for i in range(100, 260))

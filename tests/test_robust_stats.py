@@ -295,6 +295,16 @@ def test_benford_check_model(spark):
     assert out["unif"]["benford_suspect"]
     assert out["unif"]["chi2"] > 100                 # wildly non-Benford
 
+    # fractional magnitudes in (0, 1): the SIGNIFICANT digit is used, not
+    # the string's first char ('0'), so a log-uniform fraction sample
+    # conforms just like the integer one (code-review r4 finding)
+    fracs = 10 ** rng.uniform(-4, 0, 4000)
+    fdf = spark.createDataFrame([("f", float(v)) for v in fracs],
+                                "g string, v double")
+    fr = stats.benford_check(fdf, "v", "g").collect()[0]
+    assert fr["n_rows"] == 4000
+    assert not fr["benford_suspect"]
+
     # chi2 agrees with a numpy recomputation of the same formula
     d = np.array([int(str(v)[0]) for v in conforming])
     n = len(d)
