@@ -383,6 +383,22 @@ def main() -> int:
         DDop.drift_scores_with_p(clips, "dur_ms"),
         {"no_bytes_scan": True, "no_cartesian_data": True,
          "broadcast": True}))
+    # Wasserstein-1 rides the SAME proportions grid as PSI/KS: O(parts x
+    # bins) shuffle, bin grid broadcast, bytes never touched
+    cases.append((
+        "emd_scores (W1 from the shared bin grid, bytes pruned)",
+        DDop.emd_scores(clips, "dur_ms"),
+        {"no_bytes_scan": True, "no_cartesian_data": True,
+         "broadcast": True}))
+    # dropout screen: payload kernel — bytes IS the work, but the scan
+    # must stop at the kernel's input contract (transcript/sr_hz/dur_ms
+    # riding along would be wasted I/O at 100 TB)
+    cases.append((
+        "audio_dropouts (payload kernel: scan limited to input contract)",
+        multimodal.audio_dropouts(clips),
+        {"no_cartesian": True,
+         "scan_cols_subset": {"rid", "clip_id", "part", "bytes",
+                              "codec"}}))
     # semantic decontamination: eval side broadcast BY DESIGN — the one
     # similarity problem where brute force is the scale path (E bounded);
     # assert the broadcast, not no-cartesian (it IS a bounded cross join)
