@@ -426,23 +426,32 @@ def simhash_ab(cpus: str) -> dict:
 
     expr_laps = laps(lambda: dedup.simhash(docs))
     kern_laps = laps(lambda: dedup.simhash_kernel(docs))
+    fold_laps = laps(lambda: dedup.simhash_fold(docs))
     spark.stop()
     expr_sec, kern_sec = min(expr_laps), min(kern_laps)
+    fold_sec = min(fold_laps)
     res = {"n_docs": n, "cpus": int(cpus),
            "expr_laps": [round(x, 2) for x in expr_laps],
            "kernel_laps": [round(x, 2) for x in kern_laps],
+           "fold_laps": [round(x, 2) for x in fold_laps],
            "expr_sec": round(expr_sec, 3),
            "kernel_sec": round(kern_sec, 3),
-           "speedup": round(expr_sec / kern_sec, 2)}
+           "fold_sec": round(fold_sec, 3),
+           "speedup": round(expr_sec / kern_sec, 2),
+           "fold_vs_kernel": round(kern_sec / fold_sec, 2),
+           "fold_vs_expr": round(expr_sec / fold_sec, 2)}
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(f"\n## SimHash A/B {time.strftime('%Y-%m-%d %H:%M')} "
-                f"(expression vs single-pass Arrow kernel)\n\n"
+                f"(expression vs Arrow kernel vs vectorized fold)\n\n"
                 f"{n} transcripts, local[{cpus}], warm-min of 3 laps: "
                 f"expression {res['expr_sec']}s, kernel "
-                f"{res['kernel_sec']}s — **{res['speedup']}x** "
+                f"{res['kernel_sec']}s (**{res['speedup']}x**), fold "
+                f"{res['fold_sec']}s (**{res['fold_vs_kernel']}x** vs "
+                f"kernel, **{res['fold_vs_expr']}x** vs expression) "
                 f"(laps: expr {res['expr_laps']}, "
-                f"kernel {res['kernel_laps']})\n")
+                f"kernel {res['kernel_laps']}, "
+                f"fold {res['fold_laps']})\n")
     return res
 
 

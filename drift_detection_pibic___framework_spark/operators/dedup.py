@@ -243,6 +243,60 @@ def simhash_kernel(docs: DataFrame, col: str = "text",
                        _sim(F.col(col)).alias("simhash"))
 
 
+def simhash_fold(docs: DataFrame, col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Hot-path SimHash v2 (VERDICT r4 ask #3 — vectorize the kernel's
+    token hashing): token hashes are computed JVM-SIDE by exactly the
+    projection the expression form uses (norm_text -> split -> _h64 seed
+    777, whole-stage codegen, zero Python string work), and ONE
+    Arrow-batched kernel folds the hash arrays into signatures fully
+    vectorized — the whole batch's hashes are flattened once and the
+    64-bit sign fold runs as a single ``np.add.reduceat`` over row
+    offsets, with no per-row numpy allocation and no per-token Python
+    loop (``simhash_kernel``'s floor was the per-token ``hashlib.md5``
+    loop; here Python never sees a token string at all).
+
+    Bit-identical to ``simhash()`` and ``simhash_kernel()`` by
+    construction of the shared hash projection (parity-pinned in
+    tests/test_pipeline_ops); A/B'd against both in BENCH/BASELINE.md
+    (``bench.py --simhash-ab``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fold(th: pd.Series) -> pd.Series:
+        n = len(th)
+        arrs = th.to_numpy()
+        # parity quirk shared with both other forms: null text packs to 0
+        isnull = np.fromiter((a is None for a in arrs), dtype=bool,
+                             count=n)
+        out = np.zeros(n, dtype=np.int64)
+        segs = [a for a in arrs if a is not None]
+        if segs:
+            lens = np.fromiter((len(a) for a in segs), dtype=np.int64,
+                               count=len(segs))
+            # hashes are 60-bit (15 hex chars), so the int64 -> uint64
+            # view is value-preserving; every row has >= 1 token
+            # (split("") == [""]), so reduceat segments are never empty
+            flat = np.concatenate(segs).astype(np.uint64)
+            offsets = np.zeros(len(segs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            ones = np.add.reduceat(bits, offsets, axis=0)  # (rows, 64)
+            counts = 2 * ones.astype(np.int64) - lens[:, None]
+            words = ((counts > 0).astype(np.uint64)
+                     << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            out[~isnull] = words.astype(np.int64)
+        return pd.Series(out, dtype="Int64")
+
+    toks = F.split(norm_text(col), " ")
+    th = F.transform(toks, lambda t: _h64(t, 777))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       _fold(th).alias("simhash"))
+
+
 def simhash_near_duplicates(docs: DataFrame, col: str = "text",
                             max_hamming: int = 3,
                             use_kernel: bool = False) -> DataFrame:
@@ -257,11 +311,12 @@ def simhash_near_duplicates(docs: DataFrame, col: str = "text",
     rejected.  More chunks = wider buckets = more candidates — keep the
     radius as tight as the use case allows.
 
-    ``use_kernel``: compute signatures with the single-pass Arrow kernel
-    (13x the expression form on transcripts — BENCH/BASELINE.md SimHash
-    A/B) instead of the SQL-oracle-checkable expression form; results are
-    identical (bit-for-bit parity is test-pinned)."""
-    sh = (simhash_kernel(docs, col) if use_kernel else simhash(docs, col))
+    ``use_kernel``: compute signatures with the vectorized hot path
+    (``simhash_fold``: JVM-side token hashing + one Arrow bit-fold — see
+    BENCH/BASELINE.md SimHash A/B) instead of the SQL-oracle-checkable
+    expression form; results are identical (bit-for-bit parity is
+    test-pinned)."""
+    sh = (simhash_fold(docs, col) if use_kernel else simhash(docs, col))
     return (hamming_near_duplicates(sh, "doc_id", "simhash", max_hamming)
             .select(F.col("id_a").alias("doc_a"),
                     F.col("id_b").alias("doc_b"), "hamming"))

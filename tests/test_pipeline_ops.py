@@ -220,7 +220,12 @@ def test_simhash_kernel_parity(spark, docs):
     kern = {r.doc_id: r.simhash
             for r in dedup.simhash_kernel(corpus).collect()}
     assert expr == kern
-    # expression-form quirk both sides must share: null text packs to 0
+    # the vectorized hot path (JVM token hashing + Arrow bit-fold) must
+    # match both bit-for-bit too
+    fold = {r.doc_id: r.simhash
+            for r in dedup.simhash_fold(corpus).collect()}
+    assert expr == fold
+    # expression-form quirk all three must share: null text packs to 0
     # (per-bit when(NULL > 0).otherwise(0) falls through), not NULL
     assert expr[900005] == 0
     # the hot-path switch yields identical near-dup pairs
