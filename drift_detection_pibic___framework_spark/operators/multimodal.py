@@ -160,7 +160,14 @@ _AUDIO_CHUNK_ROWS = 1024
 def _decode_rows(b: pd.DataFrame):
     """Decode a chunk's payloads INTO the flat scratch signal (one view per
     row, zero temporaries).  Returns (flat, starts, ns, total); the flat
-    buffer is a scratch view valid until the next _scratch('flat', ...)."""
+    buffer is a scratch view valid until the next _scratch('flat', ...).
+
+    Convention shared by EVERY kernel built on this: an empty or
+    undecodable payload occupies ONE zero sample (``ns = max(len//w, 1)``)
+    — never zero — so downstream ``reduceat`` index vectors stay strictly
+    valid and such a clip reads as n_samples=1 with one length-1 run
+    (e.g. audio_dropouts reports (1, 1, 0, 0.0) for it; the pure-numpy
+    per-row references mirror the same fallback)."""
     n = len(b)
     bufs = b["bytes"].to_numpy()
     codecs = b["codec"].to_numpy()
@@ -1448,7 +1455,9 @@ def audio_dropouts_reference(pcm: np.ndarray,
     identical consecutive samples; runs >= min_run are dropouts; the
     ratio is dropout samples over total."""
     if not len(pcm):
-        return 0, 0, 0.0
+        # mirror the shared _decode_rows convention: an empty payload
+        # decodes to ONE zero sample, so the kernel reports (1, 1, 0, 0.0)
+        pcm = np.zeros(1)
     runs, cur = [], 1
     for i in range(1, len(pcm)):
         if pcm[i] == pcm[i - 1]:

@@ -520,14 +520,78 @@ def edit_distance_reference(a: list, b: list) -> int:
     return int(prev[-1])
 
 
-def edit_metrics_kernel(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+def edit_distance_banded(a, b, max_dist: int):
+    """Ukkonen k-band Levenshtein: the EXACT distance when it is
+    <= ``max_dist``, else ``None`` (explicit give-up) — O(k·max(n,m))
+    time and O(k) space instead of full-DP O(n·m), which is what bounds
+    WER/CER on pathological (minutes-long) transcript pairs.
+
+    Correctness argument: any path of cost <= k in the edit lattice stays
+    within |i-j| <= k of the diagonal, so restricting the DP to that band
+    cannot change any value that ends up <= k; cells outside the band are
+    pinned at k+1 and can only inflate values already > k.  The early
+    exit (whole band row > k) is safe for the same reason — row minima
+    are non-decreasing in Levenshtein DP."""
+    import numpy as np
+    k = int(max_dist)
+    if k < 0:
+        raise ValueError("max_dist must be >= 0")
+    n, m = len(a), len(b)
+    if abs(n - m) > k:
+        return None
+    if n == 0 or m == 0:
+        d = max(n, m)
+        return d if d <= k else None
+    INF = k + 1
+    width = 2 * k + 1
+    # prev[t] = D[i-1][j] at band offset t = j - (i-1) + k
+    prev = np.full(width, INF, dtype=np.int64)
+    for j in range(0, min(k, m) + 1):       # row 0: D[0][j] = j
+        prev[j + k] = j
+    cur = np.empty(width, dtype=np.int64)
+    bb = np.asarray(list(b), dtype=object)
+    for i in range(1, n + 1):
+        lo, hi = max(1, i - k), min(m, i + k)
+        cur[:] = INF
+        ts = np.arange(lo - i + k, hi - i + k + 1)
+        # substitution: D[i-1][j-1] sits at the SAME offset t in prev
+        sub = prev[ts] + (bb[lo - 1:hi] != a[i - 1])
+        # deletion: D[i-1][j] sits at offset t+1 (INF past the band edge)
+        dele = np.full_like(sub, INF)
+        valid = ts + 1 < width
+        dele[valid] = prev[ts[valid] + 1] + 1
+        cur[ts] = np.minimum(np.minimum(sub, dele), INF)
+        if i <= k:                           # j = 0 base: D[i][0] = i
+            cur[k - i] = i
+        # insertion carry (D[i][j-1] + 1), sequential over <= 2k+1 cells
+        for t in range(int(ts[0]), int(ts[-1]) + 1):
+            left = cur[t - 1] + 1 if t >= 1 else INF
+            if left < cur[t]:
+                cur[t] = left
+        prev, cur = cur, prev
+        if prev.min() > k:                   # row minima never decrease
+            return None
+    d = int(prev[m - n + k])
+    return d if d <= k else None
+
+
+def edit_metrics_kernel(df: DataFrame, col_a: str, col_b: str,
+                        max_dist: int = None) -> DataFrame:
     """Arrow twin of ``edit_metrics`` with NO vocabulary cap — the scale
     path for real transcripts (hundreds of distinct tokens).  One
     vectorized pandas UDF computes char and token distance per pair;
     normalization, NULL handling and denominators are parity-pinned
     against the expression form (tests/test_pipeline_ops).  Cost is
     O(len_a·len_b) per pair — pairs feeding this are conflict candidates
-    (tiny vs the corpus), never the full table."""
+    (tiny vs the corpus), never the full table.
+
+    ``max_dist``: Ukkonen k-band cutoff (edit_distance_banded) bounding
+    the per-pair cost at O(max_dist·len) — the guard for pathological
+    (minutes-long) transcript pairs.  A distance that exceeds the bound
+    comes back NULL in char_dist/tok_dist (and so in cer/wer): an
+    EXPLICIT give-up verdict, distinguishable from a real small distance
+    — adjudication callers treat NULL as 'disagree worse than the
+    threshold' since any threshold of interest is below the bound."""
     import re
 
     from pyspark.sql.functions import pandas_udf
@@ -539,15 +603,20 @@ def edit_metrics_kernel(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         # simhash kernel) — without it unicode whitespace (NBSP) would
         # tokenize differently between the twins
         ws = re.compile(r"\s+", re.ASCII)
+        if max_dist is None:
+            def dist(u, v):
+                return edit_distance_reference(u, v)
+        else:
+            def dist(u, v):
+                return edit_distance_banded(u, v, max_dist)
         out = []
         for x, y in zip(a, b):
             nx = ws.sub(" ", x or "").strip(" ").lower()
             ny = ws.sub(" ", y or "").strip(" ").lower()
             out.append([
-                edit_distance_reference(list(nx), list(ny)),
-                edit_distance_reference(
-                    nx.split(" ") if nx else [],
-                    ny.split(" ") if ny else [])])
+                dist(list(nx), list(ny)),
+                dist(nx.split(" ") if nx else [],
+                     ny.split(" ") if ny else [])])
         return pd.Series(out)
 
     na = _edit_norm(F.col(col_a))

@@ -102,6 +102,14 @@ def _transcripts(rng: np.random.Generator, n: int) -> list:
     for ln in lengths:
         out.append(" ".join(VOCAB[w] for w in words[off:off + ln]))
         off += int(ln)
+    # ASCII is load-bearing, not incidental: char_dist/cer oracle parity
+    # rides DuckDB's BYTE-based levenshtein against Spark's
+    # codepoint-based one (operators/text.py edit_metrics), and the
+    # 94-slot token encoding assumes single-byte chars.  A future vocab
+    # change that introduces non-ASCII must fail HERE, at the source,
+    # not as an opaque oracle hash mismatch (ADVICE r4).
+    assert all(t.isascii() for t in out), \
+        "fixture transcripts must stay ASCII (edit-metric oracle parity)"
     return out
 
 

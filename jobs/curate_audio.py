@@ -170,9 +170,14 @@ def main() -> int:
             # adjudicate: WER <= threshold is transcription noise, not a
             # conflicting label — keep the pair and let payload dedup
             # collapse it.  The Arrow kernel (no vocabulary cap) scores
-            # only the conflict pairs (tiny vs the corpus).
+            # only the conflict pairs (tiny vs the corpus).  The drop
+            # decision uses the ORIENTATION-INVARIANT denominator
+            # max(tokens_a, tokens_b): neither member of a label-conflict
+            # pair is a reference, and tok_dist/n_tokens_a would let the
+            # verdict flip with which clip drew the smaller id on
+            # length-asymmetric transcripts (ADVICE r4).
             from drift_detection_pibic___framework_spark.operators.text \
-                import edit_metrics_kernel
+                import _edit_norm, edit_metrics_kernel
             tr = screened.select("clip_id", "transcript")
             scored = (conf
                       .join(tr.select(F.col("clip_id").alias("clip_a"),
@@ -181,8 +186,17 @@ def main() -> int:
                       .join(tr.select(F.col("clip_id").alias("clip_b"),
                                       F.col("transcript").alias("t_b")),
                             "clip_b"))
+
+            def _ntok(c):
+                n = _edit_norm(F.col(c))
+                return F.when(n == "", 0).otherwise(
+                    F.size(F.split(n, " ")))
+
             conf = (edit_metrics_kernel(scored, "t_a", "t_b")
-                    .filter(F.col("wer") > args.wer_threshold))
+                    .withColumn("wer_sym", F.col("tok_dist") /
+                                F.greatest(_ntok("t_a"), _ntok("t_b"),
+                                           F.lit(1)))
+                    .filter(F.col("wer_sym") > args.wer_threshold))
         bad_ids = (conf.select(F.col("clip_a").alias("clip_id"))
                    .unionByName(conf.select(F.col("clip_b")
                                             .alias("clip_id")))

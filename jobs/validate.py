@@ -109,19 +109,33 @@ def main() -> int:
                          "LHS-key group carrying more than one distinct "
                          "RHS value (NULL counts as a value), e.g. "
                          "--fd part,clip_id:transcript.  Exit 1 when "
-                         "violations exist")
+                         "violations exist.  EXCLUSIVE screen mode: runs "
+                         "instead of the default drift report; cannot be "
+                         "combined with --quarantine.  May be combined "
+                         "with --benford (exit reflects the FD gate; "
+                         "Benford stays advisory)")
     ap.add_argument("--benford", default=None, metavar="COL",
                     help="Benford first-digit screen on COL per "
                          "partition: chi-squared of the leading-digit "
                          "histogram vs Benford's law.  Reports suspects; "
                          "always exit 0 (screen, not a gate — most real "
-                         "single-unit magnitudes are NOT Benford)")
+                         "single-unit magnitudes are NOT Benford).  "
+                         "EXCLUSIVE screen mode, as --fd")
     ap.add_argument("--quarantine", default=None, metavar="OUT_DIR",
                     help="split the clips table into admitted/quarantined "
                          "parquet sinks with per-row reasons and print the "
                          "per-partition admission report (exit 1 if any "
                          "row was quarantined)")
     args = ap.parse_args()
+
+    if (args.fd or args.benford) and args.quarantine:
+        # the screen block returns before the quarantine path would run —
+        # reject the combination instead of silently skipping half of it
+        # (same contract as the --wer-threshold guard in curate_audio)
+        print("error: --fd/--benford are exclusive screen modes and "
+              "cannot be combined with --quarantine; run them as "
+              "separate invocations", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession, functions as F
 

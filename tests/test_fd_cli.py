@@ -39,3 +39,23 @@ def test_benford_cli_screens_all_parts(fixture_dir, monkeypatch, capsys):
     # lognormal(sigma=0.4) spans < 2 decades: decidedly non-Benford on
     # every partition at n=200
     assert "16/16 partitions suspect" in out
+
+
+def test_fd_benford_exclusive_with_quarantine(fixture_dir, monkeypatch,
+                                              capsys, tmp_path):
+    """--fd/--benford are exclusive screen modes: combining either with
+    --quarantine is a usage error (the screen block would otherwise
+    return before the quarantine path, silently skipping it)."""
+    import jobs.validate as V
+
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--data", fixture_dir,
+        "--fd", "part,clip_id:transcript",
+        "--quarantine", str(tmp_path / "q")])
+    assert V.main() == 2
+    assert "exclusive screen modes" in capsys.readouterr().err
+
+    monkeypatch.setattr(sys, "argv", [
+        "validate.py", "--data", fixture_dir, "--benford", "dur_ms",
+        "--quarantine", str(tmp_path / "q2")])
+    assert V.main() == 2

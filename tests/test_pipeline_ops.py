@@ -1833,6 +1833,82 @@ def test_edit_distance_reference_dp():
     assert ed([], ["x", "y"]) == 2
 
 
+def test_edit_distance_banded_parity_and_giveup():
+    """Ukkonen band vs the full DP: exact whenever the true distance is
+    within the bound, explicit None whenever it is not — swept over
+    random pairs at every k straddling the true distance."""
+    import random
+
+    from drift_detection_pibic___framework_spark.operators.text import (
+        edit_distance_banded as edb, edit_distance_reference as ed)
+    rng = random.Random(42)
+    alpha = "abcd"
+    for trial in range(120):
+        a = [rng.choice(alpha) for _ in range(rng.randrange(0, 15))]
+        b = list(a)
+        for _ in range(rng.randrange(0, 6)):       # mutate b
+            op = rng.randrange(3)
+            if op == 0 and b:
+                b.pop(rng.randrange(len(b)))
+            elif op == 1:
+                b.insert(rng.randrange(len(b) + 1), rng.choice(alpha))
+            elif b:
+                b[rng.randrange(len(b))] = rng.choice(alpha)
+        true = ed(a, b)
+        for k in (0, max(0, true - 1), true, true + 1, true + 5):
+            got = edb(a, b, k)
+            assert got == (true if true <= k else None), \
+                (a, b, k, true, got)
+    # length-gap fast path and empty sides
+    assert edb(list("abc"), [], 2) is None
+    assert edb(list("abc"), [], 3) == 3
+    assert edb([], [], 0) == 0
+
+
+def test_edit_distance_banded_long_transcript_bounded():
+    """The scale guard: a pathological pair of 40k-char transcripts is
+    O(k·n) under the band (full DP would be 1.6e9 cells).  Both the
+    small-distance exact case and the give-up case must finish fast."""
+    import time
+
+    from drift_detection_pibic___framework_spark.operators.text import (
+        edit_distance_banded as edb)
+    base = ("the quick brown fox jumps over the lazy dog " * 900)
+    near = "x" + base[2:20000] + "yy" + base[20002:]   # a few edits
+    far = base[::-1]
+    t0 = time.time()
+    d = edb(list(base), list(near), 50)
+    assert d is not None and 1 <= d <= 50
+    assert edb(list(base), list(far), 50) is None      # early-exit row
+    assert time.time() - t0 < 15
+
+
+def test_edit_metrics_kernel_max_dist_giveup(spark):
+    """max_dist plumbs the band through the kernel: distances within the
+    bound match the unbounded kernel exactly; beyond it char/tok/cer/wer
+    all come back NULL (the explicit give-up verdict)."""
+    from drift_detection_pibic___framework_spark.operators.text import \
+        edit_metrics_kernel
+    df = spark.createDataFrame(
+        [("close", "a b c d e", "a b x d e"),
+         ("far", "a b c d e", "v w x y z"),
+         ("null_a", None, "some words here")],
+        "pid string, t_a string, t_b string")
+    unb = {r["pid"]: r for r in
+           edit_metrics_kernel(df, "t_a", "t_b").collect()}
+    cap = {r["pid"]: r for r in
+           edit_metrics_kernel(df, "t_a", "t_b", max_dist=3).collect()}
+    for col in ("char_dist", "cer", "tok_dist", "wer"):
+        assert cap["close"][col] == unb["close"][col] is not None
+    assert cap["far"]["tok_dist"] is None and cap["far"]["wer"] is None
+    assert unb["far"]["tok_dist"] == 5                 # unbounded stays exact
+    # char distance of the far pair (9 chars apart > 3) also gives up
+    assert cap["far"]["char_dist"] is None
+    # NULL a-side vs 15-char b-side: insertion count 15 > 3 -> give-up
+    assert cap["null_a"]["char_dist"] is None
+    assert unb["null_a"]["char_dist"] == 15
+
+
 # ---------------------------------------------------------------------------
 # audio dropout screen: constant-sample runs
 # ---------------------------------------------------------------------------
@@ -1852,10 +1928,25 @@ def test_audio_dropouts_match_per_row_reference(spark, clips):
         pcm = audio.decode(r["bytes"], r["codec"])
         mx, nd, ratio = multimodal.audio_dropouts_reference(pcm)
         g = got.loc[r["rid"]]
-        assert g["n_samples"] == len(pcm)
+        assert g["n_samples"] == max(len(pcm), 1)
         assert g["max_const_run"] == mx
         assert g["n_dropout_runs"] == nd
         assert abs(g["dropout_ratio"] - round(ratio, 6)) < 1e-9
+    # empty / undecodable payloads: the shared _decode_rows convention
+    # (one zero sample) must hold in BOTH the kernel and the reference
+    adversarial = spark.createDataFrame(
+        [(900001, "e1", 0, b"", "pcm_s16le"),
+         (900002, "e2", 0, b"", "mulaw"),
+         (900003, "e3", 0, b"\x7f", "pcm_s16le")],  # odd-length s16
+        "rid long, clip_id string, part int, bytes binary, codec string")
+    adv = (multimodal.audio_dropouts(adversarial)
+           .toPandas().set_index("rid"))
+    assert multimodal.audio_dropouts_reference(np.array([])) == (1, 0, 0.0)
+    for rid in (900001, 900003):                # zero/odd s16 -> 1 sample
+        assert (adv.loc[rid]["n_samples"], adv.loc[rid]["max_const_run"],
+                adv.loc[rid]["n_dropout_runs"],
+                adv.loc[rid]["dropout_ratio"]) == (1, 1, 0, 0.0)
+    assert adv.loc[900002]["n_samples"] == 1    # empty mulaw too
 
 
 def test_audio_dropouts_synthetic_injection(spark):
