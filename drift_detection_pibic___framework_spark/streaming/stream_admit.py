@@ -1,0 +1,144 @@
+"""Streaming ingest admission against the PERSISTED dedup index.
+
+``stream_dedup.py`` owns the SHORT horizon (retry/replay duplicates
+inside the watermark, bounded state-store rows).  THIS module closes the
+long horizon: every micro-batch is admitted against the durable
+``DedupIndex`` tables (``dedup_digests`` / ``dedup_bands``), so a
+document that duplicates ANYTHING ever admitted — yesterday's crawl, a
+different route, a previous stream run — is dropped at ingest.  Per
+epoch the work is O(increment): the exact and LSH phases join the batch
+against the persisted key tables, and previously-admitted TEXT is read
+only semi-join-restricted to verify candidates (the dedup_incremental
+one-scan contract).
+
+Exactly-once index growth under foreachBatch's at-least-once replay
+contract, across THREE tables with no multi-table transaction:
+
+1. an epoch already in the manifest returns immediately (its commits
+   completed — the manifest row is the commit point);
+2. otherwise a PENDING state sidecar carrying every table's current tip
+   is committed BEFORE the first table write; a crash anywhere between
+   first write and manifest row leaves the pending record, and the next
+   invocation rolls each table back to its recorded tip before
+   recomputing (TableIO snapshot rollback);
+3. a pending record whose epoch IS in the manifest means the crash fell
+   between manifest commit and pending-clear — the commits completed, so
+   recovery just clears the record (never rolls back manifested data).
+
+The reference analogue is its persistent cross-sample pools
+(/root/reference/utils/StreamProcessor.py:57): state survives the
+stream instead of being rebuilt per sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import DedupIndex
+from ..sources.tableio import ParquetTableIO
+
+ADMITTED_TABLE = "admitted_docs"
+ADMIT_SCOPE = "dedup_admit_epochs"
+PENDING_SCOPE = "dedup_admit_pending"
+
+
+def ensure_admission_tables(spark: SparkSession, idx: DedupIndex) -> None:
+    """Bootstrap the index + admitted-docs tables with one empty commit
+    each, so every later tip is a real snapshot id (rollback_to targets
+    always exist) and a first stream run needs no special-casing."""
+    io = idx.io
+    if not io.has_appended(idx.DIGESTS):
+        empty = spark.createDataFrame(
+            [], f"{idx.id_col} long, {idx.col} string")
+        idx.build(empty)
+    if not io.has_appended(ADMITTED_TABLE):
+        empty = spark.createDataFrame(
+            [], f"{idx.id_col} long, {idx.col} string")
+        io.append(empty, ADMITTED_TABLE)
+
+
+class AdmissionGate:
+    """The foreachBatch handler, a named class so batch tests can drive
+    it directly with static DataFrames (epoch replay / crash recovery are
+    plain method calls, no stream machinery needed)."""
+
+    def __init__(self, idx: DedupIndex, out_dir: str,
+                 threshold: float = 0.7):
+        self.idx = idx
+        self.io = idx.io
+        self.out_dir = out_dir
+        self.threshold = threshold
+
+    def _tables(self):
+        return (self.idx.DIGESTS, self.idx.BANDS, ADMITTED_TABLE)
+
+    def _tips(self) -> dict:
+        return {t: self.io.snapshots(t)[-1]["snap"] for t in self._tables()}
+
+    def recover(self) -> bool:
+        """Undo a half-committed previous attempt (see module docstring
+        rule 2/3).  Returns True if a rollback happened."""
+        pend = self.io.read_state(PENDING_SCOPE)
+        if not pend:
+            return False
+        rolled = False
+        if pend["epoch"] not in self.io.read_manifest(ADMIT_SCOPE):
+            for t, tip in pend["tips"].items():
+                if self.io.snapshots(t)[-1]["snap"] != tip:
+                    self.io.rollback(t, tip)
+                    rolled = True
+        self.io.clear_state(PENDING_SCOPE)
+        return rolled
+
+    def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        e = int(epoch_id)
+        if e in self.io.read_manifest(ADMIT_SCOPE):
+            return                          # replay of a completed epoch
+        self.recover()
+        spark = batch.sparkSession
+        corpus = self.io.read_appended(spark, ADMITTED_TABLE)
+        admitted = self.idx.admit(batch, corpus,
+                                  threshold=self.threshold).persist()
+        admitted.count()                    # pin before the commits below
+        # intent record FIRST: every commit after this line is
+        # rollback-covered until the manifest row lands
+        self.io.commit_state(PENDING_SCOPE, {"epoch": e,
+                                             "tips": self._tips()})
+        snap_a = self.io.append(
+            admitted.select(self.idx.id_col, self.idx.col), ADMITTED_TABLE)
+        token = self.idx.commit(admitted)
+        (admitted.withColumn("epoch", F.lit(e))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(self.out_dir))            # idempotent inspection sink
+        self.io.commit_manifest_row(
+            ADMIT_SCOPE, e, {"admitted": snap_a, **token})
+        self.io.clear_state(PENDING_SCOPE)
+        admitted.unpersist()
+
+
+def admission_stream(spark: SparkSession, docs_dir: str, schema,
+                     out_dir: str, checkpoint_dir: str, index_root: str,
+                     threshold: float = 0.7, num_hashes: int = 16,
+                     bands: int = 8, k: int = 3,
+                     id_col: str = "doc_id", col: str = "text",
+                     max_files_per_trigger: int = 1,
+                     available_now: bool = True):
+    """Wire a file-source document feed through the persisted-index
+    admission gate.  Epoch order is admission order: when duplicates
+    span epochs the EARLIER arrival wins (batch dedup's min-id canonical
+    rule, specialized to arrival order)."""
+    io = ParquetTableIO(index_root)
+    idx = DedupIndex(io, num_hashes=num_hashes, bands=bands, k=k,
+                     col=col, id_col=id_col)
+    ensure_admission_tables(spark, idx)
+    gate = AdmissionGate(idx, out_dir, threshold)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(docs_dir))
+    writer = (stream.writeStream.foreachBatch(gate)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,192 @@
+"""Streaming admission via the persisted DedupIndex (VERDICT r4 ask #6):
+batch/stream admission parity, exactly-once replay, half-commit crash
+recovery, and checkpoint kill/resume."""
+
+import os
+
+from drift_detection_pibic___framework_spark.operators.dedup import (
+    DedupIndex)
+from drift_detection_pibic___framework_spark.sources.tableio import (
+    ParquetTableIO)
+from drift_detection_pibic___framework_spark.streaming.stream_admit import (
+    ADMIT_SCOPE, ADMITTED_TABLE, PENDING_SCOPE, AdmissionGate,
+    admission_stream, ensure_admission_tables)
+
+SCHEMA = "doc_id long, text string"
+# LSH knobs sized for tiny fixtures: 16 hashes / 8 bands -> 2 rows per
+# band, so moderate Jaccard still collides somewhere
+KN = dict(num_hashes=16, bands=8, k=3)
+
+SEED = [
+    (1, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+    (2, "one two three four five six seven eight nine ten"),
+    (3, "the quick brown fox jumps over the lazy dog today"),
+]
+# increment: 9 docs in 3 arrival files (ids ascending with arrival, so
+# stream epoch order == batch min-id canonical order)
+FILES = [
+    [(10, "alpha bravo charlie delta echo foxtrot golf hotel india"),
+     (11, "completely fresh document number eleven with its own words"),
+     (12, "one two three four five six seven eight nine eleven")],
+    [(13, "completely fresh document number eleven with its own words"),
+     (14, "another new document that matches nothing in the corpus"),
+     (15, "the quick brown fox jumps over the lazy dog today")],
+    [(16, "another new document that matches nothing at all here"),
+     (17, "final fresh unique content closing out the increment batch"),
+     (18, "one two three four five six seven eight nine eleven")],
+]
+# 10 = exact dup of seed 1; 15 = exact dup of seed 3; 12 = near dup of
+# seed 2 (Jaccard 7/9); 13 = exact dup of 11 (cross-epoch); 18 = exact
+# dup of 12 (cross-epoch); 16 shares a 7-token prefix with 14 but sits
+# at Jaccard 4/12 < 0.6 -> stays admitted (the near-miss control)
+
+
+def _mkidx(tmp_path, name):
+    return DedupIndex(ParquetTableIO(str(tmp_path / name)), **KN)
+
+
+def _batch_admit(spark, idx):
+    seed = spark.createDataFrame(SEED, SCHEMA)
+    idx.build(seed)
+    idx.io.append(seed, ADMITTED_TABLE)
+    inc = spark.createDataFrame(sum(FILES, []), SCHEMA)
+    admitted = idx.admit(inc, seed, threshold=0.6).persist()
+    admitted.count()
+    idx.commit(admitted)
+    return sorted(r.doc_id for r in admitted.collect())
+
+
+def test_stream_admission_matches_batch(spark, tmp_path):
+    """Same increment -> same admitted set, one-shot batch vs 3-epoch
+    stream (arrival order respects id order, so epoch-order canonical
+    == min-id canonical)."""
+    batch_ids = _batch_admit(spark, _mkidx(tmp_path, "b"))
+    assert 11 in batch_ids and 14 in batch_ids and 17 in batch_ids
+    assert {10, 12, 13, 15, 18} & set(batch_ids) == set()
+
+    sio = ParquetTableIO(str(tmp_path / "s"))
+    sidx = DedupIndex(sio, **KN)
+    ensure_admission_tables(spark, sidx)
+    seed = spark.createDataFrame(SEED, SCHEMA)
+    sidx.build(seed)
+    sio.append(seed, ADMITTED_TABLE)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i, rows in enumerate(FILES):
+        (spark.createDataFrame(rows, SCHEMA).coalesce(1)
+         .write.parquet(f"{feed}/f{i}"))
+        # one top-level file per arrival unit
+        os.system(f"mv {feed}/f{i}/part-*.parquet {feed}/arrive-{i}.parquet"
+                  f" && rm -r {feed}/f{i}")
+    out = str(tmp_path / "out")
+    q = admission_stream(spark, feed, SCHEMA, out,
+                         str(tmp_path / "ckpt"),
+                         str(tmp_path / "s"), threshold=0.6, **KN)
+    q.awaitTermination(120)
+    stream_ids = sorted(r.doc_id for r in
+                        spark.read.parquet(out).collect())
+    assert stream_ids == batch_ids
+    # index state converged too: same digest sets on both roots
+    bio = ParquetTableIO(str(tmp_path / "b"))
+    bd = {r.digest for r in
+          bio.read_appended(spark, DedupIndex.DIGESTS).collect()}
+    sd = {r.digest for r in
+          sio.read_appended(spark, DedupIndex.DIGESTS).collect()}
+    assert bd == sd
+    # exactly one manifest row per epoch, all three tables committed
+    assert sorted(sio.read_manifest(ADMIT_SCOPE)) == [0, 1, 2]
+
+
+def _gate(spark, tmp_path, name="g"):
+    io = ParquetTableIO(str(tmp_path / name))
+    idx = DedupIndex(io, **KN)
+    ensure_admission_tables(spark, idx)
+    seed = spark.createDataFrame(SEED, SCHEMA)
+    idx.build(seed)
+    io.append(seed, ADMITTED_TABLE)
+    return AdmissionGate(idx, str(tmp_path / f"{name}_out"), threshold=0.6)
+
+
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    """foreachBatch at-least-once: a replay of a manifested epoch must
+    not grow the index or the admitted table."""
+    gate = _gate(spark, tmp_path)
+    b0 = spark.createDataFrame(FILES[0], SCHEMA)
+    gate(b0, 0)
+    snaps = {t: [e["snap"] for e in gate.io.snapshots(t)]
+             for t in gate._tables()}
+    gate(b0, 0)                                 # replay
+    assert {t: [e["snap"] for e in gate.io.snapshots(t)]
+            for t in gate._tables()} == snaps
+    admitted = sorted(r.doc_id for r in gate.io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    assert admitted == [1, 2, 3, 11]            # 10/12 dropped vs seed
+
+
+def test_half_commit_crash_recovers_exactly_once(spark, tmp_path):
+    """Crash between the first table write and the manifest row: the
+    pending record must roll the half-commit back, and the retried epoch
+    must land exactly once (no duplicate admitted rows or index keys)."""
+    gate = _gate(spark, tmp_path)
+    b0 = spark.createDataFrame(FILES[0], SCHEMA)
+    # simulate: intent recorded, admitted-table write landed, index
+    # writes and manifest row never happened
+    gate.io.commit_state(PENDING_SCOPE, {"epoch": 0, "tips": gate._tips()})
+    gate.io.append(b0, ADMITTED_TABLE)          # poisoned partial write
+    gate(b0, 0)                                 # retry
+    admitted = sorted(r.doc_id for r in gate.io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    assert admitted == [1, 2, 3, 11]            # partial write rolled back
+    assert gate.io.read_state(PENDING_SCOPE) is None
+    assert 0 in gate.io.read_manifest(ADMIT_SCOPE)
+
+
+def test_pending_after_manifest_never_rolls_back(spark, tmp_path):
+    """Crash between manifest commit and pending-clear: recovery must
+    KEEP the manifested commits (rule 3) and only clear the record."""
+    gate = _gate(spark, tmp_path)
+    b0 = spark.createDataFrame(FILES[0], SCHEMA)
+    tips_before = gate._tips()
+    gate(b0, 0)
+    # re-plant the pending record as if the clear never ran
+    gate.io.commit_state(PENDING_SCOPE, {"epoch": 0, "tips": tips_before})
+    assert gate.recover() is False
+    admitted = sorted(r.doc_id for r in gate.io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    assert admitted == [1, 2, 3, 11]
+
+
+def test_checkpoint_kill_resume(spark, tmp_path):
+    """Drain file 0, stop the query, drop the remaining files in, restart
+    on the SAME checkpoint: already-processed epochs replay as no-ops and
+    the final admitted set equals the single-run result."""
+    sio = ParquetTableIO(str(tmp_path / "s"))
+    sidx = DedupIndex(sio, **KN)
+    ensure_admission_tables(spark, sidx)
+    seed = spark.createDataFrame(SEED, SCHEMA)
+    sidx.build(seed)
+    sio.append(seed, ADMITTED_TABLE)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    def drop(i):
+        (spark.createDataFrame(FILES[i], SCHEMA).coalesce(1)
+         .write.parquet(f"{feed}/f{i}"))
+        os.system(f"mv {feed}/f{i}/part-*.parquet {feed}/arrive-{i}.parquet"
+                  f" && rm -r {feed}/f{i}")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    drop(0)
+    q = admission_stream(spark, feed, SCHEMA, out, ckpt,
+                         str(tmp_path / "s"), threshold=0.6, **KN)
+    q.awaitTermination(120)
+    drop(1)
+    drop(2)
+    q = admission_stream(spark, feed, SCHEMA, out, ckpt,
+                         str(tmp_path / "s"), threshold=0.6, **KN)
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [11, 14, 16, 17]
+    # no epoch double-committed across the restart
+    m = sio.read_manifest(ADMIT_SCOPE)
+    assert len(m) == len(set(m)) == 3
