@@ -66,18 +66,41 @@ def _kmeans(x: np.ndarray, k: int, seed: int = 42, n_init: int = 10,
 
 
 def identify_regimes(clips: DataFrame, k: int = 2, cols=SUMMARY_COLS,
-                     seed: int = 42) -> dict:
+                     seed: int = 42,
+                     max_fit_summaries: int = 100_000) -> dict:
     """part -> regime id. Summaries are z-scored before clustering (the
     reference scales features with its fitted StandardScaler,
     framework_detector.py:27-31). Regime ids are canonicalized by order of
     first appearance along the partition sequence, so ids are stable across
-    runs regardless of init randomness."""
+    runs regardless of init randomness.
+
+    ``max_fit_summaries`` caps the driver-side REFIT (VERDICT r4 ask #8):
+    the summaries are one row per partition — fine to collect at 10^5
+    partitions, but the Lloyd's refit is O(parts·k·iters·n_init) and at
+    10^7 partitions that dominates.  Above the cap the fit runs on a
+    deterministic md5-ordered sample (a keyed reservoir: stable across
+    runs and under partition appends, no RNG state to carry), and every
+    partition is then assigned to its nearest fitted center in one
+    vectorized O(parts·k) pass — the same order of work as stamping the
+    manifest rows, which is already per-partition.  Below the cap the
+    exact original labels are used (bit-identical to prior behavior)."""
     pdf = partition_summaries(clips, cols).toPandas()
     x = pdf.drop(columns=["part"]).to_numpy(dtype=np.float64)
     mu = x.mean(axis=0)
     sd = x.std(axis=0)
     sd[sd == 0] = 1.0
-    labels, _c, _i = _kmeans((x - mu) / sd, k=k, seed=seed)
+    xz = (x - mu) / sd
+    if len(pdf) > max_fit_summaries:
+        import hashlib
+        order = np.argsort([
+            hashlib.md5(f"regime:{int(p)}".encode()).hexdigest()
+            for p in pdf["part"]], kind="stable")
+        _fl, centers, _i = _kmeans(xz[order[:max_fit_summaries]],
+                                   k=k, seed=seed)
+        d = ((xz[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = d.argmin(axis=1)
+    else:
+        labels, _c, _i = _kmeans(xz, k=k, seed=seed)
     remap: dict = {}
     out = {}
     for part, lab in zip(pdf["part"], labels):

@@ -28,3 +28,17 @@ def test_kmeans_recovers_planted_clusters():
     assert len(set(labels[:50])) == 1 and len(set(labels[50:])) == 1
     assert labels[0] != labels[-1]
     assert inertia < 10.0
+
+
+def test_capped_fit_matches_full_fit_on_separated_clusters(spark, clips):
+    """Above max_fit_summaries the fit runs on a deterministic sample and
+    labels come from nearest-center assignment: on the fixture's
+    well-separated regimes the capped path must (a) be deterministic and
+    (b) agree with the uncapped labels, because any decent subsample
+    recovers the same two centers.  (Canonicalization keeps ids
+    comparable across the two paths.)"""
+    full = regimes.identify_regimes(clips, k=2)
+    capped = regimes.identify_regimes(clips, k=2, max_fit_summaries=6)
+    assert capped == regimes.identify_regimes(clips, k=2,
+                                              max_fit_summaries=6)
+    assert capped == full
