@@ -98,6 +98,18 @@ def main() -> int:
     ap.add_argument("--pack-seq-len", type=int, default=0, metavar="B",
                     help="assign GPT-style pack-and-split sequence ids "
                          "with B tokens per sequence (0 = no packing)")
+    ap.add_argument("--admit-stream", default=None, metavar="INDEX_ROOT",
+                    help="streaming ingest admission against the persisted "
+                         "DedupIndex at INDEX_ROOT: drain --feed (parquet "
+                         "files of doc_id,text) through the exactly-once "
+                         "gate (streaming/stream_admit.py) into --out, "
+                         "resumable from --checkpoint; near-dup threshold "
+                         "= --jaccard.  Exclusive mode: no other curation "
+                         "stage runs")
+    ap.add_argument("--feed", default=None, metavar="DIR",
+                    help="document feed directory for --admit-stream")
+    ap.add_argument("--checkpoint", default=None, metavar="DIR",
+                    help="streaming checkpoint for --admit-stream")
     ap.add_argument("--master",
                     default=os.environ.get("SPARK_MASTER", "local[8]"))
     ap.add_argument("--shuffle-partitions", type=int, default=16)
@@ -108,10 +120,16 @@ def main() -> int:
     from drift_detection_pibic___framework_spark.operators import (
         dedup, sampling, text)
 
-    doc_path = os.path.join(args.data, "documents.parquet")
-    if not os.path.exists(doc_path):
-        print(f"error: {doc_path} not found", file=sys.stderr)
-        return 2
+    if args.admit_stream:
+        if not (args.feed and args.out and args.checkpoint):
+            print("error: --admit-stream needs --feed, --out and "
+                  "--checkpoint", file=sys.stderr)
+            return 2
+    else:
+        doc_path = os.path.join(args.data, "documents.parquet")
+        if not os.path.exists(doc_path):
+            print(f"error: {doc_path} not found", file=sys.stderr)
+            return 2
 
     t0 = time.time()
     spark = (SparkSession.builder.master(args.master)
@@ -122,6 +140,24 @@ def main() -> int:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.admit_stream:
+        from drift_detection_pibic___framework_spark.sources.tableio \
+            import ParquetTableIO
+        from drift_detection_pibic___framework_spark.streaming.stream_admit \
+            import ADMIT_SCOPE, ADMITTED_TABLE, admission_stream
+        q = admission_stream(spark, args.feed, "doc_id long, text string",
+                             args.out, args.checkpoint, args.admit_stream,
+                             threshold=args.jaccard)
+        q.awaitTermination()
+        io = ParquetTableIO(args.admit_stream)
+        epochs = sorted(io.read_manifest(ADMIT_SCOPE))
+        n_total = io.read_appended(spark, ADMITTED_TABLE).count()
+        dt = time.time() - t0
+        print(f"admitted stream drained: {len(epochs)} epochs committed "
+              f"(ids {epochs[:8]}{'...' if len(epochs) > 8 else ''}), "
+              f"index now covers {n_total} docs, in {dt:.1f}s")
+        return 0
 
     docs = spark.read.parquet(doc_path)
     n_in = docs.count()
