@@ -411,6 +411,44 @@ def main() -> int:
             SIMop.semantic_contamination(
                 emb, emb.filter("vec_id < 20"), threshold=0.4),
             {"broadcast": True}))
+        # persisted AnnIndex (r5): admit assigns cells to the INCREMENT
+        # only — the plan is a narrow codegen projection over the new
+        # vectors; neither the ann_cells inverted file nor the base
+        # corpus may appear in it (the O(increment) contract that keeps
+        # a 10^12-vector index maintainable)
+        tio_a = ParquetTableIO(tempfile.mkdtemp(prefix="plan_audit_ann_"))
+        idx = SIMop.AnnIndex(tio_a, n_files=16)
+        idx.build(emb, centroids=SIMop.random_unit_centroids(64, 16))
+        _inc = emb.filter("vec_id < 5").select(
+            F.col("vec_id"), F.col("embedding"))
+        cases.append((
+            "ann_index.admit assignment (O(increment): index + base "
+            "untouched)",
+            SIMop.with_ivf_cell(_inc, idx.centroids(), "embedding"),
+            {"no_cartesian": True, "codegen": True, "zero_exchange": True,
+             "plan_excludes": ["ann_cells"]}))
+        # search must probe ONLY the probed cells' parquet files: the
+        # inverted file is range-clustered on ivf_cell, so plan_probe's
+        # footer min/max pruning drops every unprobed cell's files from
+        # the scan list (files_kept < files_total, the static verdict
+        # below), and the join back to the query batch stays equi on
+        # ivf_cell.  (embeddings.parquet DOES appear in this plan — as
+        # the caller-supplied QUERY batch, a bounded side; the base
+        # corpus is only ever read through the pruned ann_cells listing.)
+        _sr = idx.search(spark, emb.filter("vec_id < 2"), k=3, n_probe=2)
+        _rep = idx.last_probe_report or {}
+        cases.append((
+            "ann_index.search (persisted IVF: probed-cell file pruning)",
+            _sr,
+            {"no_cartesian": True, "hash_join": True,
+             "static_verdicts": [(
+                 "probe scans {k}/{t} files for {c} probed cells "
+                 "(pruned inverted file)".format(
+                     k=_rep.get("files_kept"), t=_rep.get("files_total"),
+                     c=_rep.get("cells_probed")),
+                 bool(_rep) and not _rep.get("fallback", True)
+                 and 0 < _rep.get("files_kept", 0)
+                 < _rep.get("files_total", 0))]}))
 
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")
@@ -503,6 +541,13 @@ def main() -> int:
             ok = 0 < nf <= cap
             verdicts.append(
                 (f"pruned scan lists {nf} files (bound {cap})", ok))
+        if "plan_excludes" in checks:
+            for frag in checks["plan_excludes"]:
+                ok = frag not in plan
+                verdicts.append(
+                    (f"plan never touches {frag!r}", ok))
+        for label, ok in checks.get("static_verdicts", []):
+            verdicts.append((label, ok))
         if checks.get("single_exchange"):
             # one-pass aggregation: exactly one shuffle (partial agg ->
             # exchange -> final agg). ObjectHashAggregate is expected —
