@@ -1,0 +1,151 @@
+"""Persisted ANN index job — the operational surface for
+``operators/similarity.AnnIndex`` (the embedding twin of the DedupIndex
+admission mode in ``jobs/curate.py --admit-stream``).
+
+The index lives under a TableIO root: a range-clustered ``ann_cells``
+inverted file plus an O(centroids x dim) state sidecar holding the fitted
+quantizer.  Build once over the corpus; each later ingestion ``--admit``s
+its increment in O(increment) (the quantizer is never refit, so cell ids
+stay stable); ``--search`` probes only the probed cells' parquet files.
+
+    spark-submit jobs/ann.py --root R --build corpus_emb.parquet \
+        [--n-centroids 16] [--sample-rows 10000] [--n-files 16]
+    spark-submit jobs/ann.py --root R --admit new_emb.parquet
+    spark-submit jobs/ann.py --root R --search queries.parquet \
+        [--k 5] [--n-probe 4] [--out DIR]
+    spark-submit jobs/ann.py --root R --rollback '{"cells": N}'
+    spark-submit jobs/ann.py --root R --describe
+
+``--build`` / ``--admit`` print the commit token as one JSON line — keep
+it; ``--rollback`` with that token unwinds every commit made after it.
+Exit 0 on success, 2 on bad arguments/paths/unbuilt index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True,
+                    help="TableIO root directory holding the index")
+    ap.add_argument("--build", default=None, metavar="EMB_PARQUET",
+                    help="fit the quantizer on EMB_PARQUET and index it")
+    ap.add_argument("--admit", default=None, metavar="EMB_PARQUET",
+                    help="append an increment to the built index")
+    ap.add_argument("--search", default=None, metavar="Q_PARQUET",
+                    help="probed top-k for each query vector")
+    ap.add_argument("--rollback", default=None, metavar="TOKEN_JSON",
+                    help="unwind commits made after this token")
+    ap.add_argument("--describe", action="store_true",
+                    help="print the index health report (metadata only)")
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--n-centroids", type=int, default=16)
+    ap.add_argument("--sample-rows", type=int, default=10000)
+    ap.add_argument("--n-files", type=int, default=16,
+                    help="files per commit (range-clustered on ivf_cell)")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--n-probe", type=int, default=4)
+    ap.add_argument("--out", default=None,
+                    help="with --search: write results parquet here "
+                         "instead of printing the head")
+    ap.add_argument("--master",
+                    default=os.environ.get("SPARK_MASTER", "local[8]"))
+    args = ap.parse_args()
+
+    modes = [bool(args.build), bool(args.admit), bool(args.search),
+             bool(args.rollback), args.describe]
+    if sum(modes) != 1:
+        print("error: exactly one of --build/--admit/--search/--rollback/"
+              "--describe", file=sys.stderr)
+        return 2
+    for p in (args.build, args.admit, args.search):
+        if p and not os.path.exists(p):
+            print(f"error: no such parquet {p}", file=sys.stderr)
+            return 2
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    from drift_detection_pibic___framework_spark.operators.similarity import (
+        AnnIndex)
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+
+    t0 = time.time()
+    spark = (SparkSession.builder.master(args.master)
+             .appName("dpf-ann")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.root, exist_ok=True)
+    idx = AnnIndex(ParquetTableIO(args.root), id_col=args.id_col,
+                   vec_col=args.vec_col, n_files=args.n_files)
+
+    if args.build:
+        emb = spark.read.parquet(args.build)
+        token = idx.build(emb, n_centroids=args.n_centroids,
+                          sample_rows=args.sample_rows)
+        print(f"built: {emb.count()} vectors, "
+              f"{args.n_centroids} centroids, token below")
+        print(json.dumps(token))
+    elif args.admit:
+        try:
+            idx.centroids()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        inc = spark.read.parquet(args.admit)
+        token = idx.admit(inc)
+        print(f"admitted: {inc.count()} vectors, token below")
+        print(json.dumps(token))
+    elif args.search:
+        try:
+            idx.centroids()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        q = spark.read.parquet(args.search)
+        res = idx.search(spark, q, k=args.k, n_probe=args.n_probe)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            rows = res.limit(10).collect()
+            for r in rows:
+                print(f"{r['query_id']:>8} -> {r['nbr_id']:>8} "
+                      f"cosine={r['cosine']:.4f} rank={r['rank']}")
+            n = res.count()
+        rep = idx.last_probe_report or {}
+        print(f"search: {n} result rows; probe report {json.dumps(rep)}")
+    elif args.rollback:
+        try:
+            token = json.loads(args.rollback)
+            assert "cells" in token
+        except Exception:
+            print("error: --rollback wants the token JSON printed by "
+                  "--build/--admit", file=sys.stderr)
+            return 2
+        idx.rollback(token)
+        print(f"rolled back to snapshot {token['cells']}")
+    elif args.describe:
+        io = idx.io
+        if not io.snapshots(AnnIndex.CELLS):
+            print("error: index not built", file=sys.stderr)
+            return 2
+        rep = dict(io.describe_table(AnnIndex.CELLS))
+        rep["n_centroids"] = int(len(idx.centroids()))
+        print(json.dumps(rep, indent=2))
+    print(f"done in {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

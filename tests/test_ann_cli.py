@@ -1,0 +1,81 @@
+"""jobs/ann.py — the AnnIndex operational CLI: build -> admit -> search
+-> rollback lifecycle, probe-report evidence, and usage errors."""
+
+import json
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb_paths(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ann_cli")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(str(d / "base"))
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(str(d / "inc"))
+    emb.filter(F.col("vec_id") < 10).write.parquet(str(d / "q"))
+    return d
+
+
+def _run(capsys, *argv):
+    import jobs.ann as A
+    sys.argv = ["ann.py", *argv]
+    rc = A.main()
+    return rc, capsys.readouterr().out
+
+
+def test_ann_cli_lifecycle(emb_paths, monkeypatch, capsys, tmp_path):
+    root = str(tmp_path / "idx")
+
+    rc, out = _run(capsys, "--root", root, "--build",
+                   str(emb_paths / "base"), "--n-centroids", "8")
+    assert rc == 0 and "built:" in out
+    build_token = json.loads(out.splitlines()[1])
+
+    rc, out = _run(capsys, "--root", root, "--admit",
+                   str(emb_paths / "inc"))
+    assert rc == 0 and "admitted:" in out
+
+    rc, out = _run(capsys, "--root", root, "--search",
+                   str(emb_paths / "q"), "--k", "3", "--n-probe", "2")
+    assert rc == 0
+    rep = json.loads(out.splitlines()[-2].split("probe report ")[1])
+    assert rep["files_kept"] < rep["files_total"]  # pruned probe
+    n_with_inc = int(out.splitlines()[-2].split("search: ")[1]
+                     .split(" result")[0])
+    assert n_with_inc == 30                        # 10 queries x k=3
+
+    rc, out = _run(capsys, "--root", root, "--describe")
+    assert rc == 0 and json.loads(
+        out[:out.rindex("}") + 1])["n_centroids"] == 8
+
+    # rollback to the build token: the admitted increment vanishes from
+    # search (odd vec_ids can no longer appear as neighbors)
+    rc, out = _run(capsys, "--root", root, "--rollback",
+                   json.dumps(build_token))
+    assert rc == 0
+    rc, out = _run(capsys, "--root", root, "--search",
+                   str(emb_paths / "q"), "--k", "3", "--n-probe", "2")
+    assert rc == 0
+    nbrs = [int(line.split("-> ")[1].split()[0])
+            for line in out.splitlines() if "-> " in line]
+    assert nbrs and all(v % 2 == 0 for v in nbrs)
+
+
+def test_ann_cli_usage_errors(emb_paths, monkeypatch, capsys, tmp_path):
+    root = str(tmp_path / "idx2")
+    rc, _ = _run(capsys, "--root", root)                       # no mode
+    assert rc == 2
+    rc, _ = _run(capsys, "--root", root, "--build", "/nope")   # bad path
+    assert rc == 2
+    rc, _ = _run(capsys, "--root", root, "--admit",            # unbuilt
+                 str(emb_paths / "inc"))
+    assert rc == 2
+    rc, _ = _run(capsys, "--root", root, "--search",           # unbuilt
+                 str(emb_paths / "q"))
+    assert rc == 2
+    rc, _ = _run(capsys, "--root", root, "--rollback", "junk")
+    assert rc == 2
