@@ -466,7 +466,19 @@ class AnnIndex:
               n_centroids: int = 16, sample_rows: int = 10000,
               n_iter: int = 10, seed: int = 42) -> dict:
         """Fit (or take literal) centroids, persist them, and index
-        ``emb``.  Returns the commit token (see ``admit``)."""
+        ``emb``.  Returns the commit token (see ``admit``).
+
+        Refuses a root whose inverted file already has commits: replacing
+        the quantizer while keeping cell assignments made under the old
+        one would silently mis-home every existing vector (searches probe
+        cells computed with the NEW centroids).  Rebuild into a fresh
+        root, or grow an existing index with ``admit``."""
+        if self.io.snapshots(self.CELLS):
+            raise ValueError(
+                f"AnnIndex root already has a committed {self.CELLS!r} "
+                "table; a re-build would re-fit the quantizer and strand "
+                "existing vectors in stale cells. Use admit() to extend "
+                "this index, or build into a fresh root.")
         C = centroids if centroids is not None else ivf_fit_centroids(
             emb, n_centroids, sample_rows=sample_rows, n_iter=n_iter,
             seed=seed, vec_col=self.vec_col, id_col=self.id_col)

@@ -1014,6 +1014,23 @@ class ParquetTableIO:
                             json.load(f)
         return out
 
+    def has_manifest_row(self, scope: str, part: int) -> bool:
+        """O(1) existence check for ONE manifest row: stat the row's own
+        part file (the live during-run form) — never a directory listing
+        or a parse of every row.  Falls back to the consolidated blob only
+        when one exists (the post-``compact_manifest`` form).  This is the
+        per-epoch replay guard for streaming gates: ``part in
+        read_manifest(scope)`` re-reads the whole manifest every
+        micro-batch, O(epochs^2) file opens over a stream's lifetime."""
+        if os.path.exists(os.path.join(self._manifest_dir(scope),
+                                       f"part-{int(part)}.json")):
+            return True
+        p = self._manifest_path(scope)
+        if os.path.exists(p):
+            with open(p) as f:
+                return str(int(part)) in json.load(f)
+        return False
+
     def commit_manifest_row(self, scope: str, part: int, row: dict) -> None:
         """Atomically commit ONE partition's manifest row (O(1) — no read
         or rewrite of other rows).

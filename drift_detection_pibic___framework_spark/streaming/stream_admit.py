@@ -45,16 +45,46 @@ PENDING_SCOPE = "dedup_admit_pending"
 def ensure_admission_tables(spark: SparkSession, idx: DedupIndex) -> None:
     """Bootstrap the index + admitted-docs tables with one empty commit
     each, so every later tip is a real snapshot id (rollback_to targets
-    always exist) and a first stream run needs no special-casing."""
+    always exist) and a first stream run needs no special-casing.
+
+    Each table is checked INDIVIDUALLY: ``idx.build`` appends DIGESTS
+    then BANDS, and this bootstrap predates the pending-record protocol,
+    so a crash between the two must not wedge the gate (an extra empty
+    append to an already-bootstrapped table is harmless).
+
+    Also enforces the gate's text invariant: every indexed doc's text
+    must be servable from ADMITTED_TABLE (the near-dup verify phase reads
+    candidate text there — see ``seed_admission``).  An index seeded
+    directly via ``DedupIndex.build(corpus)`` without the matching text
+    append would silently pass near-duplicates, so that state raises
+    here, once, at stream start."""
     io = idx.io
-    if not io.has_appended(idx.DIGESTS):
-        empty = spark.createDataFrame(
-            [], f"{idx.id_col} long, {idx.col} string")
+    empty = spark.createDataFrame(
+        [], f"{idx.id_col} long, {idx.col} string")
+    if not (io.has_appended(idx.DIGESTS) and io.has_appended(idx.BANDS)):
         idx.build(empty)
     if not io.has_appended(ADMITTED_TABLE):
-        empty = spark.createDataFrame(
-            [], f"{idx.id_col} long, {idx.col} string")
         io.append(empty, ADMITTED_TABLE)
+    has_keys = bool(io.read_appended(spark, idx.DIGESTS).take(1))
+    if has_keys and not io.read_appended(spark, ADMITTED_TABLE).take(1):
+        raise ValueError(
+            f"admission root has indexed digests but an empty "
+            f"{ADMITTED_TABLE} table: the index was seeded outside the "
+            "gate, so near-duplicate verification would silently no-op. "
+            "Seed a pre-existing corpus with seed_admission(spark, idx, "
+            "corpus) instead of DedupIndex.build().")
+
+
+def seed_admission(spark: SparkSession, idx: DedupIndex,
+                   corpus: DataFrame) -> dict:
+    """Seed the admission root with a PRE-EXISTING corpus: index its keys
+    AND append its text to ADMITTED_TABLE in one call, preserving the
+    gate's invariant that every indexed doc's text is servable for the
+    near-dup verify join.  Returns the index commit token."""
+    ensure_admission_tables(spark, idx)
+    rows = corpus.select(F.col(idx.id_col), F.col(idx.col))
+    idx.io.append(rows, ADMITTED_TABLE)
+    return idx.build(rows)
 
 
 class AdmissionGate:
@@ -82,7 +112,7 @@ class AdmissionGate:
         if not pend:
             return False
         rolled = False
-        if pend["epoch"] not in self.io.read_manifest(ADMIT_SCOPE):
+        if not self.io.has_manifest_row(ADMIT_SCOPE, pend["epoch"]):
             for t, tip in pend["tips"].items():
                 if self.io.snapshots(t)[-1]["snap"] != tip:
                     self.io.rollback(t, tip)
@@ -92,8 +122,9 @@ class AdmissionGate:
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
-        if e in self.io.read_manifest(ADMIT_SCOPE):
-            return                          # replay of a completed epoch
+        if self.io.has_manifest_row(ADMIT_SCOPE, e):
+            return      # replay of a completed epoch — O(1) stat, never
+            #             a whole-manifest read per micro-batch
         self.recover()
         spark = batch.sparkSession
         corpus = self.io.read_appended(spark, ADMITTED_TABLE)

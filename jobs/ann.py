@@ -91,8 +91,12 @@ def main() -> int:
 
     if args.build:
         emb = spark.read.parquet(args.build)
-        token = idx.build(emb, n_centroids=args.n_centroids,
-                          sample_rows=args.sample_rows)
+        try:
+            token = idx.build(emb, n_centroids=args.n_centroids,
+                              sample_rows=args.sample_rows)
+        except ValueError as e:          # root already holds an index
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(f"built: {emb.count()} vectors, "
               f"{args.n_centroids} centroids, token below")
         print(json.dumps(token))
@@ -118,11 +122,14 @@ def main() -> int:
             res.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
         else:
-            rows = res.limit(10).collect()
-            for r in rows:
+            # one execution: persist across the head print and the count
+            # (the probed join + ranking window would otherwise run twice)
+            res = res.persist()
+            n = res.count()
+            for r in res.limit(10).collect():
                 print(f"{r['query_id']:>8} -> {r['nbr_id']:>8} "
                       f"cosine={r['cosine']:.4f} rank={r['rank']}")
-            n = res.count()
+            res.unpersist()
         rep = idx.last_probe_report or {}
         print(f"search: {n} result rows; probe report {json.dumps(rep)}")
     elif args.rollback:
@@ -133,7 +140,14 @@ def main() -> int:
             print("error: --rollback wants the token JSON printed by "
                   "--build/--admit", file=sys.stderr)
             return 2
-        idx.rollback(token)
+        try:
+            idx.rollback(token)
+        except (ValueError, KeyError, FileNotFoundError) as e:
+            # stale/foreign token or unbuilt root: usage error, not a
+            # traceback (docstring contract: exit 2 on bad arguments)
+            print(f"error: cannot roll back to {token['cells']!r}: {e}",
+                  file=sys.stderr)
+            return 2
         print(f"rolled back to snapshot {token['cells']}")
     elif args.describe:
         io = idx.io

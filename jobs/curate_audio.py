@@ -192,11 +192,16 @@ def main() -> int:
                 return F.when(n == "", 0).otherwise(
                     F.size(F.split(n, " ")))
 
+            # NULL wer_sym = the kernel's banded give-up (distance proven
+            # > max_dist): maximal disagreement, so it must DROP the pair
+            # like any over-threshold score — a bare `>` comparison would
+            # silently keep it (NULL fails every filter)
             conf = (edit_metrics_kernel(scored, "t_a", "t_b")
                     .withColumn("wer_sym", F.col("tok_dist") /
                                 F.greatest(_ntok("t_a"), _ntok("t_b"),
                                            F.lit(1)))
-                    .filter(F.col("wer_sym") > args.wer_threshold))
+                    .filter(F.col("wer_sym").isNull() |
+                            (F.col("wer_sym") > args.wer_threshold)))
         bad_ids = (conf.select(F.col("clip_a").alias("clip_id"))
                    .unionByName(conf.select(F.col("clip_b")
                                             .alias("clip_id")))

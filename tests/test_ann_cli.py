@@ -79,3 +79,19 @@ def test_ann_cli_usage_errors(emb_paths, monkeypatch, capsys, tmp_path):
     assert rc == 2
     rc, _ = _run(capsys, "--root", root, "--rollback", "junk")
     assert rc == 2
+
+
+def test_ann_cli_build_on_built_root_is_usage_error(emb_paths, monkeypatch,
+                                                    capsys, tmp_path):
+    root = str(tmp_path / "idx3")
+    rc, _ = _run(capsys, "--root", root, "--build",
+                 str(emb_paths / "base"), "--n-centroids", "4")
+    assert rc == 0
+    rc, _ = _run(capsys, "--root", root, "--build",
+                 str(emb_paths / "base"), "--n-centroids", "4")
+    assert rc == 2                      # refuse quantizer replacement
+
+    # stale/foreign rollback token: exit 2, not a traceback
+    rc, _ = _run(capsys, "--root", root, "--rollback",
+                 '{"cells": "deadbeefdeadbeef"}')
+    assert rc == 2

@@ -153,3 +153,16 @@ def test_ann_index_rollback_unwinds_increment(spark, emb, tmp_path):
     idx.rollback(base_token)
     after = _rows(idx.search(spark, q, k=5, n_probe=16))
     assert after == before
+
+
+def test_ann_index_refuses_rebuild_on_committed_root(spark, emb, tmp_path):
+    """Re-building over an existing inverted file would replace the
+    quantizer while old rows keep cells assigned under the previous one —
+    silently wrong search results. build() must refuse; admit() is the
+    way to grow an index."""
+    import pytest
+    io = ParquetTableIO(str(tmp_path / "idx"))
+    idx = similarity.AnnIndex(io)
+    idx.build(emb, centroids=similarity.random_unit_centroids(64, 8))
+    with pytest.raises(ValueError, match="fresh root"):
+        idx.build(emb, centroids=similarity.random_unit_centroids(64, 4))

@@ -225,6 +225,12 @@ def test_simhash_kernel_parity(spark, docs):
     fold = {r.doc_id: r.simhash
             for r in dedup.simhash_fold(corpus).collect()}
     assert expr == fold
+    # memory-bounded slicing: a tiny fold_cap forces many sub-slices AND
+    # longer-than-cap single documents through the capped reduceat path —
+    # arithmetic must stay bit-identical to the one-shot fold
+    capped = {r.doc_id: r.simhash
+              for r in dedup.simhash_fold(corpus, fold_cap=3).collect()}
+    assert expr == capped
     # expression-form quirk all three must share: null text packs to 0
     # (per-bit when(NULL > 0).otherwise(0) falls through), not NULL
     assert expr[900005] == 0

@@ -351,3 +351,19 @@ def test_mor_plan_size_scales_with_markers_not_commits(spark, io):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = plan.count("Scan parquet")
     assert n_scans <= 3, f"{n_scans} scans for 21 commits"
+
+
+def test_has_manifest_row_is_o1_and_compaction_safe(spark, tmp_path):
+    """The streaming replay guard: row existence via a single stat of the
+    row's own part file, surviving compact_manifest's fold into the
+    consolidated blob."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    io = ParquetTableIO(str(tmp_path / "m"))
+    io.commit_manifest_row("epochs", 3, {"ok": True})
+    assert io.has_manifest_row("epochs", 3)
+    assert not io.has_manifest_row("epochs", 4)
+    assert not io.has_manifest_row("other_scope", 3)
+    io.compact_manifest("epochs")
+    assert io.has_manifest_row("epochs", 3)      # blob fallback
+    assert not io.has_manifest_row("epochs", 4)

@@ -190,3 +190,51 @@ def test_checkpoint_kill_resume(spark, tmp_path):
     # no epoch double-committed across the restart
     m = sio.read_manifest(ADMIT_SCOPE)
     assert len(m) == len(set(m)) == 3
+
+
+def test_bootstrap_survives_crash_between_index_tables(spark, tmp_path):
+    """A crash between the bootstrap's DIGESTS and BANDS appends (the
+    bootstrap predates the pending-record protocol) must not wedge the
+    gate: the next ensure_admission_tables completes the missing tables
+    and _tips() resolves every table."""
+    io = ParquetTableIO(str(tmp_path / "w"))
+    idx = DedupIndex(io, **KN)
+    # simulate the torn bootstrap: DIGESTS landed, BANDS never did
+    io.append(spark.createDataFrame([], "digest string"), idx.DIGESTS)
+    assert io.has_appended(idx.DIGESTS) and not io.has_appended(idx.BANDS)
+    ensure_admission_tables(spark, idx)
+    gate = AdmissionGate(idx, str(tmp_path / "w_out"), threshold=0.6)
+    assert set(gate._tips()) == set(gate._tables())  # no IndexError
+    gate(spark.createDataFrame(FILES[0], SCHEMA), 0)
+    got = sorted(r.doc_id for r in io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    assert got == [10, 11, 12]          # empty corpus: whole batch admits
+
+
+def test_index_seeded_outside_gate_raises(spark, tmp_path):
+    """An index seeded via DedupIndex.build alone (keys without text)
+    would silently pass near-duplicates (the verify join reads candidate
+    text from ADMITTED_TABLE) — the gate must refuse to start on it."""
+    import pytest
+    io = ParquetTableIO(str(tmp_path / "x"))
+    idx = DedupIndex(io, **KN)
+    idx.build(spark.createDataFrame(SEED, SCHEMA))
+    with pytest.raises(ValueError, match="seeded outside the gate"):
+        ensure_admission_tables(spark, idx)
+
+
+def test_seed_admission_preserves_near_dup_verification(spark, tmp_path):
+    """seed_admission (the supported pre-existing-corpus path) keeps the
+    text invariant, so a NEAR duplicate of a seeded doc is dropped —
+    the failure mode of keys-only seeding was exactly this row passing."""
+    from drift_detection_pibic___framework_spark.streaming.stream_admit import (
+        seed_admission)
+    io = ParquetTableIO(str(tmp_path / "y"))
+    idx = DedupIndex(io, **KN)
+    seed_admission(spark, idx, spark.createDataFrame(SEED, SCHEMA))
+    gate = AdmissionGate(idx, str(tmp_path / "y_out"), threshold=0.6)
+    gate(spark.createDataFrame(FILES[0], SCHEMA), 0)
+    admitted = sorted(r.doc_id for r in io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    # 10 = exact dup of seed 1, 12 = NEAR dup of seed 2 (Jaccard 7/9)
+    assert admitted == [1, 2, 3, 11]
