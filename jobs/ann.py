@@ -129,7 +129,10 @@ def main() -> int:
             for r in res.limit(10).collect():
                 print(f"{r['query_id']:>8} -> {r['nbr_id']:>8} "
                       f"cosine={r['cosine']:.4f} rank={r['rank']}")
-            res.unpersist()
+            # blocking: leave no async eviction behind in a shared
+            # session (the in-process CLI tests share pytest's session,
+            # where a straggler eviction skews cache-accounting tests)
+            res.unpersist(blocking=True)
         rep = idx.last_probe_report or {}
         print(f"search: {n} result rows; probe report {json.dumps(rep)}")
     elif args.rollback:

@@ -123,14 +123,24 @@ def test_simhash_candidate_recall_guaranteed(spark, docs):
 
 def test_minhash_pipeline_releases_caches(spark, docs):
     """minhash_near_duplicates must not leave intermediate caches pinned:
-    only the returned (small) result is cached, and unpersisting it leaves
-    the session's cache registry where it started (VERDICT r1 wrong #5)."""
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    only the returned (small) result is cached, and unpersisting it drops
+    exactly that entry (VERDICT r1 wrong #5).  Asserted on registry-id
+    DELTAS, not global counts: the ContextCleaner may evict released
+    caches from earlier test modules at any moment, so absolute counts
+    flake under the full suite."""
+    docs.count()                    # pin the module fixture's own cache
+
+    def ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        lst = m.toList()
+        return {lst.apply(i)._1() for i in range(m.size())}
+
+    before = ids()
     res = dedup.minhash_near_duplicates(docs.limit(30), threshold=0.2)
-    assert jsc.getPersistentRDDs().size() == before + 1
+    added = ids() - before
+    assert len(added) == 1          # the result, and ONLY the result
     res.unpersist(blocking=True)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (added & ids())      # and it is gone
 
 
 # -- similarity search -----------------------------------------------------
