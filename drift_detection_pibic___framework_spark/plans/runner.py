@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import base64
 import json
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -70,8 +72,16 @@ class ValidationRunner:
 
     def run(self, spark: SparkSession, limit_parts: int = None) -> dict:
         """Validate all pending partitions (optionally at most
-        ``limit_parts``, for kill/resume tests). Returns a summary dict."""
-        pending = self.io.pending_partitions("clips", self.scope)
+        ``limit_parts``, for kill/resume tests). Returns a summary dict.
+
+        The manifest is read ONCE here and threaded to every consumer
+        (pending set, stepper re-hydration, baseline moments) — at 1e5
+        partitions the previous three independent read_manifest calls
+        cost 3e5 file opens before any work started."""
+        manifest = self.io.read_manifest(self.scope)
+        done = {p for p, v in manifest.items() if v.get("status") == "done"}
+        pending = [p for p in self.io.list_partitions("clips")
+                   if p not in done]
         if limit_parts is not None:
             pending = pending[:limit_parts]
         if not pending:
@@ -93,37 +103,67 @@ class ValidationRunner:
                       .withColumn("run_scope", F.lit(self.scope)))
 
         # write violations for ALL pending partitions BEFORE any manifest
-        # commit (idempotent dynamic overwrite per partition)
+        # commit (idempotent dynamic overwrite per partition).  Dynamic
+        # overwrite only replaces partitions PRESENT in the output, so a
+        # re-validated partition whose corrected data now yields zero
+        # violations would keep its stale files — clear every pending
+        # partition's directory first (a kill in between just re-opens the
+        # still-uncommitted partition on the next run).
         out = f"{self.io.root}/{self.violations_table}"
+        for p in pending:
+            shutil.rmtree(os.path.join(out, f"part={p}"), ignore_errors=True)
         (violations.repartition("part").write
          .partitionBy("part").mode("overwrite")
          .option("partitionOverwriteMode", "dynamic").parquet(out))
 
         # ---- sequential detector over the ordered partition-stat series ---
-        steppers = self._load_steppers()
+        steppers = self._load_steppers(manifest)
         by_part: dict = {}
         for r in verdict_rows:
             by_part.setdefault(r["part"], []).append(r)
 
         validated, failed = [], []
-        base_mean, base_std = self._baseline_moments(stat_rows)
+        base_mean, base_std = self._baseline_moments(stat_rows, manifest)
         for part in sorted(pending):
-            stat = stat_rows[part]
-            z = abs((stat[f"{MONITOR_COL}_mean"] - base_mean) /
-                    (base_std or 1.0))
-            drift_flag, drift_state = self._advance_steppers(steppers, part, z)
-
+            # a physically-present but empty partition (or one whose
+            # monitored column is entirely null) has no stats row: it is
+            # NOT a sample of the series (no stepper advance — replay
+            # skips it the same way) and fails validation explicitly
+            # instead of KeyError-wedging the run on every resume
+            stat = stat_rows.get(part)
+            mean = None if stat is None else stat.get(f"{MONITOR_COL}_mean")
             checks = by_part.get(part, [])
-            all_passed = all(r["passed"] for r in checks) and not drift_flag
-            state = drift_state if drift_flag else (
-                oracle.STATE_NORMAL if all_passed else oracle.STATE_WARNING)
+            if mean is None:
+                drift_flag, drift_state = False, oracle.STATE_WARNING
+                all_passed = False
+                check_map = {r["check_name"]: bool(r["passed"])
+                             for r in checks}
+                check_map["has_monitor_stat"] = False
+                state = oracle.STATE_WARNING
+            else:
+                z = abs((mean - base_mean) / (base_std or 1.0))
+                drift_flag, drift_state = self._advance_steppers(
+                    steppers, part, z)
+                all_passed = (all(r["passed"] for r in checks)
+                              and not drift_flag)
+                check_map = {r["check_name"]: bool(r["passed"])
+                             for r in checks}
+                state = drift_state if drift_flag else (
+                    oracle.STATE_NORMAL if all_passed
+                    else oracle.STATE_WARNING)
             row = {
                 "status": "done",
                 "verdict": "pass" if all_passed else "fail",
                 "state": state,
-                "checks": {r["check_name"]: bool(r["passed"]) for r in checks},
+                "checks": check_map,
                 "series_drift": bool(drift_flag),
-                "metrics_json": json.dumps(stat, default=str),
+                "metrics_json": json.dumps(stat or {}, default=str),
+                # the moments that standardized this partition's z — replay
+                # re-derives the SAME z from these even when later runs see
+                # a different manifest (crash inside the baseline window,
+                # invalidation of a baseline part)
+                "base_mean": base_mean,
+                "base_std": base_std,
                 "snapshot_id": f"{self.scope}-{part}",
             }
             # commit point: manifest row (violations already on disk);
@@ -137,9 +177,14 @@ class ValidationRunner:
                 "part": part,
                 "detector_state": self._dump_steppers(steppers)})
             (validated if all_passed else failed).append(part)
-        if not self.io.pending_partitions("clips", self.scope):
+        processed = set(pending)
+        if not any(p not in done and p not in processed
+                   for p in self.io.list_partitions("clips")):
             # run complete: fold the per-row commit log into one file so a
-            # resume scan is O(1) file opens, not O(partitions)
+            # resume scan is O(1) file opens, not O(partitions).  Computed
+            # from the start-of-run manifest view + this run's commits —
+            # no second O(partitions) manifest scan (one listdir re-lists
+            # the table in case partitions landed during the run).
             self.io.compact_manifest(self.scope)
         return {"validated": validated, "failed": failed, "skipped": False}
 
@@ -151,8 +196,9 @@ class ValidationRunner:
         return {k: PrequentialStepper.deserialize(
             base64.b64decode(v)) for k, v in raw.items()}
 
-    def _load_steppers(self) -> dict:
-        manifest = self.io.read_manifest(self.scope)
+    def _load_steppers(self, manifest: dict = None) -> dict:
+        if manifest is None:
+            manifest = self.io.read_manifest(self.scope)
         done = sorted(p for p, v in manifest.items()
                       if v.get("status") == "done")
         st = self.io.read_state(self.scope)
@@ -163,12 +209,8 @@ class ValidationRunner:
             # per-partition metrics (same z inputs -> byte-identical state)
             behind = [p for p in done if p > st["part"]]
             if behind:
-                base_mean, base_std = self._baseline_moments({})
                 for p in behind:
-                    stat = json.loads(manifest[p]["metrics_json"])
-                    z = abs((stat[f"{MONITOR_COL}_mean"] - base_mean) /
-                            (base_std or 1.0))
-                    self._advance_steppers(steppers, p, z)
+                    self._replay_row(steppers, p, manifest)
             return steppers
         if done:
             # legacy manifests (pre-sidecar) carried the blob in every row
@@ -210,12 +252,11 @@ class ValidationRunner:
         keep = [p for p in done if p < part]
         if keep:
             steppers = self._fresh_steppers()
-            base_mean, base_std = self._baseline_moments({})
+            # replay against the PRE-invalidation manifest captured above —
+            # the override rows just committed destroyed the victims'
+            # metrics_json on disk, and a victim can be a baseline part
             for p in keep:
-                stat = json.loads(manifest[p]["metrics_json"])
-                z = abs((stat[f"{MONITOR_COL}_mean"] - base_mean) /
-                        (base_std or 1.0))
-                self._advance_steppers(steppers, p, z)
+                self._replay_row(steppers, p, manifest)
             self.io.commit_state(self.scope, {
                 "part": max(keep),
                 "detector_state": self._dump_steppers(steppers)})
@@ -243,19 +284,48 @@ class ValidationRunner:
                 state = oracle.STATE_WARNING
         return flag, state
 
-    def _baseline_moments(self, stat_rows: dict) -> tuple:
+    def _replay_row(self, steppers: dict, part: int, manifest: dict) -> None:
+        """Re-advance ``steppers`` with the EXACT z a committed row
+        originally consumed: its stored metrics standardized by the
+        moments stored IN the row (so a resume whose manifest view differs
+        from the original run's — kill inside the baseline window, later
+        invalidation of a baseline part — still replays byte-identically).
+        Rows without a usable monitor stat were never a series sample
+        (run() skips the advance for them) and are skipped here too;
+        legacy rows without stored moments fall back to recomputing them
+        from the given manifest."""
+        row = manifest[part]
+        stat = json.loads(row.get("metrics_json") or "{}")
+        mean = stat.get(f"{MONITOR_COL}_mean")
+        if mean is None:
+            return
+        if row.get("base_mean") is not None:
+            base_mean, base_std = row["base_mean"], row.get("base_std")
+        else:
+            base_mean, base_std = self._baseline_moments({}, manifest)
+        z = abs((mean - base_mean) / (base_std or 1.0))
+        self._advance_steppers(steppers, part, z)
+
+    def _baseline_moments(self, stat_rows: dict,
+                          manifest: dict = None) -> tuple:
         """mean/std of the monitored stat over the baseline partitions;
         falls back to manifest metrics when baseline parts were validated
-        in an earlier run."""
+        in an earlier run.  Callers that already hold the manifest pass it
+        in (run() reads it exactly once)."""
         import numpy as np
         vals = []
-        manifest = self.io.read_manifest(self.scope)
+        if manifest is None:
+            manifest = self.io.read_manifest(self.scope)
         for p in self.baseline_parts:
             if p in stat_rows:
-                vals.append(stat_rows[p][f"{MONITOR_COL}_mean"])
+                v = stat_rows[p].get(f"{MONITOR_COL}_mean")
             elif p in manifest and manifest[p].get("metrics_json"):
-                vals.append(json.loads(manifest[p]["metrics_json"])
-                            [f"{MONITOR_COL}_mean"])
+                v = json.loads(manifest[p]["metrics_json"]) \
+                    .get(f"{MONITOR_COL}_mean")
+            else:
+                v = None
+            if v is not None:
+                vals.append(v)
         if not vals:
             return 0.0, 1.0
         a = np.asarray(vals, dtype=float)

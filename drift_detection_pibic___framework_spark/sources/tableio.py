@@ -546,7 +546,13 @@ class ParquetTableIO:
             m = None
             if os.path.exists(p):
                 with open(p) as f:
-                    m = json.load(f).get("cols", {}).get(col)
+                    side = json.load(f)
+                # commit-level stats are a bigint CAST of the column —
+                # exact for integral types only, so only those may prune
+                # (same trust rule as plan_where); non-integral columns
+                # read conservatively
+                if side.get("schema", {}).get(col) in self._INTEGRAL_TYPES:
+                    m = side.get("cols", {}).get(col)
             if m is not None and (
                     m["n"] == 0
                     or (hi is not None and m["min"] is not None
@@ -661,6 +667,13 @@ class ParquetTableIO:
             snaps = snaps[rewrites[-1]:]   # read_appended
         report = {"commits": len(snaps), "commits_pruned": 0,
                   "files_total": 0, "files_kept": 0, "fallback": False}
+        if not snaps:
+            # no live log entries: a pre-log table (glob membership) has
+            # no sidecars to prune with, and a crashed-first-append table
+            # must raise read_appended's error — either way the read
+            # falls back; [] here would masquerade as 'proven empty'
+            report["fallback"] = True
+            return None, report
         if any(e.get("kind", "append") in ("delete", "upsert")
                for e in snaps):
             # marker sequence numbers are positions in the FULL log — a
@@ -1068,7 +1081,11 @@ class ParquetTableIO:
         into the consolidated snapshot are captured up front and ONLY those
         are unlinked — a row committed by a concurrent writer after the
         snapshot survives for the next compaction (ADVICE r3: the previous
-        unlink-everything loop deleted such rows without folding them).
+        unlink-everything loop deleted such rows without folding them), and
+        a row UPDATED in place after the snapshot (commit_manifest_row
+        replaces existing part files too, e.g. invalidate_from) survives
+        because each unlink is guarded by a content re-check against the
+        exact bytes that were folded.
         Returns the number of rows compacted."""
         d = self._manifest_dir(scope)
         folded_files = []
@@ -1080,9 +1097,12 @@ class ParquetTableIO:
         if os.path.exists(p):
             with open(p) as f:
                 rows.update({int(k): v for k, v in json.load(f).items()})
+        folded_bytes: dict = {}
         for f_name in folded_files:
-            with open(os.path.join(d, f_name)) as f:
-                rows[int(f_name[len("part-"):-len(".json")])] = json.load(f)
+            with open(os.path.join(d, f_name), "rb") as f:
+                raw = f.read()
+            folded_bytes[f_name] = raw
+            rows[int(f_name[len("part-"):-len(".json")])] = json.loads(raw)
         if not rows:
             return 0
         dest = self._manifest_path(scope)
@@ -1092,8 +1112,15 @@ class ParquetTableIO:
             json.dump({str(k): v for k, v in rows.items()}, f, indent=1)
         os.replace(tmp, dest)
         for f_name in folded_files:
+            fp = os.path.join(d, f_name)
             try:
-                os.unlink(os.path.join(d, f_name))
+                with open(fp, "rb") as f:
+                    if f.read() != folded_bytes[f_name]:
+                        # rewritten in place since the snapshot (e.g. an
+                        # invalidate_from override) — leave it to overlay
+                        # the consolidated file; next compaction folds it
+                        continue
+                os.unlink(fp)
             except FileNotFoundError:
                 pass  # another compactor got it first — row already folded
         if os.path.isdir(d):
@@ -1147,14 +1174,21 @@ class ParquetTableIO:
 
 
 class IcebergTableIO:
-    """Iceberg-catalog backend (same interface). Only instantiable when an
-    Iceberg catalog is configured on the session; untested in this sandbox
-    (no Iceberg runtime jar offline — SURVEY §7.1)."""
+    """Iceberg-catalog backend skeleton with ParquetTableIO's CALL SHAPES
+    (same method names, arities and keyword surface, so a caller written
+    against the seam — runner, DedupIndex, AnnIndex — can swap backends
+    without edits).  Only instantiable when an Iceberg catalog is
+    configured on the session; untested in this sandbox (no Iceberg
+    runtime jar offline — SURVEY §7.1).  The full seam (snapshots /
+    manifest / state sidecar) is specified executable-ly by
+    tests/test_tableio_contract.py, which an implementation must pass
+    unchanged."""
 
     def __init__(self, spark: SparkSession, namespace: str):
         if not any(k.startswith("spark.sql.catalog.")
                    for k, _ in spark.sparkContext.getConf().getAll()):
             raise RuntimeError("no Iceberg catalog configured on this session")
+        self.spark = spark
         self.namespace = namespace
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
@@ -1164,13 +1198,20 @@ class IcebergTableIO:
         # Iceberg partition pruning via predicate on the partition column.
         return self.read_table(spark, name).filter(f"part = {part}")
 
-    def list_partitions(self, spark: SparkSession, name: str) -> list:
-        rows = (spark.read.format("iceberg")
+    def list_partitions(self, name: str) -> list:
+        # seam arity: (name) only — runner calls io.list_partitions(name);
+        # the session captured at construction serves the metadata read
+        rows = (self.spark.read.format("iceberg")
                 .load(f"{self.namespace}.{name}.partitions")
                 .select("partition.part").collect())
         return sorted(r[0] for r in rows)
 
-    def append(self, df: DataFrame, name: str) -> str:
+    def append(self, df: DataFrame, name: str, stats_cols=None,
+               cat_cols=None, key_cols=None) -> str:
+        # stats_cols/cat_cols accepted for seam compatibility: Iceberg
+        # harvests per-file column ranges in its own manifests, so the
+        # explicit sidecar profiling is a no-op here; key_cols likewise
+        # (identifier fields belong to the Iceberg table schema).
         df.writeTo(f"{self.namespace}.{name}").append()
         return "iceberg-snapshot"
 

@@ -197,3 +197,37 @@ def test_recluster_on_compaction_restores_pruning(spark, tmp_path, seq_df):
     got = io.read_where(spark, "t", {"k": (0, 99)})
     assert got.count() == 100
     assert got.filter("payload = 'v2'").count() == 3  # k in {0, 40, 80}
+
+
+def test_read_between_distrusts_nonintegral_commit_stats(spark, tmp_path):
+    # read_appended_between shares plan_where's trust rule: the commit
+    # sidecar's bigint-cast min/max may only prune INTEGRAL columns.
+    # x = -0.5 profiles as min 0; hi=-0.4 would wrongly prune the commit
+    # and silently drop the matching row.
+    io = ParquetTableIO(str(tmp_path))
+    df = spark.createDataFrame([(-0.5,), (2.5,)], "x double")
+    io.append(df, "t", stats_cols=("x",))
+    got = io.read_appended_between(spark, "t", "x", hi=-0.4)
+    assert [r.x for r in got.collect()] == [-0.5]
+    # integral columns still prune (the fast path is intact)
+    io2 = ParquetTableIO(str(tmp_path / "b"))
+    for lo in (0, 100):
+        io2.append(spark.range(lo, lo + 10).selectExpr(
+            "cast(id as int) as v"), "u", stats_cols=("v",))
+    pruned = io2.read_appended_between(spark, "u", "v", 100, 109)
+    assert pruned.count() == 10
+    assert all("snap-" in f for f in pruned.inputFiles())
+    assert len({f.split("snap-")[1].split("/")[0]
+                for f in pruned.inputFiles()}) == 1
+
+
+def test_read_where_pre_log_table_falls_back(spark, tmp_path, seq_df):
+    # a table written before the snaplog existed has zero log entries;
+    # plan_where must report a FALLBACK (full read), not [] — [] means
+    # 'sidecars PROVE empty' and would silently drop every row
+    io = ParquetTableIO(str(tmp_path))
+    seq_df.limit(50).write.parquet(str(tmp_path / "t" / "snap-legacy"))
+    paths, rep = io.plan_where("t", {"k": (0, 9)})
+    assert paths is None and rep["fallback"]
+    got = io.read_where(spark, "t", {"k": (0, 9)})
+    assert got.count() == 10

@@ -296,3 +296,206 @@ def test_invalidate_from_zero_resets_everything(spark, io):
     assert len(r.invalidate_from(0)) == 16
     assert io.read_state("wipe") is None
     assert io.pending_partitions("clips", "wipe") == list(range(16))
+
+
+def test_compact_manifest_spares_concurrent_updates(tmp_path, monkeypatch):
+    """A row UPDATED in place (commit_manifest_row replaces existing part
+    files — e.g. invalidate_from) between compact_manifest's fold and its
+    unlink must survive: the unlink is guarded by a content re-check, so
+    the invalidation overlays the consolidated file instead of being
+    silently erased."""
+    import json
+    import os as _os
+
+    from drift_detection_pibic___framework_spark.sources import tableio
+    io = ParquetTableIO(str(tmp_path))
+    for p in range(3):
+        io.commit_manifest_row("s", p, {"status": "done", "v": p})
+    d = io._manifest_dir("s")
+    consolidated = io._manifest_path("s")
+    real_replace = _os.replace
+
+    def replace_then_race(src, dst):
+        real_replace(src, dst)
+        if _os.path.abspath(str(dst)) == _os.path.abspath(consolidated):
+            # a concurrent invalidation lands right after the consolidated
+            # snapshot commits, before the unlink loop reaches part-2
+            with open(_os.path.join(d, "part-2.json"), "w") as f:
+                json.dump({"status": "invalidated"}, f)
+
+    monkeypatch.setattr(tableio.os, "replace", replace_then_race)
+    assert io.compact_manifest("s") == 3
+    monkeypatch.undo()
+    # the updated row file survived and overlays the consolidated blob
+    import os
+    assert os.path.exists(os.path.join(d, "part-2.json"))
+    assert io.read_manifest("s")[2]["status"] == "invalidated"
+    # the next compaction folds the update in
+    assert io.compact_manifest("s") == 3
+    assert io.read_manifest("s")[2]["status"] == "invalidated"
+    assert not os.path.exists(os.path.join(d, "part-2.json"))
+
+
+def test_revalidated_partition_clears_stale_violations(spark, io):
+    """Dynamic partition overwrite only replaces partitions PRESENT in the
+    output: when corrected data re-validates with ZERO violations for a
+    partition, its stale violation files must still disappear."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    r = ValidationRunner(io, scope="stale")
+    r.run(spark)
+    assert r.read_violations(spark).filter("part = 3").count() > 0  # dups
+    # correct EVERY row-level defect in partition 3 (duplicate clip_ids +
+    # sr_hz outliers) so the re-run emits ZERO violation rows for it —
+    # the one case where dynamic overwrite can't replace the partition
+    p3 = os.path.join(io.root, "clips", "part-0003.parquet")
+    t = pq.read_table(p3)
+    df = t.to_pandas().drop_duplicates(subset=["clip_id"], keep="first")
+    df.loc[(df["sr_hz"] < 8000) | (df["sr_hz"] > 48000), "sr_hz"] = 16000
+    pq.write_table(pa.Table.from_pandas(df, schema=t.schema,
+                                        preserve_index=False), p3)
+    r.invalidate_from(3)
+    r.run(spark)
+    m = io.read_manifest("stale")
+    assert m[3]["checks"]["unique(clip_id)"] is True
+    assert m[3]["checks"]["range(sr_hz)"] is True
+    assert r.read_violations(spark).filter("part = 3").count() == 0
+
+
+def test_invalidate_inside_baseline_window_identical(spark, io):
+    """invalidate_from a BASELINE part: the override row destroys the
+    victim's metrics_json on disk, so the keep-prefix replay must use the
+    pre-invalidation manifest + per-row stored moments.  With unchanged
+    data the re-run must reproduce the uninterrupted run identically,
+    including the final detector state (compared after a deserialize →
+    re-serialize round-trip, the same normalization the sidecar replay
+    test uses: raw pickle bytes vary with object provenance — memo
+    layout — even for equal states)."""
+    a = ValidationRunner(io, scope="canon_b")
+    a.run(spark)
+    b = ValidationRunner(io, scope="corr_b")
+    b.run(spark)
+    victims = b.invalidate_from(3)        # p3 is inside baseline_parts
+    assert victims == list(range(3, 16))
+    b.run(spark)
+    ma, mb = io.read_manifest("canon_b"), io.read_manifest("corr_b")
+    for p in range(16):
+        for k in ("verdict", "state", "checks", "series_drift",
+                  "metrics_json", "base_mean", "base_std"):
+            assert ma[p][k] == mb[p][k], (p, k)
+    norm = lambda blob: ValidationRunner._dump_steppers(  # noqa: E731
+        ValidationRunner._steppers_from_blob(blob))
+    assert (norm(io.read_state("canon_b")["detector_state"])
+            == norm(io.read_state("corr_b")["detector_state"]))
+
+
+def test_replay_kill_inside_baseline_window(spark, io, monkeypatch):
+    """A kill between commit_manifest_row(p1) and commit_state(p1) while
+    the manifest holds only p0-p1: the original run standardized p1's z
+    with the FULL baseline (all parts were in stat_rows), so the loader's
+    replay must use the moments stored IN the row, not a manifest-only
+    recomputation over 2 parts."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    states = []
+    real_commit_state = ParquetTableIO.commit_state
+
+    def record(self, scope, payload):
+        states.append(dict(payload))
+        real_commit_state(self, scope, payload)
+
+    monkeypatch.setattr(ParquetTableIO, "commit_state", record)
+    r = ValidationRunner(io, scope="basekill")
+    r.run(spark)
+    monkeypatch.undo()
+    canon_through_p1 = states[1]["detector_state"]
+
+    # reconstruct the kill: manifest rows p2.. deleted, sidecar at p0
+    import json
+    import os
+    m = io.read_manifest("basekill")
+    d = io._manifest_dir("basekill")
+    consolidated = io._manifest_path("basekill")
+    if os.path.exists(consolidated):
+        os.unlink(consolidated)           # run completion compacted it
+    os.makedirs(d, exist_ok=True)
+    for p in (0, 1):
+        with open(os.path.join(d, f"part-{p}.json"), "w") as f:
+            json.dump(m[p], f)
+    io.commit_state("basekill", states[0])
+
+    replayed = ValidationRunner._dump_steppers(r._load_steppers())
+    canon = ValidationRunner._dump_steppers(
+        ValidationRunner._steppers_from_blob(canon_through_p1))
+    assert replayed == canon
+
+
+def test_empty_and_allnull_partitions_do_not_wedge(spark, io):
+    """A physically-present empty partition (or one whose monitored column
+    is entirely null) has no stats row: it must fail validation explicitly
+    (has_monitor_stat=False), advance NO detector state, and never
+    KeyError-wedge the run — before the guard, every resume died on it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(io.root, "clips")
+    sch = pq.read_schema(os.path.join(d, "part-0000.parquet"))
+    pq.write_table(sch.empty_table(),
+                   os.path.join(d, "part-0016.parquet"))
+    t = pq.read_table(os.path.join(d, "part-0000.parquet"))
+    cols = {}
+    for name in t.schema.names:
+        if name == "dur_ms":
+            cols[name] = pa.nulls(t.num_rows, t.schema.field(name).type)
+        elif name == "part":
+            cols[name] = pa.array([17] * t.num_rows,
+                                  t.schema.field(name).type)
+        else:
+            cols[name] = t[name]
+    pq.write_table(pa.table(cols, schema=t.schema),
+                   os.path.join(d, "part-0017.parquet"))
+
+    r = ValidationRunner(io, scope="gaps")
+    res = r.run(spark)
+    assert not res["skipped"]
+    assert 16 in res["failed"] and 17 in res["failed"]
+    m = io.read_manifest("gaps")
+    for p in (16, 17):
+        assert m[p]["verdict"] == "fail"
+        assert m[p]["checks"]["has_monitor_stat"] is False
+        assert m[p]["series_drift"] is False
+    # not wedged: the next run has nothing pending
+    assert r.run(spark)["skipped"]
+    # replay skips the stat-less rows exactly like run() did
+    st = io.read_state("gaps")
+    io.commit_state("gaps", {"part": 15,
+                             "detector_state": st["detector_state"]})
+    replayed = ValidationRunner._dump_steppers(r._load_steppers())
+    assert replayed == ValidationRunner._dump_steppers(
+        ValidationRunner._steppers_from_blob(st["detector_state"]))
+
+
+def test_run_reads_manifest_exactly_once(spark, io, monkeypatch):
+    """run() threads ONE manifest read to every consumer (pending set,
+    stepper load, baseline moments, completion check) — at 1e5 partitions
+    the previous three independent scans tripled resume startup IO."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    calls = []
+    real = ParquetTableIO.read_manifest
+
+    def counting(self, scope):
+        calls.append(scope)
+        return real(self, scope)
+
+    r = ValidationRunner(io, scope="once")
+    r.run(spark, limit_parts=3)
+    monkeypatch.setattr(ParquetTableIO, "read_manifest", counting)
+    r.run(spark, limit_parts=3)           # a RESUME run (state replay live)
+    monkeypatch.undo()
+    assert calls.count("once") == 1

@@ -270,3 +270,22 @@ class TestIcebergBackend(TableIOContract):
             "wire IcebergTableIO here once the full seam is implemented "
             "against a catalog; the checklist in this module's docstring "
             "maps each clause to its Iceberg primitive")
+
+
+def test_iceberg_backend_matches_seam_call_shapes():
+    """The pluggable-backend premise requires identical call shapes: a
+    caller written against ParquetTableIO (runner, DedupIndex, AnnIndex)
+    must be able to swap in IcebergTableIO without edits.  Pins the two
+    arity bugs a review found (list_partitions took an extra spark arg,
+    append rejected the profiling kwargs)."""
+    import inspect
+
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        IcebergTableIO)
+    for meth in ("read_table", "read_partition", "list_partitions",
+                 "append"):
+        pq_params = list(inspect.signature(
+            getattr(ParquetTableIO, meth)).parameters)
+        ib_params = list(inspect.signature(
+            getattr(IcebergTableIO, meth)).parameters)
+        assert ib_params == pq_params, meth
