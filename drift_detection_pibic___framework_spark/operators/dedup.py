@@ -35,6 +35,21 @@ def norm_text(col: str = "text"):
     return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
 
 
+def _check_banding(num_hashes: int, bands: int) -> None:
+    """LSH banding must divide the signature exactly.  bands > num_hashes
+    makes rows_per_band 0, so every band slice is empty and every document
+    collides with every other in every band — the bucketed equi-join
+    silently degenerates into an O(n^2) cross product feeding the verify
+    phase; a non-dividing bands silently drops the signature's tail
+    elements (quietly weaker recall than configured).  Both are config
+    errors worth failing loudly on."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes}: rows_per_band = num_hashes/bands "
+            "must be a whole number >= 1")
+
+
 def word_shingles(col: str = "text", k: int = 3):
     """Distinct word k-gram shingles of the normalized text."""
     toks = F.split(norm_text(col), " ")
@@ -151,6 +166,7 @@ def minhash_near_duplicates(docs: DataFrame, col: str = "text",
     and shingle intermediates are cached, then the intermediates are
     unpersisted — nothing stays pinned except the returned result, which
     the caller may ``unpersist()`` when done."""
+    _check_banding(num_hashes, bands)
     pins: list = []
     sig = minhash_signatures(docs, col, num_hashes, k)
     cand = lsh_candidate_pairs(sig, bands, pins=pins)
@@ -419,6 +435,41 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
 # exact substring (span-level) dedup: repeated L-gram passages across docs
 # -------------------------------------------------------------------------
 
+def _positional_grams(docs: DataFrame, col: str, id_col: str,
+                      L: int) -> DataFrame:
+    """(doc_id, pos, gh): seeded 64-bit hash (``_h64``, seed 555) of each
+    L-gram start in the normalized token stream.  ONE shared projection
+    for batch (duplicate_spans) and incremental (GramIndex) span dedup —
+    the oracle-parity contract needs both bit-identical, so the hashing
+    lives in exactly one place."""
+    toks = F.split(norm_text(col), " ")
+    idx = F.when(F.size(toks) >= L,
+                 F.sequence(F.lit(0), F.size(toks) - L)
+                 ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: _h64(F.concat_ws(" ", F.slice(toks, i + 1, L)), 555))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(grams).alias("pos", "gh"))
+
+
+def _merge_islands(dup: DataFrame, L: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged gram starts (doc_id, pos) into
+    maximal spans: a new island starts when the position gap exceeds L-1
+    (consecutive flagged grams' token ranges stop overlapping exactly
+    there).  Shared by duplicate_spans and GramIndex.spans."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (dup
+           .withColumn("brk", F.when(
+               F.col("pos") - F.lag("pos").over(w) > L - 1, 1).otherwise(0))
+           .withColumn("island", F.sum("brk").over(w)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_dup_grams"))
+            .drop("island"))
+
+
 def duplicate_spans(docs: DataFrame, col: str = "text",
                     id_col: str = "doc_id", L: int = 8,
                     min_count: int = 2,
@@ -465,16 +516,7 @@ def duplicate_spans(docs: DataFrame, col: str = "text",
     0-based token offsets into the NORMALIZED (whitespace-collapsed)
     token sequence, and how many flagged L-gram starts the span merged.
     """
-    from pyspark.sql import Window
-
-    toks = F.split(norm_text(col), " ")
-    idx = F.when(F.size(toks) >= L,
-                 F.sequence(F.lit(0), F.size(toks) - L)
-                 ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx, lambda i: _h64(F.concat_ws(" ", F.slice(toks, i + 1, L)), 555))
-    g = docs.select(F.col(id_col).alias("doc_id"),
-                    F.posexplode(grams).alias("pos", "gh"))
+    g = _positional_grams(docs, col, id_col, L)
     counts = g.groupBy("gh").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.count_distinct("doc_id").alias("nd"))
@@ -483,16 +525,7 @@ def duplicate_spans(docs: DataFrame, col: str = "text",
         cond = cond & (F.col("nd") >= 2)
     dup = (g.join(counts.filter(cond).select("gh"), "gh")
            .select("doc_id", "pos"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = (dup
-           .withColumn("brk", F.when(
-               F.col("pos") - F.lag("pos").over(w) > L - 1, 1).otherwise(0))
-           .withColumn("island", F.sum("brk").over(w)))
-    return (isl.groupBy("doc_id", "island")
-            .agg(F.min("pos").alias("span_start"),
-                 (F.max("pos") + F.lit(L - 1)).alias("span_end"),
-                 F.count(F.lit(1)).alias("n_dup_grams"))
-            .drop("island"))
+    return _merge_islands(dup, L)
 
 
 def strip_duplicate_spans(docs: DataFrame, col: str = "text",
@@ -525,7 +558,13 @@ def strip_duplicate_spans(docs: DataFrame, col: str = "text",
                .alias("_spans"))
           .withColumnRenamed("doc_id", id_col))
     d = docs.join(sp, id_col, "left")
-    toks = F.split(F.trim(F.col(col)), r"\s+")
+    # the raw token stream must align 1:1 with norm_text's token stream;
+    # collapsing \s+ to single spaces BEFORE trimming mirrors norm_text's
+    # exact pipeline (F.trim strips only ASCII spaces, so splitting the
+    # merely-trimmed raw text on \s+ would emit a leading/trailing empty
+    # token whenever the doc starts or ends with a tab/newline, shifting
+    # every span offset by one)
+    toks = F.split(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")), " ")
     indexed = F.transform(toks, lambda t, i: F.struct(t.alias("t"),
                                                       i.alias("i")))
     kept = F.filter(indexed, lambda s: ~F.exists(
@@ -647,15 +686,7 @@ class GramIndex:
         self.id_col = id_col
 
     def _grams(self, docs: DataFrame) -> DataFrame:
-        toks = F.split(norm_text(self.col), " ")
-        idx = F.when(F.size(toks) >= self.L,
-                     F.sequence(F.lit(0), F.size(toks) - self.L)
-                     ).otherwise(F.array().cast("array<int>"))
-        grams = F.transform(
-            idx, lambda i: _h64(F.concat_ws(
-                " ", F.slice(toks, i + 1, self.L)), 555))
-        return docs.select(F.col(self.id_col).alias("doc_id"),
-                           F.posexplode(grams).alias("pos", "gh"))
+        return _positional_grams(docs, self.col, self.id_col, self.L)
 
     def add(self, docs: DataFrame) -> str:
         """Append this batch's partial gram counts; returns the snapshot
@@ -675,22 +706,11 @@ class GramIndex:
         """Maximal duplicated spans of ``docs`` against the WHOLE indexed
         history (same gaps-and-islands merge as duplicate_spans) —
         drop-in for strip_duplicate_spans' ``spans`` argument."""
-        from pyspark.sql import Window
         spark = docs.sparkSession
         dup = (self._grams(docs)
                .join(self.flagged(spark, min_count), "gh")
                .select("doc_id", "pos"))
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        isl = (dup
-               .withColumn("brk", F.when(
-                   F.col("pos") - F.lag("pos").over(w) > self.L - 1,
-                   1).otherwise(0))
-               .withColumn("island", F.sum("brk").over(w)))
-        return (isl.groupBy("doc_id", "island")
-                .agg(F.min("pos").alias("span_start"),
-                     (F.max("pos") + F.lit(self.L - 1)).alias("span_end"),
-                     F.count(F.lit(1)).alias("n_dup_grams"))
-                .drop("island"))
+        return _merge_islands(dup, self.L)
 
     def compact(self, spark) -> str:
         """Fold every partial into ONE summed rewrite commit (same
@@ -917,13 +937,23 @@ def dedup_corpus(docs: DataFrame, col: str = "text",
                  .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1)
                  .drop("_digest", "_rn"))
+    created = pairs is None or callable(pairs)
     if pairs is None:
         pairs = minhash_near_duplicates(
             survivors, col=col, threshold=jaccard_threshold,
             num_hashes=num_hashes, bands=bands, k=k)
     elif callable(pairs):
         pairs = pairs(survivors)
-    return keep_canonical(survivors, pairs, id_col=id_col)
+    result = keep_canonical(survivors, pairs, id_col=id_col)
+    # keep_canonical's connected_components eagerly localCheckpoints
+    # everything derived from the pair frame, so a pair frame WE created
+    # (minhash_near_duplicates returns its result persisted) can be
+    # released here — otherwise every call (including every AdmissionGate
+    # micro-batch via dedup_incremental) pins one more cache entry for the
+    # session's lifetime. Caller-supplied frames stay the caller's to manage.
+    if created:
+        pairs.unpersist()
+    return result
 
 
 # -------------------------------------------------------------------------
@@ -963,6 +993,7 @@ def build_dedup_index(corpus: DataFrame, col: str = "text",
     signatures over the WHOLE corpus text — the difference between an
     O(increment) and an O(corpus) daily job at 100 TB (VERDICT r3 top
     ask)."""
+    _check_banding(num_hashes, bands)
     digests = corpus.select(F.md5(norm_text(col)).alias("digest")).distinct()
     band_keys = _banded_view(
         minhash_signatures(corpus.select(F.col(id_col).alias("doc_id"),
@@ -1005,6 +1036,7 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
 
     Returns the admitted increment rows (original columns).
     """
+    _check_banding(num_hashes, bands)
     if index is None:
         index = build_dedup_index(corpus, col=col, id_col=id_col,
                                   num_hashes=num_hashes, bands=bands, k=k)
@@ -1069,6 +1101,7 @@ class DedupIndex:
 
     def __init__(self, io, num_hashes: int = 16, bands: int = 8,
                  k: int = 3, col: str = "text", id_col: str = "doc_id"):
+        _check_banding(num_hashes, bands)
         self.io = io
         self.num_hashes = num_hashes
         self.bands = bands

@@ -28,6 +28,8 @@ training-data-pipeline extension required by the build brief.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+
+from . import text as text_ops
 from pyspark.sql.functions import broadcast
 
 
@@ -50,7 +52,7 @@ def chunk_text(docs: DataFrame, window: int = 512, stride: int = 256,
     token stream."""
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
-    toks = F.split(F.trim(F.col(col)), r"\s+")
+    toks = text_ops.tokens(col)
     n = F.size(toks)
     n_chunks = (F.ceil(F.greatest(n - window, F.lit(0))
                        / F.lit(float(stride))).cast("int") + 1)

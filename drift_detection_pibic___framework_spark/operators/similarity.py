@@ -31,6 +31,24 @@ def _norm(x):
     return F.sqrt(_dot(x, x))
 
 
+def _check_dim(df: DataFrame, vec_col: str, expected: int,
+               what: str) -> None:
+    """Fail loudly when the embedding width disagrees with the literal
+    matrix (centroids / hyperplanes).  ``zip_with`` pads the shorter side
+    with nulls, so a mismatch doesn't error — every dot goes NULL, every
+    ``when(NULL > 0)`` falls through, and ALL vectors silently land in
+    one bucket/cell: the equi-keyed scale path degenerates into an O(n^2)
+    cross product with no symptom but slowness.  One-row driver probe
+    (LIMIT 1 over a single row group), skipped on an empty frame."""
+    row = (df.select(F.size(F.col(vec_col)).alias("d"))
+           .filter(F.col("d") >= 0).limit(1).first())
+    if row is not None and row.d != expected:
+        raise ValueError(
+            f"{vec_col!r} vectors are {row.d}-dimensional but {what} "
+            f"expects dim={expected}; a mismatched zip_with would "
+            "silently collapse every vector into one bucket")
+
+
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -109,6 +127,8 @@ def _centroid_scores(vec_col, centroids: np.ndarray):
 def with_ivf_cell(emb: DataFrame, centroids: np.ndarray,
                   vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest (max-dot) centroid cell."""
+    _check_dim(emb, vec_col, int(np.shape(centroids)[1]),
+               "the centroid matrix")
     scores = _centroid_scores(vec_col, centroids)
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return emb.withColumn("ivf_cell", cell)
@@ -146,6 +166,8 @@ def _probed_queries(queries: DataFrame, centroids: np.ndarray,
                     n_probe: int, id_col: str,
                     vec_col: str) -> DataFrame:
     """(query_id, qv, ivf_cell) — one row per (query, probed cell)."""
+    _check_dim(queries, vec_col, int(np.shape(centroids)[1]),
+               "the centroid matrix")
     qscores = _centroid_scores("qv", centroids)
     probes = _probe_cells(qscores, len(centroids), n_probe)
     return (queries.select(F.col(id_col).alias("query_id"),
@@ -260,12 +282,11 @@ def semantic_dedup(emb: DataFrame, centroids: np.ndarray = None,
     is scanned once for assignment and once for the anti-join."""
     C = centroids if centroids is not None else ivf_fit_centroids(
         emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
-    from .dedup import connected_components
-    pairs = semantic_dup_pairs(emb, C, threshold, id_col, vec_col)
-    comp = connected_components(pairs, src="vec_a", dst="vec_b")
-    drop = (comp.filter(F.col("node") != F.col("component"))
-            .select(F.col("node").alias(id_col)))
-    return emb.join(drop, id_col, "left_anti")
+    from .dedup import keep_canonical
+    pairs = (semantic_dup_pairs(emb, C, threshold, id_col, vec_col)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    return keep_canonical(emb, pairs, id_col=id_col)
 
 
 def semantic_contamination(emb: DataFrame, eval_emb: DataFrame,
@@ -367,6 +388,7 @@ def with_lsh_signature(emb: DataFrame, planes: np.ndarray,
                        vec_col: str = "embedding") -> DataFrame:
     """Add an integer bucket signature: bit i = 1 if v·plane_i > 0.
     Planes enter the plan as one folded literal — no shuffle."""
+    _check_dim(emb, vec_col, int(np.shape(planes)[1]), "the plane matrix")
     return emb.withColumn("lsh_bucket",
                           _lsh_sig(F.col(vec_col), planes).cast("int"))
 
@@ -384,6 +406,7 @@ def hyperplane_lsh_neighbors(emb: DataFrame, k: int = 5, n_planes: int = 4,
     per table, recall = 1 - (1 - p)^L — tunable via (H, L) per corpus.
     The join stays equi on (table_idx, bucket); candidate volume ~=
     L * N^2 / 2^H per bucket family, against the N^2 brute-force."""
+    _check_dim(emb, vec_col, dim, f"dim={dim} hyperplanes")
     base = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     buckets = []
     for t in range(n_tables):
@@ -459,6 +482,7 @@ class AnnIndex:
         self.vec_col = vec_col
         self.n_files = n_files
         self.last_probe_report = None
+        self._pinned = None
 
     # -- build / state ----------------------------------------------------
 
@@ -513,6 +537,14 @@ class AnnIndex:
                                        ["ivf_cell"], n_files=self.n_files)
         return {"cells": snap}
 
+    def release(self) -> None:
+        """Unpersist the previous ``search``'s cached probe frame.
+        Blocking, so a shared long-lived session (e.g. pytest's) sees no
+        straggler async evictions in cache accounting."""
+        if self._pinned is not None:
+            self._pinned.unpersist(blocking=True)
+            self._pinned = None
+
     def rollback(self, token: dict) -> None:
         """Undo every index commit made AFTER ``token`` (TableIO snapshot
         rollback — the rolled-back vectors vanish from every subsequent
@@ -523,24 +555,19 @@ class AnnIndex:
 
     def plan_probe(self, cells) -> tuple:
         """Pruned scan plan for a probed-cell set: returns
-        ``(paths, report)`` where ``paths`` is the union of the surviving
-        per-cell file lists (``None`` = merge-on-read fallback) and
-        ``report`` counts files kept vs the table total — the evidence
-        that a search touches only probed cells' files."""
-        all_paths, _ = self.io.plan_where(self.CELLS, {})
-        if all_paths is None:
+        ``(paths, report)`` where ``paths`` is the surviving file list
+        (``None`` = merge-on-read fallback) and ``report`` counts files
+        kept vs the table total — the evidence that a search touches only
+        probed cells' files.  ONE sidecar pass: the cell set goes to
+        ``plan_where`` as an OR-of-ranges predicate, instead of one
+        snaplog listing + sidecar parse per probed cell (O(cells *
+        commits) file opens at production probe widths)."""
+        cs = sorted({int(c) for c in cells})
+        paths, rep = self.io.plan_where(
+            self.CELLS, {"ivf_cell": [(c, c) for c in cs]})
+        if paths is None:
             return None, {"fallback": True}
-        kept, seen = [], set()
-        for c in sorted(set(cells)):
-            paths, _ = self.io.plan_where(self.CELLS,
-                                          {"ivf_cell": (c, c)})
-            for p in paths:
-                if p not in seen:
-                    seen.add(p)
-                    kept.append(p)
-        return kept, {"fallback": False, "files_total": len(all_paths),
-                      "files_kept": len(kept),
-                      "cells_probed": len(set(cells))}
+        return paths, {**rep, "fallback": False, "cells_probed": len(cs)}
 
     def _read_cells(self, spark, cells) -> DataFrame:
         paths, report = self.plan_probe(cells)
@@ -564,9 +591,18 @@ class AnnIndex:
         bounded collect by construction) drives file-level pruning; exact
         cosine runs only inside probed cells.  Same scoring/ranking
         contract as ``ivf_topk``: cosine rounded 4dp, rank tie-break
-        (cosine desc, nbr_id asc), self-pairs excluded."""
+        (cosine desc, nbr_id asc), self-pairs excluded.
+
+        The probed-query frame is PERSISTED (it feeds both the cell
+        collect and the search join — unpinned, the query scan + centroid
+        scoring would run twice) and released on the NEXT search or an
+        explicit ``release()``: at most one small cached frame per index
+        instance, never an unbounded accumulation."""
         C = self.centroids()
-        q = _probed_queries(queries, C, n_probe, self.id_col, self.vec_col)
+        self.release()
+        q = _probed_queries(queries, C, n_probe,
+                            self.id_col, self.vec_col).persist()
+        self._pinned = q
         cells = [r.ivf_cell
                  for r in q.select("ivf_cell").distinct().collect()]
         base = self._read_cells(spark, cells).select(

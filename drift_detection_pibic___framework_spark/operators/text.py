@@ -26,8 +26,15 @@ LANG_STOPWORDS = {
 
 def tokens(col: str = "text"):
     """Whitespace tokenization (the BPE-ish regex variant uses
-    ``\\w+|[^\\w\\s]`` — see token_count_bpe)."""
-    return F.split(F.trim(F.col(col)), r"\s+")
+    ``\\w+|[^\\w\\s]`` — see token_count_bpe).
+
+    Collapses ``\\s+`` to single spaces BEFORE trimming — the exact
+    pipeline of ``dedup.norm_text`` minus lowering — so the raw token
+    stream aligns 1:1 with the normalized stream for ANY whitespace
+    (``F.trim`` strips only ASCII spaces: trimming first would leave a
+    leading/trailing tab or newline and emit a phantom empty token,
+    shifting every downstream token offset by one)."""
+    return F.split(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")), " ")
 
 
 def with_token_counts(docs: DataFrame, col: str = "text") -> DataFrame:

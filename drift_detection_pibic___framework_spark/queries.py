@@ -587,7 +587,8 @@ from .operators import text as T  # noqa: E402
 
 _NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
-_RAW_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_RAW_TOKS_SQL = ("string_split(trim(regexp_replace("
+                 "text, '\\s+', ' ', 'g')), ' ')")
 
 
 @register("doc_token_counts", f"""
@@ -2178,7 +2179,8 @@ def doc_span_dedup_stats(spark, sf_dir):
 @register("doc_weighted_sample", f"""
 WITH w AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+         CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                       ' ')) AS INTEGER)
            AS weight,
          (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) + 0.5) / 4294967296.0 AS u
@@ -2193,8 +2195,7 @@ def doc_weighted_sample(spark, sf_dir):
     subsample draw.  TakeOrderedAndProject top-k — no global sort; the
     oracle recomputes the identical keys and takes the same top-60."""
     docs = _t(spark, sf_dir, "documents")
-    d = docs.withColumn(
-        "weight", F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    d = docs.withColumn("weight", F.size(T.tokens("text")))
     return (SA.weighted_sample(d, "weight", 60)
             .select("doc_id", "weight", F.round("es_key", 6).alias("es_key")))
 

@@ -631,10 +631,13 @@ class ParquetTableIO:
     def _range_excluded(colstats: dict, preds: dict, trust=None) -> bool:
         """True if ``colstats`` ({col: {n, min, max, ...}}) PROVES no row
         can satisfy every predicate in ``preds`` ({col: (lo, hi)},
-        inclusive, None = unbounded).  A column absent from ``colstats``
-        (or from ``trust`` when given) never excludes — unknown stats read
-        conservatively."""
-        for c, (lo, hi) in preds.items():
+        inclusive, None = unbounded).  A predicate value may also be a
+        LIST of (lo, hi) ranges — OR semantics: the column excludes only
+        when every range misses (lets a caller prune for a probed-cell
+        SET in one sidecar pass instead of one plan_where call per cell).
+        A column absent from ``colstats`` (or from ``trust`` when given)
+        never excludes — unknown stats read conservatively."""
+        for c, rng in preds.items():
             if trust is not None and c not in trust:
                 continue
             m = colstats.get(c)
@@ -644,9 +647,10 @@ class ParquetTableIO:
                 return True
             if m.get("min") is None or m.get("max") is None:
                 continue
-            if hi is not None and m["min"] > hi:
-                return True
-            if lo is not None and m["max"] < lo:
+            ranges = rng if isinstance(rng, list) else [rng]
+            if not any((hi is None or m["min"] <= hi)
+                       and (lo is None or m["max"] >= lo)
+                       for lo, hi in ranges):
                 return True
         return False
 

@@ -32,6 +32,9 @@ stream instead of being rebuilt per sample.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import DedupIndex
@@ -40,12 +43,31 @@ from ..sources.tableio import ParquetTableIO
 ADMITTED_TABLE = "admitted_docs"
 ADMIT_SCOPE = "dedup_admit_epochs"
 PENDING_SCOPE = "dedup_admit_pending"
+SEED_PENDING_SCOPE = "dedup_seed_pending"
 
 
-def ensure_admission_tables(spark: SparkSession, idx: DedupIndex) -> None:
+def run_tag_for(checkpoint_dir: str) -> str:
+    """Deterministic replay-guard scope tag for a checkpoint location
+    (epoch ids are only unique within one checkpoint — see
+    AdmissionGate)."""
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]
+
+
+def ensure_admission_tables(spark: SparkSession, idx: DedupIndex,
+                            id_type: str = "long") -> None:
     """Bootstrap the index + admitted-docs tables with one empty commit
     each, so every later tip is a real snapshot id (rollback_to targets
     always exist) and a first stream run needs no special-casing.
+
+    ``id_type`` is the doc-id column's Spark type name — it must match
+    the stream/corpus schema (``admission_stream`` derives it from the
+    caller's schema): a bootstrap snapshot written with a mismatched id
+    type would type-conflict with every later append, permanently
+    wedging reads of the bands and admitted tables.  An ALREADY
+    bootstrapped root is checked against ``id_type`` and raises loudly
+    on mismatch instead of leaving the conflict to surface as a Parquet
+    conversion error mid-stream.
 
     Each table is checked INDIVIDUALLY: ``idx.build`` appends DIGESTS
     then BANDS, and this bootstrap predates the pending-record protocol,
@@ -60,11 +82,21 @@ def ensure_admission_tables(spark: SparkSession, idx: DedupIndex) -> None:
     here, once, at stream start."""
     io = idx.io
     empty = spark.createDataFrame(
-        [], f"{idx.id_col} long, {idx.col} string")
+        [], f"{idx.id_col} {id_type}, {idx.col} string")
     if not (io.has_appended(idx.DIGESTS) and io.has_appended(idx.BANDS)):
         idx.build(empty)
     if not io.has_appended(ADMITTED_TABLE):
         io.append(empty, ADMITTED_TABLE)
+    # compare through Spark's canonical dtype names ('long' -> 'bigint')
+    expected = dict(empty.dtypes)[idx.id_col]
+    existing = dict(io.read_appended(spark, ADMITTED_TABLE).dtypes).get(
+        idx.id_col)
+    if existing is not None and existing != expected:
+        raise ValueError(
+            f"admission root was bootstrapped with {idx.id_col}:{existing} "
+            f"but this run's schema carries {idx.id_col}:{expected}; mixed "
+            "id types in one snapshot table cannot be read back — use a "
+            "fresh index_root (or the original id type)")
     has_keys = bool(io.read_appended(spark, idx.DIGESTS).take(1))
     if has_keys and not io.read_appended(spark, ADMITTED_TABLE).take(1):
         raise ValueError(
@@ -80,11 +112,38 @@ def seed_admission(spark: SparkSession, idx: DedupIndex,
     """Seed the admission root with a PRE-EXISTING corpus: index its keys
     AND append its text to ADMITTED_TABLE in one call, preserving the
     gate's invariant that every indexed doc's text is servable for the
-    near-dup verify join.  Returns the index commit token."""
-    ensure_admission_tables(spark, idx)
+    near-dup verify join.  Returns the index commit token.
+
+    Crash-safe via the same pending-record protocol as the gate: a
+    pending sidecar carrying every table's tip is committed before the
+    first write, so a seed that died between the text append and the key
+    build is rolled back to its tips on the next call instead of leaving
+    text without keys (every duplicate of the seeded corpus would then
+    sail through the exact/LSH phases).  Seeding is ONE-SHOT: a root
+    whose admitted table already has rows refuses a re-seed (re-appending
+    corpus text would leave permanent duplicate rows) — grow an already
+    live root through the gate / ``DedupIndex.admit`` instead."""
+    io = idx.io
     rows = corpus.select(F.col(idx.id_col), F.col(idx.col))
-    idx.io.append(rows, ADMITTED_TABLE)
-    return idx.build(rows)
+    ensure_admission_tables(spark, idx, id_type=dict(rows.dtypes)[idx.id_col])
+    tables = (idx.DIGESTS, idx.BANDS, ADMITTED_TABLE)
+    pend = io.read_state(SEED_PENDING_SCOPE)
+    if pend:                      # previous seed died mid-commit: undo it
+        for t, tip in pend["tips"].items():
+            if io.snapshots(t)[-1]["snap"] != tip:
+                io.rollback(t, tip)
+        io.clear_state(SEED_PENDING_SCOPE)
+    if io.read_appended(spark, ADMITTED_TABLE).take(1):
+        raise ValueError(
+            "admission root already has admitted documents; seeding is "
+            "one-shot on an empty root (admit further corpus through the "
+            "gate or DedupIndex.admit, which dedup against it)")
+    io.commit_state(SEED_PENDING_SCOPE, {
+        "tips": {t: io.snapshots(t)[-1]["snap"] for t in tables}})
+    io.append(rows, ADMITTED_TABLE)
+    token = idx.build(rows)
+    io.clear_state(SEED_PENDING_SCOPE)
+    return token
 
 
 class AdmissionGate:
@@ -93,11 +152,21 @@ class AdmissionGate:
     plain method calls, no stream machinery needed)."""
 
     def __init__(self, idx: DedupIndex, out_dir: str,
-                 threshold: float = 0.7):
+                 threshold: float = 0.7, run_tag: str = ""):
         self.idx = idx
         self.io = idx.io
         self.out_dir = out_dir
         self.threshold = threshold
+        # foreachBatch epoch ids are only unique WITHIN one checkpoint:
+        # a reset (or second) checkpoint restarts at epoch 0, and an
+        # un-scoped replay guard would silently discard its first N fresh
+        # batches as "replays".  Scoping the manifest/pending names by a
+        # checkpoint-derived tag keeps exactly-once within a checkpoint
+        # while a new checkpoint re-processes from scratch — harmless,
+        # because the index itself rejects already-admitted documents.
+        suf = f"-{run_tag}" if run_tag else ""
+        self.admit_scope = ADMIT_SCOPE + suf
+        self.pending_scope = PENDING_SCOPE + suf
 
     def _tables(self):
         return (self.idx.DIGESTS, self.idx.BANDS, ADMITTED_TABLE)
@@ -108,21 +177,21 @@ class AdmissionGate:
     def recover(self) -> bool:
         """Undo a half-committed previous attempt (see module docstring
         rule 2/3).  Returns True if a rollback happened."""
-        pend = self.io.read_state(PENDING_SCOPE)
+        pend = self.io.read_state(self.pending_scope)
         if not pend:
             return False
         rolled = False
-        if not self.io.has_manifest_row(ADMIT_SCOPE, pend["epoch"]):
+        if not self.io.has_manifest_row(self.admit_scope, pend["epoch"]):
             for t, tip in pend["tips"].items():
                 if self.io.snapshots(t)[-1]["snap"] != tip:
                     self.io.rollback(t, tip)
                     rolled = True
-        self.io.clear_state(PENDING_SCOPE)
+        self.io.clear_state(self.pending_scope)
         return rolled
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
         e = int(epoch_id)
-        if self.io.has_manifest_row(ADMIT_SCOPE, e):
+        if self.io.has_manifest_row(self.admit_scope, e):
             return      # replay of a completed epoch — O(1) stat, never
             #             a whole-manifest read per micro-batch
         self.recover()
@@ -133,8 +202,8 @@ class AdmissionGate:
         admitted.count()                    # pin before the commits below
         # intent record FIRST: every commit after this line is
         # rollback-covered until the manifest row lands
-        self.io.commit_state(PENDING_SCOPE, {"epoch": e,
-                                             "tips": self._tips()})
+        self.io.commit_state(self.pending_scope, {"epoch": e,
+                                                  "tips": self._tips()})
         snap_a = self.io.append(
             admitted.select(self.idx.id_col, self.idx.col), ADMITTED_TABLE)
         token = self.idx.commit(admitted)
@@ -144,8 +213,8 @@ class AdmissionGate:
          .partitionBy("epoch")
          .parquet(self.out_dir))            # idempotent inspection sink
         self.io.commit_manifest_row(
-            ADMIT_SCOPE, e, {"admitted": snap_a, **token})
-        self.io.clear_state(PENDING_SCOPE)
+            self.admit_scope, e, {"admitted": snap_a, **token})
+        self.io.clear_state(self.pending_scope)
         admitted.unpersist()
 
 
@@ -163,8 +232,14 @@ def admission_stream(spark: SparkSession, docs_dir: str, schema,
     io = ParquetTableIO(index_root)
     idx = DedupIndex(io, num_hashes=num_hashes, bands=bands, k=k,
                      col=col, id_col=id_col)
-    ensure_admission_tables(spark, idx)
-    gate = AdmissionGate(idx, out_dir, threshold)
+    dtypes = dict(spark.createDataFrame([], schema).dtypes)
+    if id_col not in dtypes or col not in dtypes:
+        raise ValueError(
+            f"stream schema must carry both {id_col!r} and {col!r}; "
+            f"got columns {sorted(dtypes)}")
+    ensure_admission_tables(spark, idx, id_type=dtypes[id_col])
+    gate = AdmissionGate(idx, out_dir, threshold,
+                         run_tag=run_tag_for(checkpoint_dir))
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(docs_dir))

@@ -133,6 +133,8 @@ def main() -> int:
             # session (the in-process CLI tests share pytest's session,
             # where a straggler eviction skews cache-accounting tests)
             res.unpersist(blocking=True)
+        # same hygiene for the search's own probe-frame pin
+        idx.release()
         rep = idx.last_probe_report or {}
         print(f"search: {n} result rows; probe report {json.dumps(rep)}")
     elif args.rollback:

@@ -166,3 +166,40 @@ def test_ann_index_refuses_rebuild_on_committed_root(spark, emb, tmp_path):
     idx.build(emb, centroids=similarity.random_unit_centroids(64, 8))
     with pytest.raises(ValueError, match="fresh root"):
         idx.build(emb, centroids=similarity.random_unit_centroids(64, 4))
+
+
+def test_search_pins_exactly_one_probe_frame(spark, emb, tmp_path):
+    """search persists its probed-query frame (it feeds the cell collect
+    AND the join) and releases it on the next search / release() — at
+    most one small pinned frame per index, never an accumulation (r5
+    review)."""
+    C = similarity.random_unit_centroids(64, 16, seed=42)
+    idx = similarity.AnnIndex(ParquetTableIO(str(tmp_path / "pin")))
+    idx.build(emb, centroids=C)
+    q = emb.filter("vec_id < 3")
+    idx.search(spark, q, k=3, n_probe=2).count()
+    first = idx._pinned
+    assert first is not None and first.storageLevel.useMemory
+    # a DIFFERENT query frame (cache lookups are by canonicalized plan,
+    # so an identical second search would alias the first's entry)
+    idx.search(spark, emb.filter("vec_id >= 7 and vec_id < 9"),
+               k=3, n_probe=2).count()
+    assert not first.storageLevel.useMemory        # previous pin released
+    assert idx._pinned is not None and idx._pinned is not first
+    idx.release()
+    assert idx._pinned is None
+
+
+def test_plan_probe_single_pass_report(spark, emb, tmp_path):
+    """plan_probe prunes in ONE sidecar pass (OR-of-ranges predicate) and
+    still reports per-file keep/total evidence."""
+    C = similarity.random_unit_centroids(64, 16, seed=42)
+    idx = similarity.AnnIndex(ParquetTableIO(str(tmp_path / "probe")))
+    idx.build(emb, centroids=C)
+    paths, rep = idx.plan_probe([0, 3])
+    assert rep["fallback"] is False and rep["cells_probed"] == 2
+    assert 0 < rep["files_kept"] < rep["files_total"]
+    assert len(paths) == rep["files_kept"]
+    # a probed superset keeps at least as many files
+    _, rep_all = idx.plan_probe(range(16))
+    assert rep_all["files_kept"] >= rep["files_kept"]

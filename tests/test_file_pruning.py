@@ -231,3 +231,18 @@ def test_read_where_pre_log_table_falls_back(spark, tmp_path, seq_df):
     assert paths is None and rep["fallback"]
     got = io.read_where(spark, "t", {"k": (0, 9)})
     assert got.count() == 10
+
+
+def test_range_excluded_or_ranges():
+    """OR-of-ranges predicate form: excluded only when EVERY range misses
+    (lets plan_probe prune a probed-cell set in one sidecar pass)."""
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    re_ = ParquetTableIO._range_excluded
+    stats = {"c": {"n": 5, "min": 10, "max": 20}}
+    assert re_(stats, {"c": [(0, 5), (30, 40)]})       # both miss
+    assert not re_(stats, {"c": [(0, 5), (15, 15)]})   # one hits
+    assert not re_(stats, {"c": [(None, 12), (30, 40)]})
+    assert re_(stats, {"c": []} ) is True              # vacuous: no range
+    assert not re_(stats, {"c": (15, 15)})             # tuple form intact
+    assert re_(stats, {"c": (21, None)})

@@ -1994,3 +1994,65 @@ def test_audio_dropouts_synthetic_injection(spark):
     assert out[1]["max_const_run"] < 16 and out[1]["n_dropout_runs"] == 0
     assert out[3]["max_const_run"] == 10 and out[3]["n_dropout_runs"] == 0
     assert out[4]["max_const_run"] == 10 and out[4]["n_dropout_runs"] == 0
+
+
+# -- r5 review regressions: cache release, banding, dim validation ---------
+
+def test_dedup_corpus_releases_internal_pairs(spark, docs, monkeypatch):
+    """dedup_corpus must unpersist the pair frame IT created (r5 review:
+    every AdmissionGate micro-batch leaked one pinned DataFrame through
+    dedup_incremental -> dedup_corpus -> minhash_near_duplicates)."""
+    captured = {}
+    orig = dedup.minhash_near_duplicates
+
+    def spy(*a, **kw):
+        res = orig(*a, **kw)
+        captured["pairs"] = res
+        return res
+
+    monkeypatch.setattr(dedup, "minhash_near_duplicates", spy)
+    res = dedup.dedup_corpus(docs.limit(30), jaccard_threshold=0.2)
+    res.count()
+    assert not captured["pairs"].storageLevel.useMemory   # released
+    # caller-supplied pair frames stay the caller's to manage
+    mine = orig(docs.limit(30), threshold=0.2)
+    dedup.dedup_corpus(docs.limit(30), pairs=mine).count()
+    assert mine.storageLevel.useMemory
+    mine.unpersist(blocking=True)
+
+
+def test_banding_must_divide_signature(spark, docs):
+    """bands > num_hashes makes every band slice empty (md5('') for all
+    docs -> full cross product); non-dividing bands silently drops tail
+    signature elements.  Both raise now (r5 review)."""
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_near_duplicates(docs, num_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.minhash_near_duplicates(docs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.DedupIndex(None, num_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.build_dedup_index(docs, num_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="divisor"):
+        dedup.dedup_incremental(docs.limit(1), docs, num_hashes=4, bands=8)
+
+
+def test_embedding_dim_mismatch_raises(spark, emb):
+    """A centroid/plane matrix narrower or wider than the embeddings must
+    raise: zip_with pads with nulls, so a mismatch silently collapses
+    every vector into one bucket/cell — an O(n^2) join with no error
+    (r5 review)."""
+    C32 = similarity.random_unit_centroids(32, 8, seed=1)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.with_ivf_cell(emb, C32)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_topk(emb, emb.limit(2), centroids=C32)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.hyperplane_lsh_neighbors(emb, dim=32)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.with_lsh_signature(emb, similarity.hyperplanes(32, 4))
+    # matching dims still fine (and the empty frame is skipped, not probed)
+    C64 = similarity.random_unit_centroids(64, 8, seed=1)
+    similarity.with_ivf_cell(emb.limit(0), C32).count()
+    assert similarity.with_ivf_cell(emb, C64).filter(
+        "ivf_cell >= 0").count() == emb.count()

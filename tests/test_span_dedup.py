@@ -379,3 +379,36 @@ def test_weighted_sample_excludes_nonpositive(spark):
     ids = {r["doc_id"] for r in
            sampling.weighted_sample(df, "w", 10, key_col="doc_id").collect()}
     assert ids == {3}
+
+
+def test_strip_spans_aligns_on_nonspace_whitespace(spark):
+    """Leading tab / trailing newline: F.trim strips only ASCII spaces, so
+    a merely-trimmed raw \\s+ split emitted a phantom empty token and
+    shifted every span offset by one — deleting the wrong tokens (r5
+    review).  The raw stream now mirrors norm_text's collapse-then-trim
+    pipeline, so a doc with edge whitespace strips identically to its
+    clean twin."""
+    body = "the cat sat on the mat then the cat sat on the mat"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="\t" + body + "\n"),
+        Row(doc_id=2, text=body),
+    ])
+    out = {r.doc_id: r for r in dedup.strip_duplicate_spans(
+        df, L=3, min_count=2).collect()}
+    assert out[1].text_clean == out[2].text_clean
+    assert out[1].n_tokens_removed == out[2].n_tokens_removed > 0
+
+
+def test_raw_token_stream_matches_norm_count(spark):
+    """The strip contract 'normalization never changes the token COUNT'
+    must hold for every whitespace shape, including tabs/newlines at the
+    edges and all-whitespace docs."""
+    from drift_detection_pibic___framework_spark.operators import text as T
+    df = spark.createDataFrame(
+        [(1, "\tfoo  bar\n"), (2, " x "), (3, "a\nb\tc"), (4, ""),
+         (5, " \t\n ")], "doc_id long, text string")
+    rows = df.select(
+        F.size(T.tokens("text")).alias("raw"),
+        F.size(F.split(dedup.norm_text("text"), " ")).alias("norm")
+    ).collect()
+    assert all(r.raw == r.norm for r in rows)

@@ -4,13 +4,15 @@ recovery, and checkpoint kill/resume."""
 
 import os
 
+import pytest
+
 from drift_detection_pibic___framework_spark.operators.dedup import (
     DedupIndex)
 from drift_detection_pibic___framework_spark.sources.tableio import (
     ParquetTableIO)
 from drift_detection_pibic___framework_spark.streaming.stream_admit import (
     ADMIT_SCOPE, ADMITTED_TABLE, PENDING_SCOPE, AdmissionGate,
-    admission_stream, ensure_admission_tables)
+    admission_stream, ensure_admission_tables, run_tag_for)
 
 SCHEMA = "doc_id long, text string"
 # LSH knobs sized for tiny fixtures: 16 hashes / 8 bands -> 2 rows per
@@ -94,7 +96,9 @@ def test_stream_admission_matches_batch(spark, tmp_path):
           sio.read_appended(spark, DedupIndex.DIGESTS).collect()}
     assert bd == sd
     # exactly one manifest row per epoch, all three tables committed
-    assert sorted(sio.read_manifest(ADMIT_SCOPE)) == [0, 1, 2]
+    # (the stream scopes its replay guard by checkpoint identity)
+    scope = f"{ADMIT_SCOPE}-{run_tag_for(str(tmp_path / 'ckpt'))}"
+    assert sorted(sio.read_manifest(scope)) == [0, 1, 2]
 
 
 def _gate(spark, tmp_path, name="g"):
@@ -187,8 +191,9 @@ def test_checkpoint_kill_resume(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [11, 14, 16, 17]
-    # no epoch double-committed across the restart
-    m = sio.read_manifest(ADMIT_SCOPE)
+    # no epoch double-committed across the restart (same checkpoint ->
+    # same replay-guard scope)
+    m = sio.read_manifest(f"{ADMIT_SCOPE}-{run_tag_for(ckpt)}")
     assert len(m) == len(set(m)) == 3
 
 
@@ -238,3 +243,81 @@ def test_seed_admission_preserves_near_dup_verification(spark, tmp_path):
         spark, ADMITTED_TABLE).collect())
     # 10 = exact dup of seed 1, 12 = NEAR dup of seed 2 (Jaccard 7/9)
     assert admitted == [1, 2, 3, 11]
+
+
+def test_admission_supports_string_ids(spark, tmp_path):
+    """The bootstrap schema derives the id type from the caller (r5
+    review: a hardcoded 'long' bootstrap type-conflicted with every
+    later append of a string-id stream, wedging all reads)."""
+    from drift_detection_pibic___framework_spark.streaming.stream_admit import (
+        seed_admission)
+    idx = DedupIndex(ParquetTableIO(str(tmp_path / "sidx")),
+                     id_col="doc_id", **KN)
+    schema_s = "doc_id string, text string"
+    corpus = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in SEED], schema_s)
+    seed_admission(spark, idx, corpus)
+    gate = AdmissionGate(idx, str(tmp_path / "sout"), threshold=0.6)
+    batch = spark.createDataFrame(
+        [("n1", SEED[0][1]),                       # exact dup of d1
+         ("n2", "totally fresh words that match nothing in the corpus")],
+        schema_s)
+    gate(batch, 0)
+    got = sorted(r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "sout")).collect())
+    assert got == ["n2"]
+    # a later run with a mismatched id type fails loudly at start
+    with pytest.raises(ValueError, match="bootstrapped"):
+        ensure_admission_tables(spark, idx, id_type="long")
+
+
+def test_replay_guard_is_checkpoint_scoped(spark, tmp_path):
+    """Epoch ids restart at 0 under a new/reset checkpoint; the replay
+    guard must not discard those fresh batches (r5 review).  A second
+    gate with a different run_tag processes epoch 0 again — the index
+    itself rejects true duplicates, so re-processing is safe."""
+    idx = _mkidx(tmp_path, "scoped")
+    ensure_admission_tables(spark, idx)
+    out = str(tmp_path / "scout")
+    gate_a = AdmissionGate(idx, out, threshold=0.6, run_tag="ckpt-a")
+    gate_a(spark.createDataFrame(FILES[0], SCHEMA), 0)
+    # same epoch id, same tag -> replay, skipped
+    n_before = spark.read.parquet(out).count()
+    gate_a(spark.createDataFrame(FILES[1], SCHEMA), 0)
+    assert spark.read.parquet(out).count() == n_before
+    # same epoch id, NEW tag (reset checkpoint) -> processed: fresh docs
+    # 14/15 are admitted, 13 is rejected against gate_a's admitted 11 —
+    # the index, not the replay guard, provides cross-run idempotency
+    gate_b = AdmissionGate(idx, out, threshold=0.6, run_tag="ckpt-b")
+    gate_b(spark.createDataFrame(FILES[1], SCHEMA), 0)
+    got = sorted(r.doc_id for r in idx.io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    assert got == [10, 11, 12, 14, 15]
+
+
+def test_seed_admission_crash_safe_and_one_shot(spark, tmp_path,
+                                                monkeypatch):
+    """A seed that dies between the text append and the key build must
+    roll back on the next call (text without keys would wave every
+    duplicate of the seeded corpus through); a root with admitted docs
+    refuses a re-seed (r5 review)."""
+    from drift_detection_pibic___framework_spark.streaming.stream_admit import (
+        seed_admission)
+    idx = _mkidx(tmp_path, "seedcrash")
+    corpus = spark.createDataFrame(SEED, SCHEMA)
+
+    def boom(self, rows):
+        raise RuntimeError("simulated crash before key build")
+
+    monkeypatch.setattr(DedupIndex, "build", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        seed_admission(spark, idx, corpus)
+    monkeypatch.undo()
+    seed_admission(spark, idx, corpus)      # recovers, then seeds once
+    got = sorted(r.doc_id for r in idx.io.read_appended(
+        spark, ADMITTED_TABLE).collect())
+    assert got == [1, 2, 3]                 # exactly ONE copy of the corpus
+    digs = idx.io.read_appended(spark, idx.DIGESTS).count()
+    assert digs == 3                        # keys present
+    with pytest.raises(ValueError, match="one-shot"):
+        seed_admission(spark, idx, corpus)
