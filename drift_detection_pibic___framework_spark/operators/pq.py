@@ -1,0 +1,283 @@
+"""Product quantization (PQ) for embedding columns — the compressed-domain
+ANN path (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+Neighbor Search"; the IVFADC layout FAISS calls IVF*,PQ*).
+
+Why this exists at 10^12 vectors: the inverted file (``AnnIndex``) already
+prunes WHICH cells a search reads, but every probed candidate still costs a
+full ``dim``-float scan + dot product.  PQ splits each vector into ``m``
+subvectors, quantizes each against a small per-subspace codebook (``k``
+codewords), and stores only the ``m`` codeword ids — 8 small ints instead
+of 64 floats here (configurable).  Search then uses **asymmetric distance
+computation (ADC)**: the query stays exact, a per-query lookup table
+``lut[j][c] = <q_subvec_j, codeword_jc>`` is built ONCE per query
+(O(k * dim), tiny, on the small broadcast side), and every candidate scores
+as ``sum_j lut[j][code_j]`` — ``m`` array lookups + adds instead of ``dim``
+multiplies, over a table whose scanned bytes shrank ~8-30x because the
+embedding column is never read.
+
+Everything is JVM-side Catalyst expressions: the codebook enters the plan
+as ONE nested-array literal (the flat-literal lesson from
+``similarity._centroid_scores`` — per-codeword expression trees explode
+analysis time at production widths), encode/LUT/score are
+transform/zip_with/aggregate lambdas inside whole-stage codegen, and the
+seeded literal codebooks make the entire pipeline reproducible in ANSI SQL
+for the oracle gate (``emb_pq_codes`` / ``emb_pq_adc_knn``).  The
+data-FITTED codebooks from ``pq_fit_codebooks`` plug into the same
+expressions and are covered by recall/reconstruction tests.
+
+Reference parity note: the reference framework carries no ANN operator —
+this extends the engine's similarity family (SURVEY §2 extensions) the same
+way IVF/LSH did, with the persisted-index lifecycle living in
+``similarity.AnnIndex`` (PQ codes ride the same inverted-file table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _dot, _fit_sample
+
+
+def _shape(codebooks: np.ndarray) -> tuple:
+    """(m, k, dsub) with validation."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError(f"codebooks must be (m, k, dsub); got {cb.shape}")
+    return cb.shape
+
+
+def _check_pq_dim(df: DataFrame, vec_col: str, m: int, dsub: int) -> None:
+    """Fail loudly when the embedding width disagrees with the codebook
+    geometry.  ``F.slice`` past the end returns a SHORT array and
+    ``zip_with`` pads it with nulls, so a mismatch doesn't error — the
+    null-poisoned distances make ``array_min`` NULL, ``array_position``
+    returns 0, and every tail subspace silently encodes as code -1.  Same
+    one-row driver probe contract as ``similarity._check_dim``."""
+    row = (df.select(F.size(F.col(vec_col)).alias("d"))
+           .filter(F.col("d") >= 0).limit(1).first())
+    if row is not None and row.d != m * dsub:
+        raise ValueError(
+            f"{vec_col!r} vectors are {row.d}-dimensional but the "
+            f"codebooks expect m*dsub = {m}*{dsub} = {m * dsub}; a "
+            "mismatched slice would silently encode tail subspaces as -1")
+
+
+def random_codebooks(dim: int, m: int = 8, k: int = 16,
+                     seed: int = 7) -> np.ndarray:
+    """Seeded data-independent codebooks (m, k, dim/m) — pure literals, so
+    a PQ pipeline built on them is fully reproducible in ANSI SQL, which
+    lets the oracle gate check encode, ADC scoring and ranking end to end
+    (mirrors ``similarity.random_unit_centroids``'s role for IVF).
+    Codeword components are N(0, 1/sqrt(dim)) — the per-component scale of
+    a unit-norm ``dim``-vector — so distances to unit-norm data are
+    non-degenerate."""
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, 1.0 / np.sqrt(dim), (m, k, dim // m))
+
+
+def pq_fit_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
+                     sample_rows: int = 10000, n_iter: int = 10,
+                     seed: int = 7, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> np.ndarray:
+    """Per-subspace Lloyd k-means on a BOUNDED deterministic driver sample
+    (the md5-ordered uniform sample shared with ``ivf_fit_centroids`` —
+    training is the only driver-side step, O(sample * dim); encode and
+    search stay distributed).  Returns (m, k, dsub) codebooks.
+
+    Empty cluster handling is deterministic: a codeword that loses all
+    members keeps its previous position (standard practice; re-seeding
+    from a random member would need a data-dependent RNG draw order)."""
+    pdf = _fit_sample(emb, sample_rows, vec_col, id_col)
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(k, len(S)), replace=False)]
+        if len(C) < k:  # tiny table: pad with jittered repeats
+            extra = C[rng.integers(0, len(C), k - len(C))]
+            C = np.vstack([C, extra + rng.normal(0, 1e-6, extra.shape)])
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _codebook_lit(codebooks: np.ndarray):
+    """The (m, k, dsub) codebook as ONE nested-array literal column."""
+    return F.lit([[[float(x) for x in cw] for cw in book]
+                  for book in np.asarray(codebooks, dtype=np.float64)])
+
+
+def _sq_l2(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a.cast("double") - b)
+                   * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _subvec(vec_col, j, dsub: int):
+    """1-based slice of subspace ``j`` (a Column index) — length dsub."""
+    return F.slice(F.col(vec_col), j * dsub + 1, F.lit(dsub))
+
+
+def pq_dists(vec_col: str, codebooks: np.ndarray):
+    """array<array<double>> of squared L2 distances: dists[j][c] =
+    ||subvec_j - codeword_jc||^2.  The shared kernel under encode
+    (argmin) and the per-subspace quantization error (min)."""
+    _, _, dsub = _shape(codebooks)
+    return F.transform(
+        _codebook_lit(codebooks),
+        lambda book, j: F.transform(
+            book, lambda cw: _sq_l2(_subvec(vec_col, j, dsub), cw)))
+
+
+def with_pq_code(df: DataFrame, codebooks: np.ndarray,
+                 vec_col: str = "embedding",
+                 out_col: str = "pq_code") -> DataFrame:
+    """Append the PQ code (array<int>, length m): per subspace, the
+    first-occurrence argmin codeword id.  Pure codegen projection — no
+    shuffle, no UDF; the codebook is one constant-folded literal."""
+    m, _, dsub = _shape(codebooks)
+    _check_pq_dim(df, vec_col, m, dsub)
+    dists = pq_dists(vec_col, codebooks)
+    code = F.transform(
+        dists,
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return df.withColumn(out_col, code)
+
+
+def pq_reconstruct(code_col, codebooks: np.ndarray):
+    """array<double> (length dim): the decompressed vector — subspace
+    codewords selected by the code, concatenated."""
+    return F.flatten(
+        F.zip_with(_codebook_lit(codebooks), code_col,
+                   lambda book, c: F.element_at(book, c + 1)))
+
+
+def adc_lut(qvec_col, codebooks: np.ndarray):
+    """Per-query ADC lookup table, array<array<double>>:
+    lut[j][c] = <q_subvec_j, codeword_jc>.  Computed on the QUERY side
+    BEFORE the candidate join (O(k * dim) per query — this is the step
+    that makes every candidate cost m lookups instead of dim multiplies)."""
+    _, _, dsub = _shape(codebooks)
+    return F.transform(
+        _codebook_lit(codebooks),
+        lambda book, j: F.transform(
+            book,
+            lambda cw: _dot(F.slice(qvec_col, j * dsub + 1, F.lit(dsub)),
+                            cw)))
+
+
+def adc_score(lut_col, code_col):
+    """sum_j lut[j][code_j] — the asymmetric inner-product estimate
+    <q, reconstruct(code)> (exactly equal by linearity of the dot product
+    over concatenated subspaces; pinned in tests)."""
+    return F.aggregate(
+        F.zip_with(lut_col, code_col,
+                   lambda lut_j, c: F.element_at(lut_j, c + 1)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+               n_probe: int = 4, centroids: np.ndarray = None,
+               codebooks: np.ndarray = None, n_centroids: int = 16,
+               pq_m: int = 8, pq_k: int = 16, seed: int = 42,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVFPQ (IVFADC) approximate top-k: base vectors live in one IVF cell
+    each and are reduced to their ``m``-int PQ code BEFORE the search join
+    (the embedding column is projected away — over a persisted codes table
+    the scan never reads it at all, see ``AnnIndex`` pq mode); each query
+    probes its ``n_probe`` best cells carrying a precomputed ADC lookup
+    table; candidates score as m table lookups.
+
+    Returns (query_id, nbr_id, adc_score, rank) — adc_score is the
+    asymmetric inner-product estimate rounded 4dp; rank tie-break
+    (score desc, nbr_id asc); self-pairs excluded.  Recall vs the exact
+    search is tuned by (n_centroids, n_probe, m, k) and measured in
+    tests against ``brute_force_topk``."""
+    from .similarity import (_probe_cells, _centroid_scores,
+                             ivf_fit_centroids, with_ivf_cell)
+    C = centroids if centroids is not None else ivf_fit_centroids(
+        emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
+    B = codebooks if codebooks is not None else pq_fit_codebooks(
+        emb, pq_m, pq_k, vec_col=vec_col, id_col=id_col)
+
+    base = with_pq_code(
+        with_ivf_cell(emb.select(F.col(id_col).alias("nbr_id"),
+                                 F.col(vec_col).alias("nv")), C, "nv"),
+        B, "nv").select("nbr_id", "ivf_cell", "pq_code")
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    qscores = _centroid_scores("qv", C)
+    probes = _probe_cells(qscores, len(C), n_probe)
+    # LUT computed once per query, BEFORE the probe explode and the join
+    q = (q.withColumn("lut", adc_lut(F.col("qv"), B))
+         .select("query_id", "lut", F.explode(probes).alias("p"))
+         .select("query_id", "lut",
+                 F.col("p.cell").cast("int").alias("ivf_cell")))
+
+    scored = (base.join(q, "ivf_cell")
+              .filter(F.col("nbr_id") != F.col("query_id"))
+              .select("query_id", "nbr_id",
+                      F.round(adc_score(F.col("lut"), F.col("pq_code")),
+                              4).alias("adc_score")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                               "nbr_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivfpq_refine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                      shortlist: int = 50, n_probe: int = 8,
+                      centroids: np.ndarray = None,
+                      codebooks: np.ndarray = None,
+                      n_centroids: int = 16, pq_m: int = 8,
+                      pq_k: int = 16, seed: int = 42,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Two-stage IVFPQ + exact re-rank (the FAISS ``IVFPQ,Refine``
+    layout — Jégou et al. 2011 §V): ADC produces a ``shortlist`` of
+    candidates per query from codes alone, then exact cosine runs ONLY
+    on the shortlisted (query, candidate) pairs, re-ranked to top-k.
+
+    This is the shape that survives 10^12 vectors: stage 1 scans codes
+    (m small ints/vector, embedding column never read), stage 2 reads
+    full vectors for Q * shortlist ids — a vanishing fraction of the
+    corpus — via an equi-join on the id.  Refined recall@k equals the
+    shortlist's coverage of the exact top-k, which tunes with
+    (n_probe, shortlist) independently of PQ distortion — the quantizer
+    only has to get candidates NEAR the top, not rank them exactly.
+
+    Returns (query_id, nbr_id, cosine, rank) — same contract as
+    ``similarity.brute_force_topk`` / ``ivf_topk``."""
+    from .similarity import _norm, _rank_topk
+    cand = ivfpq_topk(emb, queries, k=shortlist, n_probe=n_probe,
+                      centroids=centroids, codebooks=codebooks,
+                      n_centroids=n_centroids, pq_m=pq_m, pq_k=pq_k,
+                      seed=seed, id_col=id_col, vec_col=vec_col
+                      ).select("query_id", "nbr_id")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    nbr = emb.select(F.col(id_col).alias("nbr_id"),
+                     F.col(vec_col).alias("nv"))
+    cos = F.round(_dot(F.col("qv"), F.col("nv")) /
+                  (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+    scored = (cand.join(nbr, "nbr_id").join(F.broadcast(q), "query_id")
+              .select("query_id", "nbr_id", cos.alias("cosine")))
+    return _rank_topk(scored, k)

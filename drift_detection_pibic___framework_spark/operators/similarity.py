@@ -448,12 +448,18 @@ class AnnIndex:
 
     Storage:
 
-    - ``ann_cells`` table: ``(vec_id, ivf_cell, embedding)`` — the
-      inverted file.  Every commit is range-CLUSTERED on ``ivf_cell``
+    - ``ann_cells`` table: ``(vec_id, ivf_cell, embedding[, pq_code])`` —
+      the inverted file.  Every commit is range-CLUSTERED on ``ivf_cell``
       (``TableIO.write_clustered``), so each parquet file covers a narrow
       cell slice and its footer min/max lets ``plan_where`` drop unprobed
       cells' files from the scan list entirely — a search reads
-      ~``n_probe / n_centroids`` of the table, never all of it.
+      ~``n_probe / n_centroids`` of the table, never all of it.  When the
+      index is built with PQ codebooks, ``pq_code`` (m small ints) rides
+      the same table and ``search(mode="adc"/"refine")`` scans ONLY
+      ``(vec_id, ivf_cell, pq_code)`` — parquet column pruning keeps the
+      embedding bytes (the dominant column, ~dim*4 B/row) entirely
+      unread in stage 1, the second axis of pruning on top of the
+      cell-file cut.
     - state sidecar (O(n_centroids * dim) JSON, ``TableIO.commit_state``):
       the centroid matrix + params — the quantizer is NEVER refit on
       admit/search, which is exactly what keeps cell ids stable across
@@ -488,9 +494,18 @@ class AnnIndex:
 
     def build(self, emb: DataFrame, centroids: np.ndarray = None,
               n_centroids: int = 16, sample_rows: int = 10000,
-              n_iter: int = 10, seed: int = 42) -> dict:
+              n_iter: int = 10, seed: int = 42,
+              codebooks: np.ndarray = None, pq: bool = False,
+              pq_m: int = 8, pq_k: int = 16) -> dict:
         """Fit (or take literal) centroids, persist them, and index
         ``emb``.  Returns the commit token (see ``admit``).
+
+        ``codebooks`` (an (m, k, dsub) array) or ``pq=True`` (fit
+        per-subspace codebooks from ``emb``) additionally persists PQ
+        codebooks; every committed row then carries its ``pq_code`` and
+        ``search`` gains the compressed-domain ``mode="adc"/"refine"``
+        paths.  Like the quantizer, codebooks are fitted ONCE — refitting
+        on admit would silently re-code history.
 
         Refuses a root whose inverted file already has commits: replacing
         the quantizer while keeping cell assignments made under the old
@@ -506,19 +521,45 @@ class AnnIndex:
         C = centroids if centroids is not None else ivf_fit_centroids(
             emb, n_centroids, sample_rows=sample_rows, n_iter=n_iter,
             seed=seed, vec_col=self.vec_col, id_col=self.id_col)
-        self.io.commit_state(self.STATE, {
+        st = {
             "centroids": [[float(x) for x in c] for c in C],
             "n_centroids": int(len(C)),
             "dim": int(C.shape[1]),
-            "id_col": self.id_col, "vec_col": self.vec_col})
+            "id_col": self.id_col, "vec_col": self.vec_col}
+        if codebooks is None and pq:
+            from .pq import pq_fit_codebooks
+            codebooks = pq_fit_codebooks(
+                emb, pq_m, pq_k, sample_rows=sample_rows,
+                vec_col=self.vec_col, id_col=self.id_col)
+        if codebooks is not None:
+            B = np.asarray(codebooks, dtype=np.float64)
+            if B.ndim != 3 or B.shape[0] * B.shape[2] != C.shape[1]:
+                raise ValueError(
+                    f"codebooks shape {B.shape} does not cover "
+                    f"dim={C.shape[1]} (need m*dsub == dim)")
+            st["codebooks"] = [[[float(x) for x in cw] for cw in book]
+                               for book in B]
+        self.io.commit_state(self.STATE, st)
         return self.admit(emb)
 
-    def centroids(self) -> np.ndarray:
+    def _state(self) -> dict:
         st = self.io.read_state(self.STATE)
         if st is None:
             raise ValueError("AnnIndex not built: no persisted centroids "
                              f"under state scope {self.STATE!r}")
-        return np.asarray(st["centroids"], dtype=np.float64)
+        return st
+
+    def centroids(self) -> np.ndarray:
+        return np.asarray(self._state()["centroids"], dtype=np.float64)
+
+    def codebooks(self) -> np.ndarray:
+        st = self._state()
+        if "codebooks" not in st:
+            raise ValueError(
+                "AnnIndex was built without PQ codebooks; compressed-"
+                "domain search needs build(..., codebooks=...) or "
+                "build(..., pq=True)")
+        return np.asarray(st["codebooks"], dtype=np.float64)
 
     # -- incremental writes -----------------------------------------------
 
@@ -528,12 +569,20 @@ class AnnIndex:
         table is not touched) and append them to the inverted file,
         clustered on ``ivf_cell``.  Returns {"cells": snapshot_id} —
         keep it to ``rollback`` a bad ingestion later."""
-        C = self.centroids()
+        st = self._state()
+        C = np.asarray(st["centroids"], dtype=np.float64)
         assigned = with_ivf_cell(
             new_vecs.select(F.col(self.id_col).alias("vec_id"),
                             F.col(self.vec_col).alias("embedding")),
-            C, "embedding").select("vec_id", "ivf_cell", "embedding")
-        snap = self.io.write_clustered(assigned, self.CELLS,
+            C, "embedding")
+        cols = ["vec_id", "ivf_cell", "embedding"]
+        if "codebooks" in st:
+            from .pq import with_pq_code
+            assigned = with_pq_code(
+                assigned, np.asarray(st["codebooks"], dtype=np.float64),
+                "embedding")
+            cols.append("pq_code")
+        snap = self.io.write_clustered(assigned.select(*cols), self.CELLS,
                                        ["ivf_cell"], n_files=self.n_files)
         return {"cells": snap}
 
@@ -585,32 +634,78 @@ class AnnIndex:
     # -- search -------------------------------------------------------------
 
     def search(self, spark, queries: DataFrame, k: int = 5,
-               n_probe: int = 4) -> DataFrame:
-        """IVF top-k against the PERSISTED inverted file.  The probed-cell
+               n_probe: int = 4, mode: str = "exact",
+               shortlist: int = 50) -> DataFrame:
+        """Top-k against the PERSISTED inverted file.  The probed-cell
         set (distinct over the query batch, <= n_centroids values — a
-        bounded collect by construction) drives file-level pruning; exact
-        cosine runs only inside probed cells.  Same scoring/ranking
-        contract as ``ivf_topk``: cosine rounded 4dp, rank tie-break
-        (cosine desc, nbr_id asc), self-pairs excluded.
+        bounded collect by construction) drives file-level pruning in
+        every mode.
+
+        - ``mode="exact"`` (default): exact cosine inside probed cells —
+          same scoring/ranking contract as ``ivf_topk`` (cosine rounded
+          4dp, tie-break cosine desc / nbr_id asc, self-pairs excluded).
+        - ``mode="adc"``: compressed-domain ranking — the scan reads ONLY
+          ``(vec_id, ivf_cell, pq_code)`` (the embedding column stays
+          unread, pinned by plan test), candidates score as m ADC
+          lookups.  Returns (query_id, nbr_id, adc_score, rank).
+        - ``mode="refine"``: ``shortlist`` ADC candidates per query, then
+          exact cosine ONLY on the shortlisted ids (a second probed-file
+          scan of (vec_id, embedding), joined to Q * shortlist rows).
+          Returns the exact-search contract columns.
 
         The probed-query frame is PERSISTED (it feeds both the cell
         collect and the search join — unpinned, the query scan + centroid
         scoring would run twice) and released on the NEXT search or an
         explicit ``release()``: at most one small cached frame per index
         instance, never an unbounded accumulation."""
+        if mode not in ("exact", "adc", "refine"):
+            raise ValueError(f"unknown search mode {mode!r}")
         C = self.centroids()
+        B = self.codebooks() if mode in ("adc", "refine") else None
         self.release()
         q = _probed_queries(queries, C, n_probe,
                             self.id_col, self.vec_col).persist()
         self._pinned = q
         cells = [r.ivf_cell
                  for r in q.select("ivf_cell").distinct().collect()]
-        base = self._read_cells(spark, cells).select(
+        if mode == "exact":
+            base = self._read_cells(spark, cells).select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("embedding").alias("nv"), "ivf_cell")
+            cos = F.round(_dot(F.col("qv"), F.col("nv")) /
+                          (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
+            scored = (base.join(q, "ivf_cell")
+                      .filter(F.col("nbr_id") != F.col("query_id"))
+                      .select("query_id", "nbr_id", cos.alias("cosine")))
+            return _rank_topk(scored, k)
+
+        from .pq import adc_lut, adc_score
+        # stage 1: codes-only scan — the embedding column is never read
+        codes = self._read_cells(spark, cells).select(
+            F.col("vec_id").alias("nbr_id"), "ivf_cell", "pq_code")
+        ql = q.withColumn("lut", adc_lut(F.col("qv"), B)).drop("qv")
+        n1 = shortlist if mode == "refine" else k
+        scored = (codes.join(ql, "ivf_cell")
+                  .filter(F.col("nbr_id") != F.col("query_id"))
+                  .select("query_id", "nbr_id",
+                          F.round(adc_score(F.col("lut"),
+                                            F.col("pq_code")),
+                                  4).alias("adc_score")))
+        w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
+                                                   "nbr_id")
+        cand = (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= n1))
+        if mode == "adc":
+            return cand
+        # stage 2: exact re-rank — full vectors ONLY for shortlisted ids,
+        # still restricted to probed-cell files
+        nbr = self._read_cells(spark, cells).select(
             F.col("vec_id").alias("nbr_id"),
-            F.col("embedding").alias("nv"), "ivf_cell")
+            F.col("embedding").alias("nv"))
+        qv = q.select("query_id", "qv").distinct()
         cos = F.round(_dot(F.col("qv"), F.col("nv")) /
                       (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
-        scored = (base.join(q, "ivf_cell")
-                  .filter(F.col("nbr_id") != F.col("query_id"))
-                  .select("query_id", "nbr_id", cos.alias("cosine")))
-        return _rank_topk(scored, k)
+        rescored = (cand.select("query_id", "nbr_id")
+                    .join(nbr, "nbr_id").join(qv, "query_id")
+                    .select("query_id", "nbr_id", cos.alias("cosine")))
+        return _rank_topk(rescored, k)

@@ -966,6 +966,168 @@ ORACLES["emb_ann_index_knn"] = _ivf_knn_sql(5, n_probe=4,
                                             query_where="vec_id < 5")
 
 
+# -------------------------------------------------------------------------
+# product quantization (PQ / IVFADC) — compressed-domain ANN
+# -------------------------------------------------------------------------
+
+def _pq_books(dim: int = 64, m: int = 8, k: int = 16, seed: int = 7):
+    from .operators.pq import random_codebooks
+    return random_codebooks(dim, m, k, seed)
+
+
+def _pq_dist_sql(B, vec: str = "v") -> list:
+    """Per-subspace squared-L2 distance-list SQL expressions (one
+    DOUBLE[] of k entries per subspace) over literal codebooks — the SQL
+    mirror of ``operators.pq.pq_dists`` (same slice offsets, same
+    left-fold term order, so argmin/min reproduce bit-for-bit)."""
+    m, k, dsub = B.shape
+    out = []
+    for j in range(m):
+        lit = ("[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in cw) + "]"
+            for cw in B[j]) + "]::DOUBLE[][]")
+        out.append(
+            f"list_transform({lit}, cw -> list_sum(list_transform("
+            f"range(1, {dsub + 1}), i -> ({vec}[{j * dsub}+i]-cw[i])"
+            f"*({vec}[{j * dsub}+i]-cw[i]))))")
+    return out
+
+
+def _pq_codes_sql(dim: int = 64, m: int = 8, k: int = 16,
+                  seed: int = 7) -> str:
+    B = _pq_books(dim, m, k, seed)
+    ds = ", ".join(_pq_dist_sql(B))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d AS (SELECT vec_id, list_value({ds}) AS ds FROM e)
+SELECT vec_id, CAST(u.j AS INTEGER) AS subspace,
+       CAST(list_position(ds[u.j + 1], list_min(ds[u.j + 1])) - 1
+            AS INTEGER) AS code,
+       ROUND(list_min(ds[u.j + 1]), 6) AS sq_err
+FROM d, (SELECT unnest(range(0, {m})) AS j) u
+"""
+
+
+@register("emb_pq_codes")  # oracle attached below (needs helper)
+def emb_pq_codes(spark, sf_dir):
+    """PQ encode + per-subspace quantization error, cross-engine: the
+    seeded literal codebooks (operators/pq.random_codebooks) make the
+    argmin-per-subspace encode deterministic, so DuckDB reproduces every
+    code and every min squared distance.  sq_err is the compression-
+    quality screen (mean over subspaces = the vector's reconstruction
+    MSE * dsub) — the number that tunes (m, k) before committing a
+    10^12-vector corpus to codes.  Pure codegen projection: one nested
+    codebook literal, no shuffle until the explode."""
+    from .operators import pq as PQ
+    emb = _t(spark, sf_dir, "embeddings")
+    B = _pq_books()
+    PQ._check_pq_dim(emb, "embedding", B.shape[0], B.shape[2])
+    dists = PQ.pq_dists("embedding", B)
+    per = F.transform(dists, lambda d: F.struct(
+        (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        .alias("code"),
+        F.round(F.array_min(d), 6).alias("sq_err")))
+    return (emb.select("vec_id", F.posexplode(per).alias("subspace", "p"))
+            .select("vec_id",
+                    F.col("subspace").cast("int").alias("subspace"),
+                    F.col("p.code").alias("code"),
+                    F.col("p.sq_err").alias("sq_err")))
+
+
+ORACLES["emb_pq_codes"] = _pq_codes_sql()
+
+
+def _ivfpq_knn_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 5,
+                   seed: int = 42, dim: int = 64, m: int = 8,
+                   pq_k: int = 16, pq_seed: int = 7,
+                   query_where: str = "TRUE") -> str:
+    """Full IVFPQ (IVFADC) search in SQL over literal centroids AND
+    literal codebooks: IVF cell assignment + probing exactly as
+    ``_ivf_knn_sql``; every base vector is reduced to its m-int PQ code;
+    candidates score as <q_subvec_j, codeword[code_j]> summed over
+    subspaces (term order mirrors Spark's aggregate-over-zip_with fold:
+    0.0 + t0 + ... + t{{m-1}}, each t_j a left-fold dot)."""
+    from .operators.similarity import random_unit_centroids
+
+    C = random_unit_centroids(dim, n_centroids, seed)
+    B = _pq_books(dim, m, pq_k, pq_seed)
+    dsub = dim // m
+
+    def dot_sql(c) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> v[j] * ({lit})[j]))")
+
+    scores = "list_value(" + ", ".join(dot_sql(c) for c in C) + ")"
+    dcols = ", ".join(
+        f"{d} AS d{j}" for j, d in enumerate(_pq_dist_sql(B)))
+    code = "[" + ", ".join(
+        f"CAST(list_position(d{j}, list_min(d{j})) - 1 AS INTEGER)"
+        for j in range(m)) + "]"
+    terms = []
+    for j in range(m):
+        lit = ("[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in cw) + "]"
+            for cw in B[j]) + "]::DOUBLE[][]")
+        terms.append(
+            f"list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> qv[{j * dsub}+i] * ({lit})[code[{j + 1}] + 1][i]))")
+    adc = "0.0 + " + " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, {scores} AS scores FROM e),
+d AS (SELECT vec_id, {dcols} FROM e),
+enc AS (SELECT vec_id, {code} AS code FROM d),
+base AS (
+  SELECT sc.vec_id AS nbr_id, enc.code,
+         CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER)
+           AS ivf_cell
+  FROM sc JOIN enc ON sc.vec_id = enc.vec_id),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv,
+         CAST(j.j - 1 AS INTEGER) AS ivf_cell, scores[j.j] AS score
+  FROM sc, (SELECT unnest(range(1, {n_centroids + 1})) AS j) j
+  WHERE {query_where}),
+probed AS (
+  SELECT query_id, qv, ivf_cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, ivf_cell DESC) AS pr
+    FROM probes) t WHERE pr <= {n_probe}),
+scored AS (
+  SELECT query_id, nbr_id, ROUND({adc}, 4) AS adc_score
+  FROM probed JOIN base USING (ivf_cell)
+  WHERE nbr_id <> query_id),
+ranked AS (
+  SELECT query_id, nbr_id, adc_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_score DESC, nbr_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, adc_score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+@register("emb_pq_adc_knn")  # oracle attached below (needs helper)
+def emb_pq_adc_knn(spark, sf_dir):
+    """IVFPQ (IVFADC) compressed-domain ANN — fully oracle-checked: the
+    seeded literal centroids + codebooks make cell assignment, probing,
+    PQ encode, the equi-join and the ADC-ranked top-k deterministic end
+    to end, so DuckDB reproduces the whole compressed search path.  The
+    scale point this certifies: base candidates enter the search join as
+    (nbr_id, ivf_cell, pq_code) — the embedding column is projected away
+    before the join, and over the persisted AnnIndex codes table the
+    scan never reads it at all.  Data-FITTED codebooks plug into the
+    same expressions; their recall vs brute force is asserted in tests."""
+    from .operators import pq as PQ
+    emb = _t(spark, sf_dir, "embeddings")
+    C = S.random_unit_centroids(64, 16, seed=42)
+    B = _pq_books()
+    return PQ.ivfpq_topk(emb, emb, k=5, n_probe=5, centroids=C,
+                         codebooks=B)
+
+
+ORACLES["emb_pq_adc_knn"] = _ivfpq_knn_sql(5)
+
+
 @register("doc_minhash_lsh_dups", f"""
 WITH sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM documents),
 sig AS (
@@ -4416,6 +4578,16 @@ _DEMOTED_ORACLED = [
     # clips_speech_rate_outliers keep the per-part robust aggregation
     # shapes in-window:
     "clips_mad_outliers",
+    # ---- late-r5 rotation outs (both driver-green in CORRECTNESS_r04)
+    # to admit the PQ pair (emb_pq_codes, emb_pq_adc_knn) ----
+    # span-strip audit certified r4; its producer twin
+    # doc_duplicate_spans stays in-window and certifies the shared
+    # positional-gram island machinery:
+    "doc_span_dedup_stats",
+    # CASE-bucket length classification certified r4; the same bucket
+    # shape stays in-window through doc_charset_quality's class rollup
+    # and clips_dur_quantiles' bin math:
+    "doc_length_buckets",
 ]
 
 _oracled = [n for n in QUERIES

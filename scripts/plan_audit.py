@@ -449,6 +449,54 @@ def main() -> int:
                  bool(_rep) and not _rep.get("fallback", True)
                  and 0 < _rep.get("files_kept", 0)
                  < _rep.get("files_total", 0))]}))
+        # IVFPQ (r5): the compressed-domain search joins equi on
+        # ivf_cell with the base side reduced to (nbr_id, ivf_cell,
+        # pq_code) BEFORE the join; codebooks, like centroids, must
+        # constant-fold to one nested literal even at production widths
+        from drift_detection_pibic___framework_spark.operators import (
+            pq as PQop)
+        _B = PQop.random_codebooks(64, 8, 16)
+        cases.append((
+            "ivfpq_topk (ADC over cell equi-join, literal codebooks)",
+            PQop.ivfpq_topk(emb, emb.limit(20), k=3,
+                            centroids=SIMop.random_unit_centroids(64, 16),
+                            codebooks=_B),
+            {"no_cartesian": True, "hash_join": True}))
+        cases.append((
+            "with_pq_code @8x256x8 (codebooks folded to ONE literal)",
+            PQop.with_pq_code(emb, PQop.random_codebooks(64, 8, 256)),
+            {"folded_literal": True}))
+        # persisted-index ADC: stage 1 must scan ONLY (vec_id, ivf_cell,
+        # pq_code) from the inverted file — the embedding column (the
+        # dominant bytes) is pruned from every codes ReadSchema, on top
+        # of the probed-cell file cut.  (The query batch legitimately
+        # reads its own embedding column.)
+        tio_pq = ParquetTableIO(tempfile.mkdtemp(prefix="plan_audit_pq_"))
+        idx_pq = SIMop.AnnIndex(tio_pq, n_files=16)
+        idx_pq.build(emb, centroids=SIMop.random_unit_centroids(64, 16),
+                     codebooks=_B)
+        _adc = idx_pq.search(spark, emb.filter("vec_id < 2"), k=3,
+                             n_probe=2, mode="adc")
+        _prep = idx_pq.last_probe_report or {}
+        _aplan = formatted(_adc)
+        _code_scans = [ln for ln in _aplan.splitlines()
+                       if "ReadSchema" in ln and "pq_code" in ln]
+        cases.append((
+            "ann_index.search mode=adc (codes-only pruned scan)",
+            _adc,
+            {"no_cartesian": True, "hash_join": True,
+             "static_verdicts": [
+                 ("codes scan present and embedding column absent from it",
+                  bool(_code_scans) and all(
+                      "embedding" not in ln for ln in _code_scans)),
+                 ("probe scans {k}/{t} files for {c} probed cells "
+                  "(pruned inverted file)".format(
+                      k=_prep.get("files_kept"),
+                      t=_prep.get("files_total"),
+                      c=_prep.get("cells_probed")),
+                  bool(_prep) and not _prep.get("fallback", True)
+                  and 0 < _prep.get("files_kept", 0)
+                  < _prep.get("files_total", 0))]}))
 
     print("# PLANS.md — physical-plan audit (generated by "
           "scripts/plan_audit.py)\n")
