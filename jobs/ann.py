@@ -9,12 +9,19 @@ its increment in O(increment) (the quantizer is never refit, so cell ids
 stay stable); ``--search`` probes only the probed cells' parquet files.
 
     spark-submit jobs/ann.py --root R --build corpus_emb.parquet \
-        [--n-centroids 16] [--sample-rows 10000] [--n-files 16]
+        [--n-centroids 16] [--sample-rows 10000] [--n-files 16] \
+        [--pq [--pq-m 8 --pq-k 16]]
     spark-submit jobs/ann.py --root R --admit new_emb.parquet
     spark-submit jobs/ann.py --root R --search queries.parquet \
-        [--k 5] [--n-probe 4] [--out DIR]
+        [--k 5] [--n-probe 4] [--mode exact|adc|refine] \
+        [--shortlist 50] [--out DIR]
     spark-submit jobs/ann.py --root R --rollback '{"cells": N}'
     spark-submit jobs/ann.py --root R --describe
+
+``--pq`` additionally fits per-subspace product-quantization codebooks
+(``operators/pq.py``) and stores every row's m-int code in the inverted
+file: ``--mode adc`` then searches codes only (the embedding column is
+never read) and ``--mode refine`` exact-re-ranks the ADC shortlist.
 
 ``--build`` / ``--admit`` print the commit token as one JSON line — keep
 it; ``--rollback`` with that token unwinds every commit made after it.
@@ -50,8 +57,20 @@ def main() -> int:
     ap.add_argument("--sample-rows", type=int, default=10000)
     ap.add_argument("--n-files", type=int, default=16,
                     help="files per commit (range-clustered on ivf_cell)")
+    ap.add_argument("--pq", action="store_true",
+                    help="with --build: fit PQ codebooks and store codes")
+    ap.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subspaces (must divide the embedding dim)")
+    ap.add_argument("--pq-k", type=int, default=16,
+                    help="codewords per subspace")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--n-probe", type=int, default=4)
+    ap.add_argument("--mode", default="exact",
+                    choices=["exact", "adc", "refine"],
+                    help="with --search: exact cosine, codes-only ADC, "
+                         "or ADC shortlist + exact re-rank")
+    ap.add_argument("--shortlist", type=int, default=50,
+                    help="with --mode refine: ADC candidates per query")
     ap.add_argument("--out", default=None,
                     help="with --search: write results parquet here "
                          "instead of printing the head")
@@ -93,12 +112,16 @@ def main() -> int:
         emb = spark.read.parquet(args.build)
         try:
             token = idx.build(emb, n_centroids=args.n_centroids,
-                              sample_rows=args.sample_rows)
+                              sample_rows=args.sample_rows,
+                              pq=args.pq, pq_m=args.pq_m,
+                              pq_k=args.pq_k)
         except ValueError as e:          # root already holds an index
             print(f"error: {e}", file=sys.stderr)
             return 2
+        pq_note = (f", pq {args.pq_m}x{args.pq_k} codebooks"
+                   if args.pq else "")
         print(f"built: {emb.count()} vectors, "
-              f"{args.n_centroids} centroids, token below")
+              f"{args.n_centroids} centroids{pq_note}, token below")
         print(json.dumps(token))
     elif args.admit:
         try:
@@ -117,7 +140,12 @@ def main() -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         q = spark.read.parquet(args.search)
-        res = idx.search(spark, q, k=args.k, n_probe=args.n_probe)
+        try:
+            res = idx.search(spark, q, k=args.k, n_probe=args.n_probe,
+                             mode=args.mode, shortlist=args.shortlist)
+        except ValueError as e:          # adc/refine on a non-PQ index
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         if args.out:
             res.write.mode("overwrite").parquet(args.out)
             n = spark.read.parquet(args.out).count()
@@ -126,9 +154,10 @@ def main() -> int:
             # (the probed join + ranking window would otherwise run twice)
             res = res.persist()
             n = res.count()
+            score = "adc_score" if args.mode == "adc" else "cosine"
             for r in res.limit(10).collect():
                 print(f"{r['query_id']:>8} -> {r['nbr_id']:>8} "
-                      f"cosine={r['cosine']:.4f} rank={r['rank']}")
+                      f"{score}={r[score]:.4f} rank={r['rank']}")
             # blocking: leave no async eviction behind in a shared
             # session (the in-process CLI tests share pytest's session,
             # where a straggler eviction skews cache-accounting tests)
@@ -160,7 +189,12 @@ def main() -> int:
             print("error: index not built", file=sys.stderr)
             return 2
         rep = dict(io.describe_table(AnnIndex.CELLS))
-        rep["n_centroids"] = int(len(idx.centroids()))
+        st = idx._state()
+        rep["n_centroids"] = int(st["n_centroids"])
+        if "codebooks" in st:
+            B = st["codebooks"]
+            rep["pq"] = {"m": len(B), "k": len(B[0]),
+                         "dsub": len(B[0][0])}
         print(json.dumps(rep, indent=2))
     print(f"done in {time.time() - t0:.1f}s")
     return 0

@@ -95,3 +95,41 @@ def test_ann_cli_build_on_built_root_is_usage_error(emb_paths, monkeypatch,
     rc, _ = _run(capsys, "--root", root, "--rollback",
                  '{"cells": "deadbeefdeadbeef"}')
     assert rc == 2
+
+
+def test_ann_cli_pq_lifecycle(emb_paths, monkeypatch, capsys, tmp_path):
+    """--build --pq stores codes; --mode adc searches codes only (and
+    prints adc_score), --mode refine returns the exact-search contract;
+    --describe reports the codebook geometry; adc on a non-PQ root is a
+    usage error (exit 2)."""
+    root = str(tmp_path / "idxpq")
+    rc, out = _run(capsys, "--root", root, "--build",
+                   str(emb_paths / "base"), "--n-centroids", "8",
+                   "--pq", "--pq-m", "8", "--pq-k", "16")
+    assert rc == 0 and "pq 8x16 codebooks" in out
+
+    rc, out = _run(capsys, "--root", root, "--search",
+                   str(emb_paths / "q"), "--k", "3", "--n-probe", "2",
+                   "--mode", "adc")
+    assert rc == 0 and "adc_score=" in out
+    rep = json.loads(out.splitlines()[-2].split("probe report ")[1])
+    assert rep["files_kept"] < rep["files_total"]
+
+    rc, out = _run(capsys, "--root", root, "--search",
+                   str(emb_paths / "q"), "--k", "3", "--n-probe", "4",
+                   "--mode", "refine", "--shortlist", "20")
+    assert rc == 0 and "cosine=" in out
+
+    rc, out = _run(capsys, "--root", root, "--describe")
+    assert rc == 0
+    rep = json.loads(out[:out.rindex("}") + 1])
+    assert rep["pq"] == {"m": 8, "k": 16, "dsub": 8}
+
+    # adc against an index built WITHOUT codebooks: usage error
+    plain = str(tmp_path / "idxplain")
+    rc, _ = _run(capsys, "--root", plain, "--build",
+                 str(emb_paths / "base"), "--n-centroids", "4")
+    assert rc == 0
+    rc, _ = _run(capsys, "--root", plain, "--search",
+                 str(emb_paths / "q"), "--mode", "adc")
+    assert rc == 2
