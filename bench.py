@@ -532,6 +532,92 @@ def scaling_report() -> None:
         "calibration": calib}))
 
 
+def pq_ab(cpus: str) -> dict:
+    """A/B the persisted-index search modes over a 1M-vector synthetic
+    corpus (deterministic in-plan sin() embeddings — no fixture needed):
+    exact cosine inside probed cells vs codes-only ADC vs ADC+refine.
+    The win ADC is claiming at 10^12 vectors: the probed scan reads m
+    small ints instead of dim floats per candidate (8 vs 256 bytes here)
+    and each candidate costs m lookups instead of dim multiplies.
+    Appends the result to BENCH/BASELINE.md."""
+    import shutil
+    import tempfile
+
+    spark = build_spark(cpus)
+    from pyspark.sql import functions as F
+
+    from drift_detection_pibic___framework_spark.operators import pq as PQ
+    from drift_detection_pibic___framework_spark.operators import (
+        similarity as SIM)
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+
+    N, dim, m, kk = 1_000_000, 64, 8, 16
+    n_cent, n_probe = 64, 8
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.sin(F.col("id").cast("double")
+                        * i.cast("double") * 0.7 + i.cast("double")))
+    emb = (spark.range(N)
+           .select(F.col("id").alias("vec_id"),
+                   vec.cast("array<float>").alias("embedding")))
+    C = SIM.random_unit_centroids(dim, n_cent, seed=42)
+    B = PQ.random_codebooks(dim, m, kk, seed=7)
+    root = tempfile.mkdtemp(prefix="bench_pq_")
+    idx = SIM.AnnIndex(ParquetTableIO(root), n_files=n_cent)
+    t0 = time.time()
+    idx.build(emb, centroids=C, codebooks=B)
+    build_sec = time.time() - t0
+    queries = emb.filter(F.col("vec_id") < 64).persist()
+    queries.count()
+
+    def laps(mode, **kw):
+        out = []
+        for _ in range(3):
+            t0 = time.time()
+            idx.search(spark, queries, k=5, n_probe=n_probe,
+                       mode=mode, **kw).count()
+            out.append(time.time() - t0)
+        return out
+
+    exact_laps = laps("exact")
+    adc_laps = laps("adc")
+    refine_laps = laps("refine", shortlist=50)
+    rep = idx.last_probe_report or {}
+    idx.release()
+    queries.unpersist(blocking=True)
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    exact_sec = min(exact_laps)
+    adc_sec, refine_sec = min(adc_laps), min(refine_laps)
+    res = {"n_vectors": N, "dim": dim, "pq_m": m, "pq_k": kk,
+           "n_centroids": n_cent, "n_probe": n_probe, "n_queries": 64,
+           "cpus": int(cpus), "build_sec": round(build_sec, 2),
+           "exact_laps": [round(x, 2) for x in exact_laps],
+           "adc_laps": [round(x, 2) for x in adc_laps],
+           "refine_laps": [round(x, 2) for x in refine_laps],
+           "exact_sec": round(exact_sec, 3),
+           "adc_sec": round(adc_sec, 3),
+           "refine_sec": round(refine_sec, 3),
+           "adc_speedup": round(exact_sec / adc_sec, 2),
+           "refine_speedup": round(exact_sec / refine_sec, 2),
+           "probe_report": rep}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"\n## PQ ADC A/B {time.strftime('%Y-%m-%d %H:%M')} "
+                f"(persisted index: exact vs codes-only ADC vs refine)\n\n"
+                f"{N} synthetic vectors (dim {dim}), {n_cent} cells, "
+                f"{n_probe} probes, 64 queries, local[{cpus}], warm-min "
+                f"of 3 laps: exact {exact_sec:.2f}s, ADC {adc_sec:.2f}s "
+                f"(**{exact_sec / adc_sec:.2f}x**), refine "
+                f"{refine_sec:.2f}s (**{exact_sec / refine_sec:.2f}x**); "
+                f"codes scan reads {m} ints/row instead of {dim} floats "
+                f"(laps: exact {res['exact_laps']}, adc "
+                f"{res['adc_laps']}, refine {res['refine_laps']}; "
+                f"one-time build {build_sec:.1f}s)\n")
+    return res
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         print(json.dumps(scaling_core(CPUS)))
@@ -539,5 +625,7 @@ if __name__ == "__main__":
         scaling_report()
     elif "--simhash-ab" in sys.argv:
         print(json.dumps(simhash_ab(CPUS)))
+    elif "--pq-ab" in sys.argv:
+        print(json.dumps(pq_ab(CPUS)))
     else:
         print(json.dumps(run_once(CPUS)))
