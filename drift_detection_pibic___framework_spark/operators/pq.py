@@ -278,6 +278,10 @@ def ivfpq_refine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                      F.col(vec_col).alias("nv"))
     cos = F.round(_dot(F.col("qv"), F.col("nv")) /
                   (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
-    scored = (cand.join(nbr, "nbr_id").join(F.broadcast(q), "query_id")
+    # the shortlist (Q * shortlist rows, small by contract) BROADCASTS
+    # against the corpus scan — without the hint this join would shuffle
+    # the full embedding table on the id to meet a few thousand rows
+    scored = (nbr.join(F.broadcast(cand), "nbr_id")
+              .join(F.broadcast(q), "query_id")
               .select("query_id", "nbr_id", cos.alias("cosine")))
     return _rank_topk(scored, k)

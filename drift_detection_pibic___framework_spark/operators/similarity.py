@@ -698,14 +698,17 @@ class AnnIndex:
         if mode == "adc":
             return cand
         # stage 2: exact re-rank — full vectors ONLY for shortlisted ids,
-        # still restricted to probed-cell files
+        # still restricted to probed-cell files; the shortlist and the
+        # query batch (both small by contract) broadcast against the
+        # pruned scan instead of shuffling it on the id
         nbr = self._read_cells(spark, cells).select(
             F.col("vec_id").alias("nbr_id"),
             F.col("embedding").alias("nv"))
         qv = q.select("query_id", "qv").distinct()
         cos = F.round(_dot(F.col("qv"), F.col("nv")) /
                       (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
-        rescored = (cand.select("query_id", "nbr_id")
-                    .join(nbr, "nbr_id").join(qv, "query_id")
+        rescored = (nbr.join(F.broadcast(cand.select("query_id",
+                                                     "nbr_id")), "nbr_id")
+                    .join(F.broadcast(qv), "query_id")
                     .select("query_id", "nbr_id", cos.alias("cosine")))
         return _rank_topk(rescored, k)

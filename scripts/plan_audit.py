@@ -466,6 +466,20 @@ def main() -> int:
             "with_pq_code @8x256x8 (codebooks folded to ONE literal)",
             PQop.with_pq_code(emb, PQop.random_codebooks(64, 8, 256)),
             {"folded_literal": True}))
+        # refine stage 2: the shortlist must BROADCAST against the corpus
+        # scan — a sort-merge join here would shuffle the full embedding
+        # table on the id to meet Q*shortlist rows
+        _ref = PQop.ivfpq_refine_topk(
+            emb, emb.limit(5), k=3, shortlist=10,
+            centroids=SIMop.random_unit_centroids(64, 16), codebooks=_B)
+        _rplan = formatted(_ref)
+        cases.append((
+            "ivfpq_refine_topk (broadcast shortlist re-rank)",
+            _ref,
+            {"no_cartesian": True, "broadcast": True,
+             "static_verdicts": [(
+                 "corpus never shuffled to meet the shortlist "
+                 "(no SortMergeJoin)", "SortMergeJoin" not in _rplan)]}))
         # persisted-index ADC: stage 1 must scan ONLY (vec_id, ivf_cell,
         # pq_code) from the inverted file — the embedding column (the
         # dominant bytes) is pruned from every codes ReadSchema, on top
