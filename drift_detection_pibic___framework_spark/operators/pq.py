@@ -34,9 +34,14 @@ way IVF/LSH did, with the persisted-index lifecycle living in
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _dot, _fit_sample
+# similarity imports pq only lazily inside methods, so this direction is
+# cycle-free and can live at module top
+from .similarity import (_centroid_scores, _check_dim, _dot,
+                         _fit_centroids_array, _fit_sample, _norm,
+                         _probe_cells, _rank_topk, ivf_fit_centroids,
+                         with_ivf_cell)
 
 
 def _shape(codebooks: np.ndarray) -> tuple:
@@ -92,6 +97,14 @@ def pq_fit_codebooks(emb: DataFrame, m: int = 8, k: int = 16,
     from a random member would need a data-dependent RNG draw order)."""
     pdf = _fit_sample(emb, sample_rows, vec_col, id_col)
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return _fit_codebooks_array(X, m, k, n_iter, seed)
+
+
+def _fit_codebooks_array(X: np.ndarray, m: int, k: int,
+                         n_iter: int, seed: int) -> np.ndarray:
+    """Driver-side per-subspace Lloyd over an already-collected sample —
+    split out so one ``_fit_sample`` collect can feed both this and the
+    IVF centroid fit instead of scanning the table twice."""
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -209,12 +222,25 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     (score desc, nbr_id asc); self-pairs excluded.  Recall vs the exact
     search is tuned by (n_centroids, n_probe, m, k) and measured in
     tests against ``brute_force_topk``."""
-    from .similarity import (_probe_cells, _centroid_scores,
-                             ivf_fit_centroids, with_ivf_cell)
+    if centroids is None and codebooks is None:
+        # ONE deterministic table sample feeds both driver-side fits
+        pdf = _fit_sample(emb, 10000, vec_col, id_col)
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        centroids = _fit_centroids_array(X, n_centroids, 10, seed)
+        codebooks = _fit_codebooks_array(X, pq_m, pq_k, 10, 7)
     C = centroids if centroids is not None else ivf_fit_centroids(
         emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col)
     B = codebooks if codebooks is not None else pq_fit_codebooks(
         emb, pq_m, pq_k, vec_col=vec_col, id_col=id_col)
+    m, _, dsub = _shape(B)
+    if m * dsub != int(np.shape(C)[1]):
+        raise ValueError(
+            f"codebooks cover m*dsub = {m}*{dsub} = {m * dsub} dims but "
+            f"the quantizer is {np.shape(C)[1]}-dimensional")
+    # query-side guard: same silent-degeneracy prevention as the base
+    # side (null-padded zip_with -> NULL scores/LUT -> garbage ranks)
+    _check_dim(queries, vec_col, int(np.shape(C)[1]),
+               "the centroid/codebook matrices")
 
     base = with_pq_code(
         with_ivf_cell(emb.select(F.col(id_col).alias("nbr_id"),
@@ -236,11 +262,7 @@ def ivfpq_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
               .select("query_id", "nbr_id",
                       F.round(adc_score(F.col("lut"), F.col("pq_code")),
                               4).alias("adc_score")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
-                                               "nbr_id")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(scored, k, "adc_score")
 
 
 def ivfpq_refine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -266,7 +288,6 @@ def ivfpq_refine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     Returns (query_id, nbr_id, cosine, rank) — same contract as
     ``similarity.brute_force_topk`` / ``ivf_topk``."""
-    from .similarity import _norm, _rank_topk
     cand = ivfpq_topk(emb, queries, k=shortlist, n_probe=n_probe,
                       centroids=centroids, codebooks=codebooks,
                       n_centroids=n_centroids, pq_m=pq_m, pq_k=pq_k,

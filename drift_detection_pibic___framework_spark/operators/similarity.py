@@ -99,6 +99,15 @@ def ivf_fit_centroids(emb: DataFrame, n_centroids: int = 16,
     distribution."""
     pdf = _fit_sample(emb, sample_rows, vec_col, id_col)
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return _fit_centroids_array(X, n_centroids, n_iter, seed)
+
+
+def _fit_centroids_array(X: np.ndarray, n_centroids: int,
+                         n_iter: int, seed: int) -> np.ndarray:
+    """Driver-side spherical k-means over an already-collected sample —
+    split out so one ``_fit_sample`` collect can feed both this and the
+    PQ codebook fit (``operators.pq``) instead of scanning the table
+    twice."""
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
@@ -177,8 +186,11 @@ def _probed_queries(queries: DataFrame, centroids: np.ndarray,
                     F.col("p.cell").cast("int").alias("ivf_cell")))
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+def _rank_topk(scored: DataFrame, k: int,
+               score_col: str = "cosine") -> DataFrame:
+    """The one ranking/tie-break contract (score desc, nbr_id asc) shared
+    by every search path — exact cosine and PQ ADC alike."""
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), "nbr_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
@@ -518,6 +530,13 @@ class AnnIndex:
                 "table; a re-build would re-fit the quantizer and strand "
                 "existing vectors in stale cells. Use admit() to extend "
                 "this index, or build into a fresh root.")
+        if centroids is None and pq and codebooks is None:
+            # ONE deterministic table sample feeds both driver-side fits
+            from .pq import _fit_codebooks_array
+            pdf = _fit_sample(emb, sample_rows, self.vec_col, self.id_col)
+            X = np.stack(pdf[self.vec_col].to_numpy()).astype(np.float64)
+            centroids = _fit_centroids_array(X, n_centroids, n_iter, seed)
+            codebooks = _fit_codebooks_array(X, pq_m, pq_k, n_iter, 7)
         C = centroids if centroids is not None else ivf_fit_centroids(
             emb, n_centroids, sample_rows=sample_rows, n_iter=n_iter,
             seed=seed, vec_col=self.vec_col, id_col=self.id_col)
@@ -529,7 +548,7 @@ class AnnIndex:
         if codebooks is None and pq:
             from .pq import pq_fit_codebooks
             codebooks = pq_fit_codebooks(
-                emb, pq_m, pq_k, sample_rows=sample_rows,
+                emb, pq_m, pq_k, sample_rows=sample_rows, n_iter=n_iter,
                 vec_col=self.vec_col, id_col=self.id_col)
         if codebooks is not None:
             B = np.asarray(codebooks, dtype=np.float64)
@@ -660,8 +679,16 @@ class AnnIndex:
         instance, never an unbounded accumulation."""
         if mode not in ("exact", "adc", "refine"):
             raise ValueError(f"unknown search mode {mode!r}")
-        C = self.centroids()
-        B = self.codebooks() if mode in ("adc", "refine") else None
+        st = self._state()                 # ONE sidecar read per search
+        C = np.asarray(st["centroids"], dtype=np.float64)
+        B = None
+        if mode in ("adc", "refine"):
+            if "codebooks" not in st:
+                raise ValueError(
+                    "AnnIndex was built without PQ codebooks; compressed-"
+                    "domain search needs build(..., codebooks=...) or "
+                    "build(..., pq=True)")
+            B = np.asarray(st["codebooks"], dtype=np.float64)
         self.release()
         q = _probed_queries(queries, C, n_probe,
                             self.id_col, self.vec_col).persist()
@@ -691,10 +718,7 @@ class AnnIndex:
                           F.round(adc_score(F.col("lut"),
                                             F.col("pq_code")),
                                   4).alias("adc_score")))
-        w = Window.partitionBy("query_id").orderBy(F.desc("adc_score"),
-                                                   "nbr_id")
-        cand = (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= n1))
+        cand = _rank_topk(scored, n1, "adc_score")
         if mode == "adc":
             return cand
         # stage 2: exact re-rank — full vectors ONLY for shortlisted ids,

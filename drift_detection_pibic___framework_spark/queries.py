@@ -1040,13 +1040,21 @@ ORACLES["emb_pq_codes"] = _pq_codes_sql()
 def _ivfpq_knn_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 5,
                    seed: int = 42, dim: int = 64, m: int = 8,
                    pq_k: int = 16, pq_seed: int = 7,
-                   query_where: str = "TRUE") -> str:
+                   query_where: str = "TRUE",
+                   refine_shortlist: int = None) -> str:
     """Full IVFPQ (IVFADC) search in SQL over literal centroids AND
     literal codebooks: IVF cell assignment + probing exactly as
     ``_ivf_knn_sql``; every base vector is reduced to its m-int PQ code;
     candidates score as <q_subvec_j, codeword[code_j]> summed over
     subspaces (term order mirrors Spark's aggregate-over-zip_with fold:
-    0.0 + t0 + ... + t{{m-1}}, each t_j a left-fold dot)."""
+    0.0 + t0 + ... + t{{m-1}}, each t_j a left-fold dot).
+
+    ``refine_shortlist`` switches the output to the two-stage refine
+    contract: the top-``refine_shortlist`` ADC candidates per query are
+    re-scored with EXACT cosine (same expression as ``_ivf_knn_sql``'s
+    scored stage) and re-ranked to top-k — certifying
+    ``pq.ivfpq_refine_topk`` / ``AnnIndex.search(mode="refine")``
+    cross-engine."""
     from .operators.similarity import random_unit_centroids
 
     C = random_unit_centroids(dim, n_centroids, seed)
@@ -1073,6 +1081,37 @@ def _ivfpq_knn_sql(k: int = 5, n_centroids: int = 16, n_probe: int = 5,
             f"list_sum(list_transform(range(1, {dsub + 1}), "
             f"i -> qv[{j * dsub}+i] * ({lit})[code[{j + 1}] + 1][i]))")
     adc = "0.0 + " + " + ".join(terms)
+    r = f"range(1, {dim + 1})"
+    if refine_shortlist is None:
+        tail = f"""
+ranked AS (
+  SELECT query_id, nbr_id, adc_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_score DESC, nbr_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT query_id, nbr_id, adc_score, rank FROM ranked WHERE rank <= {k}"""
+    else:
+        tail = f"""
+shortcand AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_score DESC, nbr_id) AS pr
+    FROM scored) t WHERE pr <= {refine_shortlist}),
+rescored AS (
+  SELECT s.query_id, s.nbr_id,
+         ROUND(list_sum(list_transform({r}, j -> qe.v[j] * ne.v[j]))
+           / (sqrt(list_sum(list_transform({r}, j -> qe.v[j] * qe.v[j])))
+            * sqrt(list_sum(list_transform({r}, j -> ne.v[j] * ne.v[j])))),
+           4) AS cosine
+  FROM shortcand s JOIN e qe ON qe.vec_id = s.query_id
+                   JOIN e ne ON ne.vec_id = s.nbr_id),
+ranked AS (
+  SELECT query_id, nbr_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, nbr_id) AS INTEGER) AS rank
+  FROM rescored)
+SELECT query_id, nbr_id, cosine, rank FROM ranked WHERE rank <= {k}"""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sc AS (SELECT vec_id, v, {scores} AS scores FROM e),
@@ -1096,13 +1135,7 @@ probed AS (
 scored AS (
   SELECT query_id, nbr_id, ROUND({adc}, 4) AS adc_score
   FROM probed JOIN base USING (ivf_cell)
-  WHERE nbr_id <> query_id),
-ranked AS (
-  SELECT query_id, nbr_id, adc_score,
-         CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY adc_score DESC, nbr_id) AS INTEGER) AS rank
-  FROM scored)
-SELECT query_id, nbr_id, adc_score, rank FROM ranked WHERE rank <= {k}
+  WHERE nbr_id <> query_id),{tail}
 """
 
 
@@ -1126,6 +1159,26 @@ def emb_pq_adc_knn(spark, sf_dir):
 
 
 ORACLES["emb_pq_adc_knn"] = _ivfpq_knn_sql(5)
+
+
+@register("emb_pq_refine_knn")  # oracle attached below (needs helper)
+def emb_pq_refine_knn(spark, sf_dir):
+    """Two-stage IVFPQ + exact re-rank (FAISS ``IVFPQ,Refine``) — fully
+    oracle-checked: the ADC shortlist (top-25 per query, literal
+    centroids + codebooks) and the exact-cosine re-rank both reproduce
+    in DuckDB, so the whole compressed-candidates/exact-rerank pipeline
+    is hash-certified.  The scale point: stage 1 ranks from codes alone;
+    stage 2 reads full vectors for Q * shortlist ids only, broadcast
+    against the corpus scan (plan-audited: no SortMergeJoin)."""
+    from .operators import pq as PQ
+    emb = _t(spark, sf_dir, "embeddings")
+    C = S.random_unit_centroids(64, 16, seed=42)
+    B = _pq_books()
+    return PQ.ivfpq_refine_topk(emb, emb, k=5, shortlist=25, n_probe=5,
+                                centroids=C, codebooks=B)
+
+
+ORACLES["emb_pq_refine_knn"] = _ivfpq_knn_sql(5, refine_shortlist=25)
 
 
 @register("doc_minhash_lsh_dups", f"""
@@ -4588,6 +4641,11 @@ _DEMOTED_ORACLED = [
     # shape stays in-window through doc_charset_quality's class rollup
     # and clips_dur_quantiles' bin math:
     "doc_length_buckets",
+    # overlapping token-window chunker certified r4 (6,474 rows); the
+    # chunk-boundary math stays in-window through clips_chunk_plan and
+    # the packing prefix-sum through doc_pack_sequences; rotated out to
+    # admit the two-stage PQ refine oracle (emb_pq_refine_knn):
+    "doc_text_chunks",
 ]
 
 _oracled = [n for n in QUERIES
