@@ -605,6 +605,22 @@ class AnnIndex:
                                        ["ivf_cell"], n_files=self.n_files)
         return {"cells": snap}
 
+    def compact(self, spark) -> str:
+        """Major compaction of the inverted file: fold every admit commit
+        into ONE rewrite, re-range-clustered on ``ivf_cell`` with fresh
+        footer stats.  Each ``admit`` commits its own ``n_files`` files,
+        so after many increments a probe opens every commit's overlapping
+        files — compaction restores ``plan_probe`` selectivity to one
+        file set (the Iceberg ``rewrite_data_files`` + sort-order moment;
+        TableIO.compact_snapshots is the primitive).  Search results are
+        bit-identical across the compaction (pinned in tests).  Rollback
+        tokens from BEFORE the compaction are retired with their
+        snapshots — expire_snapshots' time-travel trade-off.  Returns the
+        new snapshot id; ``io.vacuum()`` collects retired dirs."""
+        return self.io.compact_snapshots(spark, self.CELLS,
+                                         cluster_by=["ivf_cell"],
+                                         n_files=self.n_files)
+
     def release(self) -> None:
         """Unpersist the previous ``search``'s cached probe frame.
         Blocking, so a shared long-lived session (e.g. pytest's) sees no

@@ -16,6 +16,7 @@ stay stable); ``--search`` probes only the probed cells' parquet files.
         [--k 5] [--n-probe 4] [--mode exact|adc|refine] \
         [--shortlist 50] [--out DIR]
     spark-submit jobs/ann.py --root R --rollback '{"cells": N}'
+    spark-submit jobs/ann.py --root R --compact
     spark-submit jobs/ann.py --root R --describe
 
 ``--pq`` additionally fits per-subspace product-quantization codebooks
@@ -51,6 +52,10 @@ def main() -> int:
                     help="unwind commits made after this token")
     ap.add_argument("--describe", action="store_true",
                     help="print the index health report (metadata only)")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold all admit commits into one re-clustered "
+                         "rewrite (restores probe pruning; retires old "
+                         "rollback tokens)")
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--n-centroids", type=int, default=16)
@@ -79,10 +84,10 @@ def main() -> int:
     args = ap.parse_args()
 
     modes = [bool(args.build), bool(args.admit), bool(args.search),
-             bool(args.rollback), args.describe]
+             bool(args.rollback), args.describe, args.compact]
     if sum(modes) != 1:
         print("error: exactly one of --build/--admit/--search/--rollback/"
-              "--describe", file=sys.stderr)
+              "--describe/--compact", file=sys.stderr)
         return 2
     for p in (args.build, args.admit, args.search):
         if p and not os.path.exists(p):
@@ -183,6 +188,13 @@ def main() -> int:
                   file=sys.stderr)
             return 2
         print(f"rolled back to snapshot {token['cells']}")
+    elif args.compact:
+        if not idx.io.snapshots(AnnIndex.CELLS):
+            print("error: index not built", file=sys.stderr)
+            return 2
+        snap = idx.compact(spark)
+        print(f"compacted to snapshot {snap} "
+              f"({idx.n_files} clustered files)")
     elif args.describe:
         io = idx.io
         if not io.snapshots(AnnIndex.CELLS):

@@ -133,3 +133,24 @@ def test_ann_cli_pq_lifecycle(emb_paths, monkeypatch, capsys, tmp_path):
     rc, _ = _run(capsys, "--root", plain, "--search",
                  str(emb_paths / "q"), "--mode", "adc")
     assert rc == 2
+
+
+def test_ann_cli_compact(emb_paths, monkeypatch, capsys, tmp_path):
+    root = str(tmp_path / "idxc")
+    rc, _ = _run(capsys, "--root", root, "--build",
+                 str(emb_paths / "base"), "--n-centroids", "8")
+    assert rc == 0
+    rc, _ = _run(capsys, "--root", root, "--admit",
+                 str(emb_paths / "inc"))
+    assert rc == 0
+    rc, out = _run(capsys, "--root", root, "--compact")
+    assert rc == 0 and "compacted to snapshot" in out
+    # search still works and prunes on the compacted layout
+    rc, out = _run(capsys, "--root", root, "--search",
+                   str(emb_paths / "q"), "--k", "3", "--n-probe", "2")
+    assert rc == 0
+    rep = json.loads(out.splitlines()[-2].split("probe report ")[1])
+    assert rep["files_kept"] < rep["files_total"]
+    # compact on an unbuilt root: usage error
+    rc, _ = _run(capsys, "--root", str(tmp_path / "nope"), "--compact")
+    assert rc == 2

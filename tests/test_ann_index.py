@@ -203,3 +203,29 @@ def test_plan_probe_single_pass_report(spark, emb, tmp_path):
     # a probed superset keeps at least as many files
     _, rep_all = idx.plan_probe(range(16))
     assert rep_all["files_kept"] >= rep["files_kept"]
+
+
+def test_ann_index_compact_preserves_search(spark, emb, tmp_path):
+    """compact() folds every admit commit into ONE re-clustered rewrite:
+    search results are bit-identical across the compaction, and the
+    probe's file universe shrinks back to one commit's n_files (the
+    Iceberg rewrite_data_files + sort-order moment)."""
+    C = similarity.random_unit_centroids(64, 16, seed=42)
+    idx = similarity.AnnIndex(ParquetTableIO(str(tmp_path / "annc")),
+                              n_files=8)
+    idx.build(emb.filter(F.col("vec_id") % 3 == 0), centroids=C)
+    idx.admit(emb.filter(F.col("vec_id") % 3 == 1))
+    idx.admit(emb.filter(F.col("vec_id") % 3 == 2))
+    q = emb.filter(F.col("vec_id") < 4)
+    before = _rows(idx.search(spark, q, k=5, n_probe=3))
+    files_before = idx.last_probe_report["files_total"]
+    idx.compact(spark)
+    after = _rows(idx.search(spark, q, k=5, n_probe=3))
+    files_after = idx.last_probe_report["files_total"]
+    assert after == before and before
+    # 3 commits x 8 files -> one 8-file clustered rewrite
+    assert files_after < files_before
+    assert files_after <= 8
+    # pruning still engages on the compacted layout
+    assert idx.last_probe_report["files_kept"] < files_after
+    idx.release()
