@@ -618,6 +618,109 @@ def pq_ab(cpus: str) -> dict:
     return res
 
 
+def _pq_synthetic(spark, n: int, dim: int):
+    from pyspark.sql import functions as F
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.sin(F.col("id").cast("double")
+                        * i.cast("double") * 0.7 + i.cast("double")))
+    return (spark.range(n)
+            .select(F.col("id").alias("vec_id"),
+                    vec.cast("array<float>").alias("embedding")))
+
+
+def pq_scaling_worker(cpus: str, root: str) -> dict:
+    """One leg of the PQ search scaling run: ADC top-k against the SAME
+    persisted index at the given parallelism; reports warm-min lap."""
+    spark = build_spark(cpus)
+    from pyspark.sql import functions as F
+
+    from drift_detection_pibic___framework_spark.operators import (
+        similarity as SIM)
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    idx = SIM.AnnIndex(ParquetTableIO(root), n_files=64)
+    queries = _pq_synthetic(spark, 256, 64).persist()
+    queries.count()
+    laps = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.search(spark, queries, k=5, n_probe=8, mode="adc").count()
+        laps.append(time.time() - t0)
+    idx.release()
+    queries.unpersist(blocking=True)
+    spark.stop()
+    sec = min(laps)
+    return {"cpus": int(cpus), "laps": [round(x, 2) for x in laps],
+            "sec": round(sec, 3),
+            "queries_per_sec": round(256 / sec, 1)}
+
+
+def pq_scaling_report() -> None:
+    """North-rule two-parallelism evidence for the compressed-domain
+    search: build the 1M-vector index ONCE, then run the identical ADC
+    search job at local[2] / local[8] / local[32] in fresh subprocesses
+    (one JVM per leg, like --scaling) and append throughput + the 2->8
+    (N -> 4N) efficiency to BENCH/BASELINE.md."""
+    import shutil
+    import tempfile
+
+    spark = build_spark(CPUS)
+    from drift_detection_pibic___framework_spark.operators import pq as PQ
+    from drift_detection_pibic___framework_spark.operators import (
+        similarity as SIM)
+    from drift_detection_pibic___framework_spark.sources.tableio import (
+        ParquetTableIO)
+    root = tempfile.mkdtemp(prefix="bench_pq_scal_")
+    idx = SIM.AnnIndex(ParquetTableIO(root), n_files=64)
+    idx.build(_pq_synthetic(spark, 1_000_000, 64),
+              centroids=SIM.random_unit_centroids(64, 64, seed=42),
+              codebooks=PQ.random_codebooks(64, 8, 16, seed=7))
+    spark.stop()
+
+    results = {}
+    for cpus in ("2", "8", "32"):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus,
+                   SPARK_GRAFT_PQ_ROOT=root)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--pq-scaling-worker"],
+            env=env, capture_output=True, text=True, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    shutil.rmtree(root, ignore_errors=True)
+    # in-run host-capacity calibration so a throttled window can be
+    # adjudicated (this sandbox's 2->8 md5 ratio swings 2.5x-3.8x)
+    calib = cpu_calibration()
+
+    def eff(a, b):
+        return round(results[b]["queries_per_sec"]
+                     / results[a]["queries_per_sec"] / 4, 3)
+
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"\n## PQ ADC search scaling {time.strftime('%Y-%m-%d %H:%M')}"
+                " (same persisted 1M-vector index, one JVM per leg)\n\n"
+                f"In-run md5 calibration (M hashes/s by workers): "
+                f"`{json.dumps(calib)}`\n\n"
+                "| cores | sec (warm min of 3) | queries/sec |\n"
+                "| --- | --- | --- |\n")
+        for cpus in ("2", "8", "32"):
+            r = results[cpus]
+            f.write(f"| local[{cpus}] | {r['sec']} | "
+                    f"{r['queries_per_sec']} |\n")
+        ceil = round(calib[8] / calib[2] / 4, 3)
+        f.write(f"\n**Efficiency local[2] -> local[8] (N -> 4N): "
+                f"{eff('2', '8')} raw** (gate >= 0.8; same-window host "
+                f"ceiling {ceil}, normalized "
+                f"{round(eff('2', '8') / ceil, 2)}); "
+                f"local[8] -> local[32] "
+                f"(hypervisor-capped window): {eff('8', '32')}\n\n"
+                f"Raw: `{json.dumps(results)}`\n")
+    print(json.dumps({"eff_2_to_8": eff("2", "8"),
+                      "eff_8_to_32": eff("8", "32"),
+                      "calibration": calib,
+                      "results": results}))
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         print(json.dumps(scaling_core(CPUS)))
@@ -627,5 +730,10 @@ if __name__ == "__main__":
         print(json.dumps(simhash_ab(CPUS)))
     elif "--pq-ab" in sys.argv:
         print(json.dumps(pq_ab(CPUS)))
+    elif "--pq-scaling-worker" in sys.argv:
+        print(json.dumps(pq_scaling_worker(
+            CPUS, os.environ["SPARK_GRAFT_PQ_ROOT"])))
+    elif "--pq-scaling" in sys.argv:
+        pq_scaling_report()
     else:
         print(json.dumps(run_once(CPUS)))
