@@ -191,13 +191,26 @@ def test_ivf_wide_quantizer_analysis_bounded(spark, emb):
     wrong #2)."""
     import time as _time
 
-    C = similarity.random_unit_centroids(64, n_centroids=256, seed=7)
-    t0 = _time.time()
-    df = similarity.with_ivf_cell(emb, C)
-    _ = df.schema                       # analysis
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    dt = _time.time() - t0
-    assert dt < 30, f"analysis took {dt:.1f}s at 256x64"
+    def _analyze_sec(n_centroids: int) -> tuple:
+        C = similarity.random_unit_centroids(64, n_centroids, seed=7)
+        t0 = _time.time()
+        df = similarity.with_ivf_cell(emb, C)
+        _ = df.schema                   # analysis
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        return _time.time() - t0, df, opt
+
+    # warm the analyzer once so JIT/classloading doesn't land in the
+    # baseline, then pin the GROWTH, not the wall clock: an absolute
+    # bound flakes under this sandbox's page-throttle episodes, while
+    # the regression this guards (r3's per-centroid scalar trees) made
+    # analysis super-linear in n_centroids — a 16x width step exploded
+    # far beyond 20x the narrow time.  Both legs run in the same
+    # throttle window, so the ratio is robust where wall clock is not.
+    _analyze_sec(16)
+    narrow, _, _ = _analyze_sec(16)
+    dt, df, opt = _analyze_sec(256)
+    assert dt < max(20 * narrow, 15), (
+        f"analysis at 256x64 took {dt:.1f}s vs {narrow:.2f}s at 16x64")
     # the quantizer is constant-folded: no per-centroid array() builders
     # survive into the optimized plan
     assert opt.count("array(") <= 2, opt[:2000]
@@ -205,12 +218,12 @@ def test_ivf_wide_quantizer_analysis_bounded(spark, emb):
     cells = df.select("ivf_cell").distinct().collect()
     assert all(0 <= r.ivf_cell < 256 for r in cells)
 
-    # LSH signature path: same hardening, 64 planes x 64 dims
+    # LSH signature path: same hardening, 16 planes x 64 dims
     P = similarity.hyperplanes(64, n_planes=16, seed=7)
     t0 = _time.time()
     sig_df = similarity.with_lsh_signature(emb, P)
     _ = sig_df.schema
-    assert _time.time() - t0 < 30
+    assert _time.time() - t0 < max(20 * narrow, 15)
     n_buckets = sig_df.select("lsh_bucket").distinct().count()
     assert 1 <= n_buckets <= 1 << 16
 
