@@ -661,22 +661,34 @@ def pq_scaling_report() -> None:
     search: build the 1M-vector index ONCE, then run the identical ADC
     search job at local[2] / local[8] / local[32] in fresh subprocesses
     (one JVM per leg, like --scaling) and append throughput + the 2->8
-    (N -> 4N) efficiency to BENCH/BASELINE.md."""
+    (N -> 4N) efficiency to BENCH/BASELINE.md.
+
+    ``SPARK_GRAFT_PQ_ROOT`` pointing at an already-built index skips the
+    ~3-minute build (and the teardown): the build is deterministic
+    (seeded synthetic vectors + literal quantizer/codebooks), so reusing
+    one shortens the run to the legs themselves — this host's quiet
+    windows are minutes long, and a run that carries its own build often
+    measures the 2-core leg inside the NEXT throttle episode."""
     import shutil
     import tempfile
 
-    spark = build_spark(CPUS)
-    from drift_detection_pibic___framework_spark.operators import pq as PQ
-    from drift_detection_pibic___framework_spark.operators import (
-        similarity as SIM)
     from drift_detection_pibic___framework_spark.sources.tableio import (
         ParquetTableIO)
-    root = tempfile.mkdtemp(prefix="bench_pq_scal_")
-    idx = SIM.AnnIndex(ParquetTableIO(root), n_files=64)
-    idx.build(_pq_synthetic(spark, 1_000_000, 64),
-              centroids=SIM.random_unit_centroids(64, 64, seed=42),
-              codebooks=PQ.random_codebooks(64, 8, 16, seed=7))
-    spark.stop()
+    keep_root = os.environ.get("SPARK_GRAFT_PQ_ROOT")
+    if keep_root and ParquetTableIO(keep_root).snapshots("ann_cells"):
+        root = keep_root
+    else:
+        spark = build_spark(CPUS)
+        from drift_detection_pibic___framework_spark.operators import (
+            pq as PQ)
+        from drift_detection_pibic___framework_spark.operators import (
+            similarity as SIM)
+        root = keep_root or tempfile.mkdtemp(prefix="bench_pq_scal_")
+        idx = SIM.AnnIndex(ParquetTableIO(root), n_files=64)
+        idx.build(_pq_synthetic(spark, 1_000_000, 64),
+                  centroids=SIM.random_unit_centroids(64, 64, seed=42),
+                  codebooks=PQ.random_codebooks(64, 8, 16, seed=7))
+        spark.stop()
 
     results = {}
     for cpus in ("2", "8", "32"):
@@ -687,7 +699,8 @@ def pq_scaling_report() -> None:
              "--pq-scaling-worker"],
             env=env, capture_output=True, text=True, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    shutil.rmtree(root, ignore_errors=True)
+    if root != keep_root:
+        shutil.rmtree(root, ignore_errors=True)
     # in-run host-capacity calibration so a throttled window can be
     # adjudicated (this sandbox's 2->8 md5 ratio swings 2.5x-3.8x)
     calib = cpu_calibration()
