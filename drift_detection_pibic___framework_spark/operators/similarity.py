@@ -876,7 +876,8 @@ class AnnIndex:
                   .filter(F.col("nbr_id") != F.col("query_id"))
                   .select("query_id", "nbr_id",
                           F.round(adc_score(F.col("lut"),
-                                            F.col("pq_code")),
+                                            F.col("pq_code"),
+                                            int(np.shape(B)[0])),
                                   4).alias("adc_score")))
         cand = _rank_topk(scored, n1, "adc_score")
         if mode == "adc":

@@ -72,6 +72,22 @@ def test_adc_equals_dot_of_reconstruction(spark, emb):
     assert rows and all(abs(r.a - r.b) < 1e-9 for r in rows)
 
 
+def test_adc_unrolled_bit_identical(spark, emb):
+    """adc_score(m=...) — the unrolled element_at chain the hot path
+    uses — must be BIT-identical to the aggregate/zip_with fallback:
+    both are the same strict left fold ((0+v1)+v2)+..., so equality is
+    ==, not a tolerance."""
+    B = PQ.random_codebooks(64, 8, 16, seed=11)
+    q = emb.limit(1).select(F.col("embedding").alias("qv"))
+    coded = PQ.with_pq_code(emb.limit(50), B)
+    lut = PQ.adc_lut(F.col("qv"), B)
+    rows = (coded.crossJoin(F.broadcast(q))
+            .select(PQ.adc_score(lut, F.col("pq_code")).alias("agg"),
+                    PQ.adc_score(lut, F.col("pq_code"), m=8)
+                    .alias("unrolled")).collect())
+    assert rows and all(r.agg == r.unrolled for r in rows)
+
+
 def test_fitted_beats_random_reconstruction(emb, emb_np):
     """k-means codebooks must reconstruct the corpus strictly better than
     seeded random ones — the sanity pin that pq_fit_codebooks actually
