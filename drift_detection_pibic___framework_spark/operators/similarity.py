@@ -547,7 +547,8 @@ class AnnIndex:
 
     def __init__(self, io, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_files: int = 16,
-                 driver_probe_rows: int = 65536):
+                 driver_probe_rows: int = 65536,
+                 driver_probe_budget: int = 128 << 20):
         self.io = io
         self.id_col = id_col
         self.vec_col = vec_col
@@ -558,6 +559,14 @@ class AnnIndex:
         # search).  0 disables the driver path entirely (every search
         # takes the cluster-side scoring path).
         self.driver_probe_rows = driver_probe_rows
+        # ... but the row cap alone is blind to PAYLOAD width: an ADC
+        # search materializes an m*k-double LUT per (query, probed cell)
+        # row in the broadcast LocalRelation, so 65536 queries with a
+        # (8, 256) codebook at n_probe=4 would be a ~4 GiB local frame.
+        # The effective cap per search is min(rows, budget // per-query
+        # payload bytes) — oversized batches fall back to cluster-side
+        # scoring, where the LUT is computed distributed.
+        self.driver_probe_budget = driver_probe_budget
         self.last_probe_report = None
         self._pinned = None
 
@@ -727,15 +736,20 @@ class AnnIndex:
 
     # -- search -------------------------------------------------------------
 
-    def _take_queries(self, queries: DataFrame, dim: int):
-        """Pull the query batch onto the driver when it fits under
-        ``driver_probe_rows``: one ``take(cap + 1)`` of just (id, vec).
-        Returns ``(ids, vecs, Qm)`` — Qm the float64 matrix — or ``None``
-        when the batch exceeds the cap (caller falls back to cluster-side
-        scoring).  Mirrors the cluster path's conventions exactly: the
-        loud ``_check_dim`` width error, and NULL query vectors dropped
+    def _take_queries(self, queries: DataFrame, dim: int,
+                      per_query_bytes: int):
+        """Pull the query batch onto the driver when it fits under the
+        effective cap — ``driver_probe_rows`` rows AND
+        ``driver_probe_budget`` bytes of local-frame payload
+        (``per_query_bytes`` is the mode's per-query contribution) — via
+        one ``take(cap + 1)`` of just (id, vec).  Returns ``(ids, vecs,
+        Qm)`` — Qm the float64 matrix — or ``None`` when the batch
+        exceeds the cap (caller falls back to cluster-side scoring).
+        Mirrors the cluster path's conventions exactly: the loud
+        ``_check_dim`` width error, and NULL query vectors dropped
         (same filter as ``_probed_queries``)."""
-        cap = self.driver_probe_rows
+        cap = min(self.driver_probe_rows,
+                  self.driver_probe_budget // max(per_query_bytes, 1))
         if cap <= 0:
             return None
         rows = queries.select(F.col(self.id_col),
@@ -810,7 +824,17 @@ class AnnIndex:
             B = np.asarray(st["codebooks"], dtype=np.float64)
         self.release()
 
-        local = self._take_queries(queries, C.shape[1])
+        # per-query local-frame payload: the probe explosion repeats the
+        # mode's widest column n_probe times (qv for exact, the (m, k)
+        # LUT for adc/refine; refine adds one qv row for the rescore)
+        dim = C.shape[1]
+        if mode == "exact":
+            per_q = n_probe * dim * 8
+        else:
+            per_q = n_probe * int(B.shape[0]) * int(B.shape[1]) * 8
+            if mode == "refine":
+                per_q += dim * 8
+        local = self._take_queries(queries, dim, per_q)
         if local is not None:
             ids, vecs, qm = local
             probes = _probe_local(qm, C, n_probe)
@@ -841,8 +865,13 @@ class AnnIndex:
                     [(ids[i], int(c), lut[i].tolist())
                      for i in range(len(ids)) for c in probes[i]])
                 if mode == "refine":
-                    qv = local_frame(["query_id", "qv"],
-                                     list(zip(ids, vecs)))
+                    # cluster path rescores against a .distinct() of
+                    # (query_id, qv); mirror it so a duplicated query row
+                    # can't double-emit rescored candidates
+                    qv = local_frame(
+                        ["query_id", "qv"],
+                        list({(i, tuple(v)): (i, v)
+                              for i, v in zip(ids, vecs)}.values()))
         else:
             q = _probed_queries(queries, C, n_probe,
                                 self.id_col, self.vec_col).persist()

@@ -256,6 +256,63 @@ def test_index_refine_matches_operator_refine(spark, emb, pq_index):
     assert g == w and g
 
 
+def test_driver_probe_budget_is_payload_aware(spark, emb, pq_index):
+    """The driver-probe cap must account for PAYLOAD width, not just row
+    count: an ADC search materializes an m*k-double LUT per (query,
+    probed cell) row in the broadcast LocalRelation, ~n_probe*m*k*8
+    bytes per query — at the default 65536-row cap with a (8, 256)
+    codebook that would be a multi-GiB local frame.  With a budget sized
+    between exact's and ADC's per-query payload (exact: n_probe*dim*8 =
+    2048 B here; adc: n_probe*m*k*8 = 4096 B), the SAME 10-query batch
+    takes the driver path in exact mode but falls back to cluster-side
+    scoring in adc mode — with bit-identical results."""
+    idx, C, B = pq_index
+    idx.driver_probe_budget = 2048 * 10        # exact fits, adc doesn't
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    idx.search(spark, queries, k=5, n_probe=4, mode="exact").count()
+    assert idx._pinned is None                 # driver path engaged
+
+    via_budget_fallback = sorted(
+        (r.query_id, r.nbr_id, r.adc_score, r.rank)
+        for r in idx.search(spark, queries, k=5, n_probe=4,
+                            mode="adc").collect())
+    assert idx._pinned is not None             # cluster path engaged
+    idx.release()
+
+    idx.driver_probe_budget = 128 << 20
+    via_driver = sorted(
+        (r.query_id, r.nbr_id, r.adc_score, r.rank)
+        for r in idx.search(spark, queries, k=5, n_probe=4,
+                            mode="adc").collect())
+    assert idx._pinned is None
+    assert via_budget_fallback == via_driver and via_driver
+
+
+def test_refine_dedupes_duplicate_query_rows(spark, emb, pq_index):
+    """A duplicated query ROW must not double-emit rescored candidates in
+    refine mode: the cluster path rescores against a .distinct() of
+    (query_id, qv), and the driver path mirrors it — both return exactly
+    one top-k set for the duplicated query."""
+    idx, C, B = pq_index
+    q1 = emb.filter(F.col("vec_id") < 3)
+    dup = q1.union(q1.filter(F.col("vec_id") == 1))
+
+    def rows(i):
+        return sorted((r.query_id, r.nbr_id, r.cosine, r.rank)
+                      for r in i.search(spark, dup, k=5, n_probe=8,
+                                        mode="refine",
+                                        shortlist=25).collect())
+    got = rows(idx)                            # driver path
+    assert idx._pinned is None
+    idx.driver_probe_rows, prev = 0, idx.driver_probe_rows
+    want = rows(idx)                           # cluster path
+    idx.driver_probe_rows = prev
+    idx.release()
+    assert got == want
+    assert len([r for r in got if r[0] == 1]) == 5
+
+
 def test_non_pq_index_refuses_adc(spark, emb, tmp_path):
     from drift_detection_pibic___framework_spark.sources.tableio import (
         ParquetTableIO)
