@@ -59,11 +59,13 @@ def framed_centroid_reference(pcm: np.ndarray, store_rate: int = STORE_RATE,
 
 
 def decode_image(buf: bytes, fmt: str) -> np.ndarray:
-    """STUB: image decode requires PIL/opencv (absent in this container).
-    The deterministic fake used by plumbing tests is decode_image_fake."""
-    raise NotImplementedError(
-        "image decode requires an image library not present in this "
-        "container; use decode_image_fake for plumbing tests")
+    """Image decode.  REAL (pure numpy, operators/images.py) for the
+    uncompressed public formats — PPM (P6) / PGM (P5) / BMP (24-bit
+    BI_RGB); still a loud STUB for compressed codecs (png/jpeg/webp/...),
+    which need libraries absent in this container.  The deterministic
+    fake used by compressed-format plumbing tests is decode_image_fake."""
+    from .images import decode_any
+    return decode_any(buf, fmt)
 
 
 def decode_image_fake(buf: bytes, fmt: str, size: int = 8) -> np.ndarray:
