@@ -45,6 +45,62 @@ def test_stepper_resume_equals_uninterrupted(det, data, n, seed):
     assert _run(det, errs, vals, split) == _run(det, errs, vals)
 
 
+@settings(max_examples=40, deadline=None)
+@given(data=st.data(),
+       h=st.integers(min_value=1, max_value=24),
+       w=st.integers(min_value=1, max_value=24),
+       fmt=st.sampled_from(["ppm", "pgm", "bmp"]),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_image_codec_roundtrip_identity(data, h, w, fmt, seed):
+    """encode -> decode is the identity for EVERY image shape in every
+    real format — including the BMP row paddings (w % 4) and 1-pixel
+    edge shapes the fixture tests don't sweep."""
+    from drift_detection_pibic___framework_spark.operators import images as I
+    rng = np.random.default_rng(seed)
+    if fmt == "pgm":
+        a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        buf = I.encode_pgm(a)
+    else:
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = I.encode_ppm(a) if fmt == "ppm" else I.encode_bmp(a)
+    back = I.decode_any(buf, fmt)
+    assert back.shape == a.shape and np.array_equal(back, a)
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(min_value=1, max_value=40),
+       w=st.integers(min_value=1, max_value=40),
+       oh=st.integers(min_value=1, max_value=16),
+       ow=st.integers(min_value=1, max_value=16),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_resize_area_shape_and_mean_bounds(h, w, oh, ow, seed):
+    """resize_area always lands on the requested shape, and every output
+    pixel is a mean of source pixels (so it stays inside the source's
+    value range) — for ANY (in, out) size pair, up or down."""
+    from drift_detection_pibic___framework_spark.operators import images as I
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+    r = I.resize_area(a, oh, ow)
+    assert r.shape == (oh, ow)
+    assert r.min() >= a.min() - 1e-9 and r.max() <= a.max() + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(n=st.integers(min_value=0, max_value=6),
+       h=st.integers(min_value=1, max_value=8),
+       w=st.integers(min_value=1, max_value=8),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_y4m_roundtrip_identity(n, h, w, seed):
+    """Y4M encode -> decode returns the exact luma frames for any frame
+    count (including zero) and any even dimensions."""
+    from drift_detection_pibic___framework_spark.operators import images as I
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h * 2, w * 2), dtype=np.uint8)
+    got, gw, gh = I.decode_y4m(I.encode_y4m(frames))
+    assert (gw, gh) == (w * 2, h * 2)
+    assert got.shape == frames.shape and np.array_equal(got, frames)
+
+
 @settings(max_examples=25, deadline=None)
 @given(sig=st.lists(st.integers(min_value=-32767, max_value=32767),
                     min_size=8, max_size=512),
