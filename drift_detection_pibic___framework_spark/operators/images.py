@@ -398,6 +398,52 @@ def image_thumbnails(images: DataFrame, size: int = 8,
     return cols.mapInPandas(gen, "img_id string, thumb binary")
 
 
+def synth_images(spark, n: int) -> DataFrame:
+    """Deterministic DISTRIBUTED image table: (img_id, bytes, fmt) — each
+    row derives from its id (no driver-side materialization, any N
+    reproducible).  Injection schedule, exactly predictable for tests and
+    the rows-only driver gate: every 20th row (id > 0) is a lightly-noised
+    twin of its predecessor encoded in the SOURCE's format (a near-dup
+    dHash must catch — a PGM render of a PPM original is a genuinely
+    different image, so twins never cross formats), every 50th
+    (id % 50 == 17) a truncated payload, every 70th (id % 70 == 23) a
+    compressed format this container cannot decode (both must divert
+    fail-closed, never fail the job)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, bufs, fmts = [], [], []
+            for rid in b["id"].to_numpy():
+                rid = int(rid)
+                src = rid - 1 if (rid % 20 == 0 and rid > 0) else rid
+                rng = np.random.default_rng(1_000_003 * src + 7)
+                a = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+                if src != rid:
+                    noise = np.random.default_rng(rid).integers(
+                        -3, 4, size=a.shape)
+                    a = np.clip(a.astype(np.int32) + noise,
+                                0, 255).astype(np.uint8)
+                fmt = ("ppm", "pgm", "bmp")[src % 3]
+                if rid % 50 == 17:
+                    buf, fmt = b"P6\n24 24\n255\n", "ppm"   # truncated
+                elif rid % 70 == 23:
+                    buf, fmt = b"\x89PNG\r\n\x1a\n", "png"  # no codec
+                elif fmt == "pgm":
+                    buf = encode_pgm(a[:, :, 0])
+                elif fmt == "bmp":
+                    buf = encode_bmp(a)
+                else:
+                    buf = encode_ppm(a)
+                ids.append(f"img{rid:08d}")
+                bufs.append(buf)
+                fmts.append(fmt)
+            yield pd.DataFrame({"img_id": ids,
+                                "bytes": pd.Series(bufs, dtype=object),
+                                "fmt": fmts})
+
+    return spark.range(n).mapInPandas(
+        gen, "img_id string, bytes binary, fmt string")
+
+
 VIDEO_STAT_SCHEMA = ("vid_id string, n_frames int, width int, height int, "
                      "mean_luma double, motion double, decode_ok boolean")
 

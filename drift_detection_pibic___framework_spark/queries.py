@@ -3616,6 +3616,46 @@ def clips_band_drift(spark, sf_dir):
             .orderBy("part"))
 
 
+@register("img_features_screen")  # image decode: no SQL equivalent
+def img_features_screen(spark, sf_dir):
+    """IMAGE decode gate over the deterministic synthetic binary-column
+    table (operators/images.py synth_images — each row derives from its
+    id, no external data): per-format decode/divert counts plus luma
+    stats from the real pure-numpy decoders (PPM/PGM/BMP; the injected
+    truncated + compressed rows must land as decode_ok=false, never fail
+    the job).  Row counts are exact by the injection schedule: 4 formats
+    (ppm/pgm/bmp/png) x decode_ok, with png all-false and the ppm slot
+    carrying the truncated rows' failures.  Per-row feature parity is
+    pinned by tests/test_images.py against image_features_reference."""
+    from .operators import images as IM
+    f = IM.image_features(IM.synth_images(spark, 500))
+    imgs = IM.synth_images(spark, 500).select("img_id", "fmt")
+    return (f.join(imgs, "img_id")
+            .groupBy("fmt", "decode_ok")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mean_luma"), 3).alias("avg_luma"),
+                 F.round(F.avg("std_luma"), 3).alias("avg_contrast"))
+            .orderBy("fmt", "decode_ok"))
+
+
+@register("img_near_dups")  # image decode: no SQL equivalent
+def img_near_dups(spark, sf_dir):
+    """IMAGE near-duplicate screen: 64-bit perceptual dHash pairs through
+    the shared Hamming chunk-pigeonhole equi-join (never all-pairs) over
+    the synthetic table.  The schedule injects one lightly-noised twin
+    every 20 ids (encoded in its source's format) — at n=500 exactly the
+    24 twin pairs must surface within radius 6, and random 24x24 images
+    give chance collisions ~1e-9, so the histogram is deterministic.
+    Broken payloads (dhash 0) are excluded by contract — a degenerate
+    shared fingerprint would pair every broken row with every other."""
+    from .operators import images as IM
+    pairs = IM.image_near_duplicates(IM.synth_images(spark, 500),
+                                     max_hamming=6)
+    return (pairs.groupBy("hamming")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("hamming"))
+
+
 @register("clips_upsample_screen")  # audio decode: no SQL equivalent
 def clips_upsample_screen(spark, sf_dir):
     """Fake-high-res (upsample) screen: per partition, the mean spectral

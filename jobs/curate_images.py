@@ -39,59 +39,16 @@ import argparse
 import os
 import sys
 import time
-from typing import Iterator
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_images(spark, n: int):
-    """Deterministic distributed image table: (img_id, bytes, fmt).
-    Every 20th row is a lightly-noised twin of its predecessor (a near-dup
-    dHash must catch), every 50th is a truncated payload, every 70th a
-    compressed format this container cannot decode (both must divert,
-    not fail)."""
-    import numpy as np
-    import pandas as pd
-
+    """Deterministic distributed image table — shared with the rows-only
+    driver queries; see operators/images.py synth_images for the
+    injection schedule."""
     from drift_detection_pibic___framework_spark.operators import images as I
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            ids, bufs, fmts = [], [], []
-            for rid in b["id"].to_numpy():
-                rid = int(rid)
-                # twins derive their pixels from the PREVIOUS id's rng
-                src = rid - 1 if (rid % 20 == 0 and rid > 0) else rid
-                rng = np.random.default_rng(1_000_003 * src + 7)
-                a = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
-                if src != rid:
-                    noise = np.random.default_rng(rid).integers(
-                        -3, 4, size=a.shape)
-                    a = np.clip(a.astype(np.int32) + noise,
-                                0, 255).astype(np.uint8)
-                # a twin re-encodes in its SOURCE's format: a PGM render
-                # of a PPM original is a genuinely different image (red
-                # channel vs RGB luma), not a near-dup
-                fmt = ("ppm", "pgm", "bmp")[src % 3]
-                if rid % 50 == 17:
-                    buf, fmt = b"P6\n24 24\n255\n", "ppm"   # truncated
-                elif rid % 70 == 23:
-                    buf, fmt = b"\x89PNG\r\n\x1a\n", "png"  # no codec
-                elif fmt == "pgm":
-                    buf = I.encode_pgm(a[:, :, 0])
-                elif fmt == "bmp":
-                    buf = I.encode_bmp(a)
-                else:
-                    buf = I.encode_ppm(a)
-                ids.append(f"img{rid:08d}")
-                bufs.append(buf)
-                fmts.append(fmt)
-            yield pd.DataFrame({"img_id": ids,
-                                "bytes": pd.Series(bufs, dtype=object),
-                                "fmt": fmts})
-
-    return spark.range(n).mapInPandas(
-        gen, "img_id string, bytes binary, fmt string")
+    return I.synth_images(spark, n)
 
 
 def main() -> int:
