@@ -444,6 +444,38 @@ def synth_images(spark, n: int) -> DataFrame:
         gen, "img_id string, bytes binary, fmt string")
 
 
+def synth_videos(spark, n: int) -> DataFrame:
+    """Deterministic DISTRIBUTED Y4M table: (vid_id, bytes).  Each row
+    derives from its id: 4 + id % 5 frames of 16x16 luma; rows with
+    id % 3 == 0 get per-frame brightness ramps (a known nonzero motion
+    signal), others static noise (motion ~ 0 only for single-frame rows —
+    static NOISE frames still differ frame-to-frame); every 40th row
+    (id % 40 == 11) is a truncated stream (decode-gate divert target)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, bufs = [], []
+            for rid in b["id"].to_numpy():
+                rid = int(rid)
+                rng = np.random.default_rng(2_000_003 * rid + 13)
+                nf = 4 + rid % 5
+                frames = rng.integers(0, 256, size=(nf, 16, 16),
+                                      dtype=np.uint8)
+                if rid % 3 == 0:        # moving: brightness ramp
+                    ramp = (np.arange(nf, dtype=np.int32) * 20)[:, None,
+                                                                None]
+                    frames = np.clip(frames.astype(np.int32) // 4 + ramp,
+                                     0, 255).astype(np.uint8)
+                buf = encode_y4m(frames)
+                if rid % 40 == 11:
+                    buf = buf[: len(buf) // 2]          # truncated
+                ids.append(f"vid{rid:08d}")
+                bufs.append(buf)
+            yield pd.DataFrame({"vid_id": ids,
+                                "bytes": pd.Series(bufs, dtype=object)})
+
+    return spark.range(n).mapInPandas(gen, "vid_id string, bytes binary")
+
+
 VIDEO_STAT_SCHEMA = ("vid_id string, n_frames int, width int, height int, "
                      "mean_luma double, motion double, decode_ok boolean")
 

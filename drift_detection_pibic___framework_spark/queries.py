@@ -3656,6 +3656,32 @@ def img_near_dups(spark, sf_dir):
             .orderBy("hamming"))
 
 
+@register("vid_frame_stats")  # video decode: no SQL equivalent
+def vid_frame_stats(spark, sf_dir):
+    """VIDEO decode + frame-sampling screen over the deterministic
+    synthetic Y4M table (operators/images.py synth_videos): per
+    (n_frames, decode_ok) class, row counts plus mean luma/motion from
+    every-2nd-frame sampling.  The schedule is exactly predictable:
+    n=400 rows cycle frame counts 4-8, id%40==11 rows are truncated
+    streams that must divert (decode_ok=false, zeroed stats), id%3==0
+    rows carry a +20/frame brightness ramp (at 1/4 noise amplitude), so
+    their sampled motion sits near 40 while full-amplitude static-noise
+    rows sit near the ~85 mean-|uniform-diff| floor — the < 60 cut
+    separates the two populations with wide margin and no tolerance
+    tuning.  Per-row parity vs the pure-numpy reference is pinned in
+    tests/test_images.py."""
+    from .operators import images as IM
+    stats = IM.video_frame_stats(IM.synth_videos(spark, 400), every_k=2)
+    return (stats
+            .withColumn("ramped", (F.col("motion") < 60.0)
+                        & F.col("decode_ok"))
+            .groupBy("n_frames", "decode_ok", "ramped")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mean_luma"), 2).alias("avg_luma"),
+                 F.round(F.avg("motion"), 2).alias("avg_motion"))
+            .orderBy("n_frames", "decode_ok", "ramped"))
+
+
 @register("clips_upsample_screen")  # audio decode: no SQL equivalent
 def clips_upsample_screen(spark, sf_dir):
     """Fake-high-res (upsample) screen: per partition, the mean spectral

@@ -249,6 +249,24 @@ def test_image_thumbnails_shape_and_nulls(spark, images_df):
     assert np.array_equal(a, want)
 
 
+def test_synth_videos_schedule_and_registry_query(spark):
+    """The deterministic Y4M fixture honors its injection schedule (10
+    truncated rows at n=400 divert; ramped id%3==0 rows separate from
+    static noise on sampled motion) and the rows-only registry query
+    returns a stable class histogram."""
+    from drift_detection_pibic___framework_spark import queries as Q
+    rows = Q.QUERIES["vid_frame_stats"](spark, "unused").collect()
+    bad = [r for r in rows if not r.decode_ok]
+    assert len(bad) == 1 and bad[0].n == 10       # 400 // 40 truncated
+    ramped = sum(r.n for r in rows if r.ramped)
+    static = sum(r.n for r in rows if r.decode_ok and not r.ramped)
+    n_ramp = len([i for i in range(400) if i % 3 == 0 and i % 40 != 11])
+    assert ramped == n_ramp and ramped + static + 10 == 400
+    assert all(r.avg_motion < 60 for r in rows if r.ramped)
+    assert all(r.avg_motion > 60 for r in rows
+               if r.decode_ok and not r.ramped)
+
+
 def test_video_frame_stats_spark_matches_reference(spark):
     rng = _rng(7)
     rows = []
