@@ -18,6 +18,8 @@ stay stable); ``--search`` probes only the probed cells' parquet files.
     spark-submit jobs/ann.py --root R --rollback '{"cells": N}'
     spark-submit jobs/ann.py --root R --compact
     spark-submit jobs/ann.py --root R --describe
+    spark-submit jobs/ann.py --root R --stream-admit FEED_DIR \
+        --checkpoint CKPT [--admitted-out DIR]
 
 ``--pq`` additionally fits per-subspace product-quantization codebooks
 (``operators/pq.py``) and stores every row's m-int code in the inverted
@@ -56,6 +58,16 @@ def main() -> int:
                     help="fold all admit commits into one re-clustered "
                          "rewrite (restores probe pruning; retires old "
                          "rollback tokens)")
+    ap.add_argument("--stream-admit", default=None, metavar="FEED_DIR",
+                    help="continuously admit embedding parquet files "
+                         "landing in FEED_DIR through the exactly-once "
+                         "gate (streaming/stream_ann_admit.py); requires "
+                         "a built root and --checkpoint")
+    ap.add_argument("--checkpoint", default=None,
+                    help="with --stream-admit: checkpoint location")
+    ap.add_argument("--admitted-out", default=None,
+                    help="with --stream-admit: per-epoch inspection sink "
+                         "(defaults to ROOT/admitted_epochs)")
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--n-centroids", type=int, default=16)
@@ -84,10 +96,15 @@ def main() -> int:
     args = ap.parse_args()
 
     modes = [bool(args.build), bool(args.admit), bool(args.search),
-             bool(args.rollback), args.describe, args.compact]
+             bool(args.rollback), args.describe, args.compact,
+             bool(args.stream_admit)]
     if sum(modes) != 1:
         print("error: exactly one of --build/--admit/--search/--rollback/"
-              "--describe/--compact", file=sys.stderr)
+              "--describe/--compact/--stream-admit", file=sys.stderr)
+        return 2
+    if args.stream_admit and not args.checkpoint:
+        print("error: --stream-admit requires --checkpoint",
+              file=sys.stderr)
         return 2
     for p in (args.build, args.admit, args.search):
         if p and not os.path.exists(p):
@@ -195,6 +212,28 @@ def main() -> int:
         snap = idx.compact(spark)
         print(f"compacted to snapshot {snap} "
               f"({idx.n_files} clustered files)")
+    elif args.stream_admit:
+        from drift_detection_pibic___framework_spark.streaming.stream_ann_admit import (  # noqa: E501
+            ann_admission_stream)
+        if not os.path.isdir(args.stream_admit):
+            print(f"error: no such feed dir {args.stream_admit}",
+                  file=sys.stderr)
+            return 2
+        out = args.admitted_out or os.path.join(args.root,
+                                                "admitted_epochs")
+        schema = f"{args.id_col} bigint, {args.vec_col} array<float>"
+        try:
+            q = ann_admission_stream(
+                spark, args.stream_admit, schema, out, args.checkpoint,
+                args.root, id_col=args.id_col, vec_col=args.vec_col)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        q.awaitTermination()
+        n = spark.read.parquet(out).count()
+        epochs = spark.read.parquet(out).select("epoch").distinct().count()
+        print(f"stream-admit: {n} vectors admitted over {epochs} epochs; "
+              f"sink {out}")
     elif args.describe:
         io = idx.io
         if not io.snapshots(AnnIndex.CELLS):

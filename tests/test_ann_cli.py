@@ -154,3 +154,42 @@ def test_ann_cli_compact(emb_paths, monkeypatch, capsys, tmp_path):
     # compact on an unbuilt root: usage error
     rc, _ = _run(capsys, "--root", str(tmp_path / "nope"), "--compact")
     assert rc == 2
+
+
+def test_ann_cli_stream_admit(emb_paths, monkeypatch, capsys, spark,
+                              tmp_path):
+    """--stream-admit drives the exactly-once gate over a file feed: the
+    grown index answers searches over base + streamed increment, and the
+    error paths (missing --checkpoint, unbuilt root) exit 2."""
+    import os
+
+    root = str(tmp_path / "sidx")
+    rc, _ = _run(capsys, "--root", root, "--build",
+                 str(emb_paths / "base"), "--n-centroids", "8")
+    assert rc == 0
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    inc = spark.read.parquet(str(emb_paths / "inc"))
+    for i in range(2):
+        part = inc.filter((F.col("vec_id") / 2 % 2).cast("int") == i)
+        part.coalesce(1).write.parquet(f"{feed}/s{i}")
+        f = [x for x in os.listdir(f"{feed}/s{i}")
+             if x.endswith(".parquet")][0]
+        os.rename(f"{feed}/s{i}/{f}", f"{feed}/arrive-{i}.parquet")
+
+    rc, out = _run(capsys, "--root", root, "--stream-admit", feed,
+                   "--checkpoint", str(tmp_path / "ckpt"))
+    assert rc == 0
+    n_inc = inc.count()
+    assert f"stream-admit: {n_inc} vectors admitted over 2 epochs" in out
+
+    rc, out = _run(capsys, "--root", root, "--search",
+                   str(emb_paths / "q"), "--k", "3", "--n-probe", "2")
+    assert rc == 0 and "search: 30 result rows" in out
+
+    rc, _ = _run(capsys, "--root", root, "--stream-admit", feed)
+    assert rc == 2                                  # no --checkpoint
+    rc, _ = _run(capsys, "--root", str(tmp_path / "fresh"),
+                 "--stream-admit", feed, "--checkpoint",
+                 str(tmp_path / "ckpt2"))
+    assert rc == 2                                  # unbuilt root
