@@ -444,6 +444,66 @@ def synth_images(spark, n: int) -> DataFrame:
         gen, "img_id string, bytes binary, fmt string")
 
 
+def video_fingerprint_reference(buf: bytes) -> int:
+    """64-bit TEMPORAL fingerprint of a Y4M stream: the per-frame mean
+    luma sequence, area-resampled to 65 points, folded to the 64 signs of
+    its successive differences — the time-axis analogue of dHash (and of
+    the audio energy-envelope fingerprint).  Invariant to uniform
+    brightness/contrast shifts and to re-encoding that preserves temporal
+    structure; videos with < 2 frames fingerprint as 0 (no temporal
+    signal).  Returned as a SIGNED 64-bit int (Spark LongType)."""
+    frames, w, h = decode_y4m(buf)
+    if len(frames) < 2:
+        return 0
+    seq = frames.astype(np.float64).mean(axis=(1, 2))
+    prof = resize_area(seq[:, None], 65, 1)[:, 0]
+    bits = prof[1:] > prof[:-1]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def video_fingerprints(videos: DataFrame, id_col: str = "vid_id",
+                       bytes_col: str = "bytes") -> DataFrame:
+    """(vid_id, vfp, decode_ok) via mapInPandas — undecodable rows carry
+    vfp=0 with decode_ok=false (fail-closed, quarantine-able)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            fp = np.zeros(n, np.int64)
+            ok = np.zeros(n, bool)
+            for i, buf in enumerate(b[bytes_col].to_numpy()):
+                try:
+                    fp[i] = video_fingerprint_reference(bytes(buf))
+                    ok[i] = True
+                except (ValueError, TypeError):
+                    continue
+            yield pd.DataFrame({"vid_id": b[id_col].astype(str),
+                                "vfp": fp, "decode_ok": ok})
+
+    return videos.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, "vid_id string, vfp long, decode_ok boolean")
+
+
+def video_near_duplicates(videos: DataFrame, max_hamming: int = 6,
+                          fingerprints: DataFrame = None) -> DataFrame:
+    """Near-duplicate VIDEO pairs by Hamming distance over the temporal
+    fingerprint — the same chunk-pigeonhole equi-join as SimHash / audio
+    / image dHash, never all-pairs.  Undecodable AND temporally-flat
+    rows (vfp = 0: < 2 frames, or a constant luma profile) are excluded:
+    a degenerate shared fingerprint would pair every such row with every
+    other, and "no temporal signal" is not evidence of duplication."""
+    from .dedup import hamming_near_duplicates
+    fp = (fingerprints if fingerprints is not None
+          else video_fingerprints(videos))
+    fp = (fp.filter(F.col("decode_ok") & (F.col("vfp") != 0))
+          .select("vid_id", "vfp"))
+    return (hamming_near_duplicates(fp, "vid_id", "vfp", max_hamming)
+            .select(F.col("id_a").alias("vid_a"),
+                    F.col("id_b").alias("vid_b"), "hamming"))
+
+
 def synth_videos(spark, n: int) -> DataFrame:
     """Deterministic DISTRIBUTED Y4M table: (vid_id, bytes).  Each row
     derives from its id: 4 + id % 5 frames of 16x16 luma; rows with

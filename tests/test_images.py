@@ -249,6 +249,45 @@ def test_image_thumbnails_shape_and_nulls(spark, images_df):
     assert np.array_equal(a, want)
 
 
+def test_video_fingerprint_invariance_and_near_dups(spark):
+    """The temporal fingerprint survives re-encoding transforms that
+    preserve temporal structure (uniform brightness shift, per-pixel
+    noise) and the Spark near-dup join surfaces exactly the injected
+    twins; flat/short videos (vfp=0) never pair."""
+    rng = _rng(21)
+    base = rng.integers(60, 200, size=(24, 8, 8), dtype=np.uint8)
+    ramp = (np.sin(np.arange(24) * 0.7) * 40)[:, None, None]
+    base = np.clip(base.astype(np.float64) * 0.3 + 110 + ramp,
+                   0, 255).astype(np.uint8)
+    h0 = I.video_fingerprint_reference(I.encode_y4m(base))
+    brighter = np.clip(base.astype(np.int32) + 30, 0, 255).astype(np.uint8)
+    assert I.video_fingerprint_reference(I.encode_y4m(brighter)) == h0
+    noisy = np.clip(base.astype(np.int32)
+                    + rng.integers(-2, 3, size=base.shape),
+                    0, 255).astype(np.uint8)
+    hn = I.video_fingerprint_reference(I.encode_y4m(noisy))
+    assert bin((h0 ^ hn) & ((1 << 64) - 1)).count("1") <= 6
+    assert I.video_fingerprint_reference(
+        I.encode_y4m(base[:1])) == 0                     # no temporal signal
+
+    rows = [Row(vid_id="orig", bytes=bytearray(I.encode_y4m(base))),
+            Row(vid_id="re_up", bytes=bytearray(I.encode_y4m(noisy))),
+            Row(vid_id="short", bytes=bytearray(I.encode_y4m(base[:1]))),
+            Row(vid_id="flat", bytes=bytearray(I.encode_y4m(
+                np.full((6, 8, 8), 99, dtype=np.uint8)))),
+            Row(vid_id="flat2", bytes=bytearray(I.encode_y4m(
+                np.full((9, 8, 8), 42, dtype=np.uint8)))),
+            Row(vid_id="bad", bytes=bytearray(b"nope"))]
+    for i in range(6):      # unrelated videos must NOT pair
+        rows.append(Row(vid_id=f"other{i}", bytes=bytearray(I.encode_y4m(
+            _rng(100 + i).integers(0, 256, size=(20, 8, 8),
+                                   dtype=np.uint8)))))
+    df = spark.createDataFrame(rows).repartition(3)
+    pairs = {(r.vid_a, r.vid_b)
+             for r in I.video_near_duplicates(df, max_hamming=6).collect()}
+    assert pairs and all({"orig", "re_up"} == set(p) for p in pairs)
+
+
 def test_synth_videos_schedule_and_registry_query(spark):
     """The deterministic Y4M fixture honors its injection schedule (10
     truncated rows at n=400 divert; ramped id%3==0 rows separate from
