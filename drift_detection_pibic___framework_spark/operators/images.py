@@ -200,19 +200,29 @@ def resize_area(plane: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out
 
 
+def _pack_signs(bits: np.ndarray) -> int:
+    """Fold 64 boolean gradient bits into a SIGNED 64-bit int (Spark
+    LongType convention, same as SimHash / the audio fingerprint).
+    Shared by dhash64 and video_fingerprint_reference so the two's-
+    complement contract can never diverge between them.  The O(64) loop
+    runs per row inside the mapInPandas kernels — 64 int ops/row is
+    noise next to the decode."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def dhash64(arr: np.ndarray) -> int:
     """64-bit difference hash: area-resize the luma plane to 8x9, take the
     sign of adjacent-column differences -> 64 gradient bits.  Invariant to
     uniform brightness/contrast shifts (signs of differences survive
     affine maps with positive scale) — the standard public perceptual
-    near-dup fingerprint.  Returned as a SIGNED 64-bit int (Spark LongType
-    convention, same as SimHash / the audio fingerprint)."""
+    near-dup fingerprint.  A UNIFORM (flat-luma) image folds to 0 — "no
+    texture", which near-dup joins must treat as no-signal, not identity
+    (see image_near_duplicates)."""
     g = resize_area(to_luma(arr), 8, 9)
-    bits = (g[:, 1:] > g[:, :-1]).ravel()
-    v = 0
-    for b in bits:                      # 64 iterations, driver-side only
-        v = (v << 1) | int(b)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return _pack_signs((g[:, 1:] > g[:, :-1]).ravel())
 
 
 def image_features_reference(arr: np.ndarray) -> tuple:
@@ -358,14 +368,18 @@ def image_near_duplicates(images: DataFrame, max_hamming: int = 6,
     """Near-duplicate IMAGE pairs by Hamming distance over the 64-bit
     dHash — the chunk-pigeonhole equi-join shared with SimHash and the
     audio fingerprint (``dedup.hamming_near_duplicates``), never
-    all-pairs.  Undecodable rows (dhash 0, decode_ok false) are excluded
-    — a degenerate shared fingerprint would pair every broken payload
-    with every other.  ``features``: pass a precomputed image_features
-    frame when several screens share one decode pass."""
+    all-pairs.  Rows with dhash 0 are excluded by contract: broken
+    payloads AND decodable-but-UNIFORM images both fold there, and a
+    degenerate shared fingerprint would pair every such row with every
+    other — an all-black and an all-white image are not near-duplicates;
+    "no texture" is no-signal, the same rule ``video_near_duplicates``
+    applies to flat temporal profiles.  ``features``: pass a precomputed
+    image_features frame when several screens share one decode pass."""
     from .dedup import hamming_near_duplicates
     fp = (features if features is not None
           else image_features(images))
-    fp = fp.filter(F.col("decode_ok")).select("img_id", "dhash")
+    fp = (fp.filter(F.col("decode_ok") & (F.col("dhash") != 0))
+          .select("img_id", "dhash"))
     return (hamming_near_duplicates(fp, "img_id", "dhash", max_hamming)
             .select(F.col("id_a").alias("img_a"),
                     F.col("id_b").alias("img_b"), "hamming"))
@@ -457,11 +471,7 @@ def video_fingerprint_reference(buf: bytes) -> int:
         return 0
     seq = frames.astype(np.float64).mean(axis=(1, 2))
     prof = resize_area(seq[:, None], 65, 1)[:, 0]
-    bits = prof[1:] > prof[:-1]
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return _pack_signs(prof[1:] > prof[:-1])
 
 
 def video_fingerprints(videos: DataFrame, id_col: str = "vid_id",

@@ -756,7 +756,7 @@ class AnnIndex:
                               F.col(self.vec_col)).take(cap + 1)
         if len(rows) > cap:
             return None
-        ids, vecs = [], []
+        ids, vecs, seen = [], [], set()
         for r in rows:
             v = r[1]
             if v is None:
@@ -767,6 +767,14 @@ class AnnIndex:
                     f"but the centroid matrix expects dim={dim}; a "
                     "mismatched zip_with would silently collapse every "
                     "vector into one bucket")
+            # exact duplicate ROWS collapse here (mirrors the cluster
+            # path's probed-frame distinct): left in, each copy would
+            # duplicate every scored candidate and burn top-k rank slots
+            # on repeats of the same (query_id, nbr_id)
+            key = (r[0], tuple(v))
+            if key in seen:
+                continue
+            seen.add(key)
             ids.append(r[0])
             vecs.append(list(v))
         qm = (np.asarray(vecs, dtype=np.float64) if vecs
@@ -865,16 +873,20 @@ class AnnIndex:
                     [(ids[i], int(c), lut[i].tolist())
                      for i in range(len(ids)) for c in probes[i]])
                 if mode == "refine":
-                    # cluster path rescores against a .distinct() of
-                    # (query_id, qv); mirror it so a duplicated query row
-                    # can't double-emit rescored candidates
-                    qv = local_frame(
-                        ["query_id", "qv"],
-                        list({(i, tuple(v)): (i, v)
-                              for i, v in zip(ids, vecs)}.values()))
+                    # (ids, vecs) are already row-deduped by
+                    # _take_queries, so this frame is one row per query
+                    qv = local_frame(["query_id", "qv"],
+                                     list(zip(ids, vecs)))
         else:
+            # .distinct() collapses exact duplicate query ROWS (the
+            # probe explode maps identical rows to identical
+            # (query_id, qv, cell) rows) — without it each copy would
+            # duplicate every scored candidate and the row_number top-k
+            # would spend rank slots on repeats; one small extra
+            # shuffle on the query side, the scan side is untouched
             q = _probed_queries(queries, C, n_probe,
-                                self.id_col, self.vec_col).persist()
+                                self.id_col, self.vec_col
+                                ).distinct().persist()
             self._pinned = q
             cells = [r.ivf_cell
                      for r in q.select("ivf_cell").distinct().collect()]

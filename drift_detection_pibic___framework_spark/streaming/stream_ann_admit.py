@@ -113,6 +113,17 @@ def ann_admission_stream(spark: SparkSession, vecs_dir: str, schema,
             "before streaming admissions into it — fitting from the "
             "first micro-batch would make the cell layout an accident "
             "of arrival order")
+    if not io.snapshots(AnnIndex.CELLS):
+        # state committed but no cells snapshot: a build that crashed
+        # between commit_state and its first admit.  Refuse HERE with the
+        # remedy, instead of dying later inside the gate's _tip() with a
+        # bare IndexError mid-stream.  (build() only refuses roots whose
+        # CELLS table has commits, so re-running it is safe.)
+        raise ValueError(
+            f"AnnIndex root {index_root!r} has a fitted quantizer but no "
+            "cells commit — a prior build crashed before indexing. "
+            "Re-run the build (it will re-commit state and index the "
+            "corpus), then start the stream.")
     dtypes = dict(spark.createDataFrame([], schema).dtypes)
     if id_col not in dtypes or vec_col not in dtypes:
         raise ValueError(

@@ -68,6 +68,12 @@ def main() -> int:
     ap.add_argument("--admitted-out", default=None,
                     help="with --stream-admit: per-epoch inspection sink "
                          "(defaults to ROOT/admitted_epochs)")
+    ap.add_argument("--feed-schema", default=None, metavar="DDL",
+                    help="with --stream-admit: the feed's schema as a "
+                         "DDL string (default '<id-col> bigint, "
+                         "<vec-col> array<float>') — override when the "
+                         "index was built over string ids or double "
+                         "vectors")
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--n-centroids", type=int, default=16)
@@ -113,7 +119,7 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     from drift_detection_pibic___framework_spark.operators.similarity import (
         AnnIndex)
@@ -221,7 +227,8 @@ def main() -> int:
             return 2
         out = args.admitted_out or os.path.join(args.root,
                                                 "admitted_epochs")
-        schema = f"{args.id_col} bigint, {args.vec_col} array<float>"
+        schema = (args.feed_schema or
+                  f"{args.id_col} bigint, {args.vec_col} array<float>")
         try:
             q = ann_admission_stream(
                 spark, args.stream_admit, schema, out, args.checkpoint,
@@ -230,10 +237,20 @@ def main() -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
         q.awaitTermination()
-        n = spark.read.parquet(out).count()
-        epochs = spark.read.parquet(out).select("epoch").distinct().count()
-        print(f"stream-admit: {n} vectors admitted over {epochs} epochs; "
-              f"sink {out}")
+        # the sink accumulates across runs (and may not exist after a
+        # vacuous run over an empty/fully-processed feed) — report the
+        # sink TOTAL, in one aggregation pass, without crashing on a
+        # zero-epoch stream
+        try:
+            agg = (spark.read.parquet(out)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.countDistinct("epoch").alias("epochs"))
+                   .collect()[0])
+            n, epochs = agg["n"], agg["epochs"]
+        except Exception:
+            n = epochs = 0
+        print(f"stream-admit: sink {out} holds {n} vectors over "
+              f"{epochs} epochs (cumulative across runs)")
     elif args.describe:
         io = idx.io
         if not io.snapshots(AnnIndex.CELLS):

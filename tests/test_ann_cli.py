@@ -181,7 +181,13 @@ def test_ann_cli_stream_admit(emb_paths, monkeypatch, capsys, spark,
                    "--checkpoint", str(tmp_path / "ckpt"))
     assert rc == 0
     n_inc = inc.count()
-    assert f"stream-admit: {n_inc} vectors admitted over 2 epochs" in out
+    assert f"holds {n_inc} vectors over 2 epochs" in out
+    # a re-run over the fully-processed feed is a vacuous stream: zero
+    # new epochs, same cumulative sink totals, no crash on the summary
+    rc, out = _run(capsys, "--root", root, "--stream-admit", feed,
+                   "--checkpoint", str(tmp_path / "ckpt"))
+    assert rc == 0
+    assert f"holds {n_inc} vectors over 2 epochs" in out
 
     rc, out = _run(capsys, "--root", root, "--search",
                    str(emb_paths / "q"), "--k", "3", "--n-probe", "2")

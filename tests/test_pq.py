@@ -289,28 +289,37 @@ def test_driver_probe_budget_is_payload_aware(spark, emb, pq_index):
     assert via_budget_fallback == via_driver and via_driver
 
 
-def test_refine_dedupes_duplicate_query_rows(spark, emb, pq_index):
-    """A duplicated query ROW must not double-emit rescored candidates in
-    refine mode: the cluster path rescores against a .distinct() of
-    (query_id, qv), and the driver path mirrors it — both return exactly
-    one top-k set for the duplicated query."""
+def test_duplicate_query_rows_collapse_in_every_mode(spark, emb, pq_index):
+    """A duplicated query ROW must not duplicate scored candidates: left
+    in, each copy re-scores every candidate and row_number spends rank
+    slots on repeats of the same (query_id, nbr_id).  The driver path
+    dedupes rows in _take_queries and the cluster path distincts the
+    probed frame — in every mode, on both paths, the duplicated query's
+    top-k is k DISTINCT neighbors, identical to the un-duplicated
+    batch's."""
     idx, C, B = pq_index
     q1 = emb.filter(F.col("vec_id") < 3)
     dup = q1.union(q1.filter(F.col("vec_id") == 1))
 
-    def rows(i):
-        return sorted((r.query_id, r.nbr_id, r.cosine, r.rank)
-                      for r in i.search(spark, dup, k=5, n_probe=8,
-                                        mode="refine",
-                                        shortlist=25).collect())
-    got = rows(idx)                            # driver path
-    assert idx._pinned is None
-    idx.driver_probe_rows, prev = 0, idx.driver_probe_rows
-    want = rows(idx)                           # cluster path
-    idx.driver_probe_rows = prev
-    idx.release()
-    assert got == want
-    assert len([r for r in got if r[0] == 1]) == 5
+    for mode in ("exact", "adc", "refine"):
+        score = "adc_score" if mode == "adc" else "cosine"
+
+        def rows(queries):
+            return sorted((r.query_id, r.nbr_id, r[score], r.rank)
+                          for r in idx.search(spark, queries, k=5,
+                                              n_probe=8, mode=mode,
+                                              shortlist=25).collect())
+        clean = rows(q1)
+        got = rows(dup)                        # driver path
+        assert idx._pinned is None
+        idx.driver_probe_rows, prev = 0, idx.driver_probe_rows
+        want = rows(dup)                       # cluster path
+        idx.driver_probe_rows = prev
+        idx.release()
+        assert got == want == clean, mode
+        q1_rows = [r for r in got if r[0] == 1]
+        assert len(q1_rows) == 5, mode
+        assert len({r[1] for r in q1_rows}) == 5, mode   # distinct nbrs
 
 
 def test_non_pq_index_refuses_adc(spark, emb, tmp_path):

@@ -127,3 +127,20 @@ def test_unbuilt_root_refused(spark, tmp_path):
             spark, str(tmp_path / "nofeed"), SCHEMA,
             str(tmp_path / "out"), str(tmp_path / "ckpt"),
             str(tmp_path / "fresh_root"))
+
+
+def test_state_without_cells_refused_with_remedy(spark, tmp_path):
+    """A build that crashed between commit_state and its first admit
+    leaves a quantizer with no cells commit; the stream must refuse
+    loudly with the rebuild remedy instead of dying in _tip() with a
+    bare IndexError mid-stream."""
+    io = ParquetTableIO(str(tmp_path / "half"))
+    io.commit_state(similarity.AnnIndex.STATE,
+                    {"centroids": [[0.0] * 64], "n_centroids": 1,
+                     "dim": 64, "id_col": "vec_id",
+                     "vec_col": "embedding"})
+    with pytest.raises(ValueError, match="no cells commit"):
+        ann_admission_stream(
+            spark, str(tmp_path / "feed"), SCHEMA,
+            str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            str(tmp_path / "half"))
