@@ -394,6 +394,46 @@ def scaling_core(cpus: str) -> dict:
             "inv_clips_per_sec": round(n_inv / inv_sec, 1)}
 
 
+def images_bench(cpus: str) -> dict:
+    """Throughput of the round-5 image family over the in-plan synthetic
+    table: ONE decode pass (pure-numpy PPM/PGM/BMP) feeding features +
+    dHash, then the near-dup Hamming join.  Appends the warm-min lap to
+    BENCH/BASELINE.md.  N is sized so kernel work dominates job overhead
+    while the whole run stays inside one quiet window."""
+    n = int(os.environ.get("SPARK_GRAFT_IMG_N", "200000"))
+    spark = build_spark(cpus)
+    from pyspark.sql import functions as F
+
+    from drift_detection_pibic___framework_spark.operators import (
+        images as I)
+    imgs = I.synth_images(spark, n).persist()
+    imgs.count()                       # generation paid once, off-lap
+    laps, dup_pairs = [], 0
+    for _ in range(3):
+        t0 = time.time()
+        feats = I.image_features(imgs).persist()
+        n_ok = feats.filter("decode_ok").count()
+        dup_pairs = I.image_near_duplicates(
+            imgs, max_hamming=6, features=feats).count()
+        feats.unpersist()
+        laps.append(time.time() - t0)
+    imgs.unpersist(blocking=True)
+    spark.stop()
+    sec = min(laps)
+    res = {"n_images": n, "n_decoded": n_ok, "dup_pairs": dup_pairs,
+           "cpus": int(cpus), "laps": [round(x, 2) for x in laps],
+           "sec": round(sec, 3),
+           "images_per_sec": round(n / sec)}
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"\n## Image pipeline bench {time.strftime('%Y-%m-%d %H:%M')}"
+                f" (synthetic {n}-image table, local[{cpus}], "
+                "decode+features+dHash+near-dup join)\n\n"
+                f"{n} images ({n_ok} decodable), warm-min of 3 laps: "
+                f"**{res['sec']}s = {res['images_per_sec']} images/sec**; "
+                f"{dup_pairs} near-dup pairs (laps: {res['laps']})\n")
+    return res
+
+
 def simhash_ab(cpus: str) -> dict:
     """A/B the 64-pass expression SimHash against the single-pass Arrow
     kernel over the sf transcripts (same corpus as the minhash scaling
@@ -753,6 +793,8 @@ if __name__ == "__main__":
         scaling_report()
     elif "--simhash-ab" in sys.argv:
         print(json.dumps(simhash_ab(CPUS)))
+    elif "--images-bench" in sys.argv:
+        print(json.dumps(images_bench(CPUS)))
     elif "--pq-ab" in sys.argv:
         print(json.dumps(pq_ab(CPUS)))
     elif "--pq-scaling-worker" in sys.argv:
