@@ -199,3 +199,41 @@ def test_ann_cli_stream_admit(emb_paths, monkeypatch, capsys, spark,
                  "--stream-admit", feed, "--checkpoint",
                  str(tmp_path / "ckpt2"))
     assert rc == 2                                  # unbuilt root
+
+
+def test_ann_cli_stream_admit_string_ids(emb_paths, monkeypatch, capsys,
+                                         spark, tmp_path):
+    """--feed-schema carries string-id indexes through the stream gate
+    (the default bigint schema would type-wedge the sink mid-stream)."""
+    import os
+
+    base = spark.read.parquet(str(emb_paths / "base")).selectExpr(
+        "concat('v', vec_id) AS vec_id", "embedding")
+    basep = str(tmp_path / "sbase")
+    base.write.parquet(basep)
+    root = str(tmp_path / "stridx")
+    rc, _ = _run(capsys, "--root", root, "--build", basep,
+                 "--n-centroids", "8")
+    assert rc == 0
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    inc = spark.read.parquet(str(emb_paths / "inc")).selectExpr(
+        "concat('v', vec_id) AS vec_id", "embedding")
+    inc.coalesce(1).write.parquet(f"{feed}/s0")
+    f = [x for x in os.listdir(f"{feed}/s0") if x.endswith(".parquet")][0]
+    os.rename(f"{feed}/s0/{f}", f"{feed}/arrive-0.parquet")
+
+    rc, out = _run(capsys, "--root", root, "--stream-admit", feed,
+                   "--checkpoint", str(tmp_path / "ckpt"),
+                   "--feed-schema", "vec_id string, embedding array<float>")
+    assert rc == 0
+    assert f"holds {inc.count()} vectors over 1 epochs" in out
+    # query ids must share the index's id type (the self-pair exclusion
+    # compares them; ANSI mode fails a string-vs-bigint cast loudly)
+    qp = str(tmp_path / "sq")
+    spark.read.parquet(str(emb_paths / "q")).selectExpr(
+        "concat('v', vec_id) AS vec_id", "embedding").write.parquet(qp)
+    rc, out = _run(capsys, "--root", root, "--search", qp,
+                   "--k", "3", "--n-probe", "2")
+    assert rc == 0 and "search: 30 result rows" in out
