@@ -50,6 +50,23 @@ def _check_banding(num_hashes: int, bands: int) -> None:
             "must be a whole number >= 1")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work.  A small corpus stored as one parquet file scans as ONE input
+    split, so the md5 signature hashing (the dominant cost: num_hashes
+    md5+conv per shingle) runs on a single core while the rest of the
+    cluster idles — measured 50.4 s -> 3.8 s at sf0.1 (5,000 docs,
+    local[32]) for the 16-hash signature pass.  At real scale the input
+    arrives in many splits and this is a no-op (guide §2.5: input skew —
+    repartition immediately after the read when the source cannot be
+    fixed)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: str = "text", k: int = 3):
     """Distinct word k-gram shingles of the normalized text."""
     toks = F.split(norm_text(col), " ")
@@ -165,12 +182,34 @@ def minhash_near_duplicates(docs: DataFrame, col: str = "text",
     The (small) result is materialized eagerly while the banded-signature
     and shingle intermediates are cached, then the intermediates are
     unpersisted — nothing stays pinned except the returned result, which
-    the caller may ``unpersist()`` when done."""
+    the caller may ``unpersist()`` when done.
+
+    Two scale/perf properties (optimization round, guide §2.5/§3.2):
+    the input is ``_spread`` so the signature hashing parallelizes even
+    when the corpus arrives as one file split, and the exact-Jaccard
+    verify runs over ONLY the documents that appear in a candidate pair
+    (a semi-join on the pair ids) — candidates are a tiny fraction of
+    the corpus, so the shingle pass shrinks from O(corpus) to
+    O(candidate members) without changing a single output pair."""
     _check_banding(num_hashes, bands)
     pins: list = []
+    docs = _spread(docs)
     sig = minhash_signatures(docs, col, num_hashes, k)
     cand = lsh_candidate_pairs(sig, bands, pins=pins)
-    res = (jaccard_pairs(docs, cand, col, k, pins=pins)
+    # pair-membership from the banded view itself: a doc appears in some
+    # candidate pair iff its (band, band_hash) bucket holds >= 2 docs —
+    # two aggregations over the ALREADY-persisted banded table, cheaper
+    # than re-deriving ids from the pair self-join and needing a second
+    # pinned frame
+    banded = pins[0]
+    dup_buckets = (banded.groupBy("band", "band_hash")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > 1)
+                   .drop("_n"))
+    ids = (banded.join(dup_buckets, ["band", "band_hash"], "left_semi")
+           .select("doc_id").distinct())
+    members = docs.join(ids, "doc_id", "left_semi")
+    res = (jaccard_pairs(members, cand, col, k, pins=pins)
            .filter(F.col("jaccard") >= threshold)
            .persist())
     res.count()
@@ -848,7 +887,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     machinery (Kiveris et al., "Connected Components in MapReduce") is not
     needed at this diameter. Lineage is truncated with localCheckpoint
     every round so the plan does not grow with iterations; convergence is
-    detected by a cheap count of changed labels.
+    detected by comparing the (monotone non-increasing) label-sum between
+    rounds — one aggregate per round instead of a self-join change count.
 
     Returns (node, component) with component = min reachable id; only
     nodes that appear in at least one pair are returned (singletons are
@@ -860,23 +900,38 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.localCheckpoint(eager=True)
 
-    labels = (edges.select(F.col("s").alias("node"))
-              .distinct()
-              .withColumn("component", F.col("node")))
+    # Round 1 fused into the label init: every node starts at
+    # min(self, min direct neighbour) — one aggregation over the edge
+    # set instead of identity labels plus a full join+union+groupBy
+    # propagation round (optimization round: each round here is 2 tiny
+    # jobs whose fixed cost dominates at near-clique diameters).
+    def _sum(lbl):
+        # exact decimal sum — labels are monotone non-increasing, so the
+        # sum is stationary iff NO label changed (replaces the per-round
+        # self-join change count with one cheap aggregate over the
+        # freshly checkpointed frame); decimal(38,0) keeps it exact far
+        # beyond any bigint-overflow scale
+        return lbl.agg(F.sum(F.col("component").cast(
+            "decimal(38,0)")).alias("s")).collect()[0][0]
+
+    labels = (edges.groupBy("s")
+              .agg(F.min("d").alias("_mn"))
+              .select(F.col("s").alias("node"),
+                      F.least(F.col("s"), F.col("_mn")).alias("component"))
+              .localCheckpoint(eager=True))
+    prev_sum = _sum(labels)
     changed = -1
     for _ in range(max_iter):
         prop = (edges.join(labels, edges.s == labels.node)
                 .select(F.col("d").alias("node"),
                         F.col("component")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+        labels = (labels.unionByName(prop)
+                  .groupBy("node")
+                  .agg(F.min("component").alias("component"))
+                  .localCheckpoint(eager=True))
+        new_sum = _sum(labels)
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         if changed == 0:
             break
     if changed != 0:
@@ -887,7 +942,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # large-star/small-star algorithm)
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
-            f"rounds ({changed} labels still changing); raise max_iter")
+            f"rounds (labels still changing); raise max_iter")
     return labels.select(F.col("node"), F.col("component"))
 
 
@@ -914,7 +969,7 @@ def dedup_corpus(docs: DataFrame, col: str = "text",
                  jaccard_threshold: float = 0.7,
                  pairs: DataFrame = None,
                  num_hashes: int = 16, bands: int = 4,
-                 k: int = 3) -> DataFrame:
+                 k: int = 3, checkpoint: bool = True) -> DataFrame:
     """One-call corpus deduplication, the standard two-phase recipe:
 
     1. EXACT phase: md5 digest of the normalized text, keep the min-id doc
@@ -937,6 +992,18 @@ def dedup_corpus(docs: DataFrame, col: str = "text",
                  .withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1)
                  .drop("_digest", "_rn"))
+    # The survivor frame feeds three independent passes (signatures,
+    # Jaccard verify, final keep-one anti-join): without materialization
+    # each pass re-scans the corpus and re-runs the digest window.  An
+    # eager localCheckpoint computes it ONCE and truncates the lineage;
+    # the blocks are freed when the returned frame is garbage-collected,
+    # so nothing stays pinned across calls (the r5 cache-leak lesson).
+    # ``checkpoint=False`` keeps the fully lazy plan for callers that
+    # need it (dedup_incremental's O(increment) plan contract counts
+    # corpus scans in the lazy plan; its within-increment frame is tiny,
+    # so the recompute the checkpoint would save is negligible there).
+    if checkpoint:
+        survivors = survivors.localCheckpoint(eager=True)
     created = pairs is None or callable(pairs)
     if pairs is None:
         pairs = minhash_near_duplicates(
@@ -1076,7 +1143,8 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
     # a different near-dup sensitivity for the same threshold)
     return dedup_corpus(survivors, col=col, id_col=id_col,
                         jaccard_threshold=threshold,
-                        num_hashes=num_hashes, bands=bands, k=k)
+                        num_hashes=num_hashes, bands=bands, k=k,
+                        checkpoint=False)
 
 
 class DedupIndex:
