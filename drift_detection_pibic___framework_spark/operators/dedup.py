@@ -905,33 +905,46 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # set instead of identity labels plus a full join+union+groupBy
     # propagation round (optimization round: each round here is 2 tiny
     # jobs whose fixed cost dominates at near-clique diameters).
-    def _sum(lbl):
-        # exact decimal sum — labels are monotone non-increasing, so the
-        # sum is stationary iff NO label changed (replaces the per-round
-        # self-join change count with one cheap aggregate over the
-        # freshly checkpointed frame); decimal(38,0) keeps it exact far
-        # beyond any bigint-overflow scale
-        return lbl.agg(F.sum(F.col("component").cast(
-            "decimal(38,0)")).alias("s")).collect()[0][0]
-
     labels = (edges.groupBy("s")
               .agg(F.min("d").alias("_mn"))
               .select(F.col("s").alias("node"),
                       F.least(F.col("s"), F.col("_mn")).alias("component"))
               .localCheckpoint(eager=True))
-    prev_sum = _sum(labels)
+
+    # Convergence detection: labels are monotone non-increasing, so for
+    # NUMERIC node ids an exact decimal(38,0) sum of the labels is
+    # stationary iff no label changed — one cheap aggregate over the
+    # freshly checkpointed frame instead of a per-round self-join change
+    # count.  Non-numeric ids (string clip ids in the audio curation
+    # path) have no exact monotone scalar; they keep the join count.
+    from pyspark.sql.types import NumericType
+    numeric_ids = isinstance(labels.schema["component"].dataType,
+                             NumericType)
+
+    def _sum(lbl):
+        return lbl.agg(F.sum(F.col("component").cast(
+            "decimal(38,0)")).alias("s")).collect()[0][0]
+
+    prev_sum = _sum(labels) if numeric_ids else None
     changed = -1
     for _ in range(max_iter):
         prop = (edges.join(labels, edges.s == labels.node)
                 .select(F.col("d").alias("node"),
                         F.col("component")))
-        labels = (labels.unionByName(prop)
-                  .groupBy("node")
-                  .agg(F.min("component").alias("component"))
-                  .localCheckpoint(eager=True))
-        new_sum = _sum(labels)
-        changed = 0 if new_sum == prev_sum else 1
-        prev_sum = new_sum
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint(eager=True))
+        if numeric_ids:
+            new_sum = _sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.col("n.component") != F.col("o.component"))
+                       .count())
+        labels = new_labels
         if changed == 0:
             break
     if changed != 0:

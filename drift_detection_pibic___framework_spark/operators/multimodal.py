@@ -144,15 +144,20 @@ def audio_features(clips: DataFrame,
     bounded 1,024-row sub-chunks so the scratch high-water stays
     ~25-50 MB/worker — full-batch scratch paid tens of seconds of
     first-touch page faults per fresh worker (same fix as the invariant
-    kernel, VERDICT r2 wrong #1)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    kernel, VERDICT r2 wrong #1).
+
+    Optimization round: the boundary is ``mapInArrow`` — payloads are
+    decoded from views over the record batch's contiguous binary buffer
+    (no per-row bytes objects, no pandas conversion copy on either
+    side); the math core is unchanged (guide §4.1/§4.2)."""
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_features(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], store_rate)
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_features(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS), store_rate)
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_FEATURE_SCHEMA)
 
 
 #: rows per vectorized sub-chunk (see audio_features docstring).
@@ -200,18 +205,10 @@ def _decode_rows(b: pd.DataFrame):
     return flat, starts, ns, total
 
 
-def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "n_samples": pd.Series(dtype=np.int32),
-            "rms": pd.Series(dtype=np.float64),
-            "zcr": pd.Series(dtype=np.float64),
-            "spectral_centroid_hz": pd.Series(dtype=np.float64)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_features(batch, store_rate: int):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     # rms: sum of squares per clip (squares into scratch)
     sq = _scratch("sq", total, np.float64)
     np.multiply(flat, flat, out=sq)
@@ -267,13 +264,14 @@ def _chunk_audio_features(b: pd.DataFrame, store_rate: int) -> pd.DataFrame:
             den += np.bincount(cof, weights=mag.sum(axis=1),
                                minlength=n)
     cent = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_samples": ns.astype(np.int32), "rms": np.round(rms, 6),
-        "zcr": np.round(zcr, 6),
-        "spectral_centroid_hz": np.round(cent, 3)})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(ns.astype(np.int32)),
+            pa.array(np.round(rms, 6)),
+            pa.array(np.round(zcr, 6)),
+            pa.array(np.round(cent, 3))],
+        names=["rid", "clip_id", "part", "n_samples", "rms", "zcr",
+               "spectral_centroid_hz"])
 
 
 AUDIO_QUALITY_SCHEMA = ("rid long, clip_id string, part int, "
@@ -355,33 +353,24 @@ def audio_band_energy(clips: DataFrame,
     put — the audio analog of the metadata PSI gates, computed once at
     ingest alongside the other audio kernels.
 
-    Same execution discipline as audio_features: mapInPandas over
+    Same execution discipline as audio_features: mapInArrow over
     (ids, bytes, codec) only, 1,024-row sub-chunks, scratch-pool decode
     and fixed-size rFFT chunks (see audio_features docstring for why
     this is the shape that survives 100 TB)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_band_energy(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], store_rate)
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_band_energy(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS), store_rate)
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_BAND_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_BAND_SCHEMA)
 
 
-def _chunk_audio_band_energy(b: pd.DataFrame,
-                             store_rate: int) -> pd.DataFrame:
-    n = len(b)
-    cols = {f"band_frac_{j}": pd.Series(dtype=np.float64)
-            for j in range(N_BANDS)}
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32), **cols,
-            "spectral_flatness": pd.Series(dtype=np.float64),
-            "rolloff_hz": pd.Series(dtype=np.float64)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_band_energy(batch, store_rate: int):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     L = CENTROID_FRAME_LEN
     nf = ns // L
     total_frames = int(nf.sum())
@@ -443,14 +432,15 @@ def _chunk_audio_band_energy(b: pd.DataFrame,
     fracs[tot <= 0] = 0.0
     flatness = np.where(nf > 0, fl_sum / np.maximum(nf, 1), 0.0)
     rolloff = np.where(nf > 0, ro_sum / np.maximum(nf, 1), 0.0)
-    out = {"rid": b["rid"].to_numpy(),
-           "clip_id": b["clip_id"].to_numpy(),
-           "part": b["part"].to_numpy()}
+    arrays = _arrow_ids(batch)
+    names = ["rid", "clip_id", "part"]
     for j in range(N_BANDS):
-        out[f"band_frac_{j}"] = np.round(fracs[:, j], 6)
-    out["spectral_flatness"] = np.round(flatness, 6)
-    out["rolloff_hz"] = np.round(rolloff, 3)
-    return pd.DataFrame(out)
+        arrays.append(pa.array(np.round(fracs[:, j], 6)))
+        names.append(f"band_frac_{j}")
+    arrays += [pa.array(np.round(flatness, 6)),
+               pa.array(np.round(rolloff, 3))]
+    names += ["spectral_flatness", "rolloff_hz"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def audio_quality_reference(pcm: np.ndarray) -> tuple:
@@ -1119,37 +1109,125 @@ def audio_standardize(clips: DataFrame, target_rate: int,
     references — the parity test composes them per row and requires
     byte-exact agreement).
 
-    Same execution shape as every audio kernel here: mapInPandas over
-    pruned columns, 1,024-row sub-chunks, scratch-pool buffers, all math
-    vectorized across the chunk's flat sample vector."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Execution shape (optimization round): mapInArrow over pruned columns,
+    1,024-row sub-chunks, scratch-pool buffers, all math vectorized
+    across the chunk's flat sample vector.  This is the one audio kernel
+    that RETURNS a payload column, so the Python boundary is crossed with
+    Arrow record batches directly (guide §4.1/§4.2): the input payloads
+    are decoded from views over the batch's contiguous binary buffer (no
+    per-row bytes objects, no pandas conversion copy) and the output
+    payload column is ONE data buffer plus an offsets array
+    (``pa.Array.from_buffers``) instead of 1,024 per-row byte slices
+    re-assembled through pandas.  The numeric math is shared with the
+    mapInPandas-era kernel via ``_standardize_core`` — byte-exact parity
+    with the composed per-row references is pinned in tests."""
+    import pyarrow as pa
+
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_standardize(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS],
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_standardize(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS),
                     store_rate, target_rate, target_dbfs)
+        # mapInArrow tolerates an empty generator; no empty-batch sentinel
+        # needed (schema comes from the declared DDL)
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_STANDARDIZE_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_STANDARDIZE_SCHEMA)
 
 
-def _chunk_audio_standardize(b: pd.DataFrame, store_rate: int,
-                             target_rate: int, target_dbfs: float
-                             ) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "n_in": pd.Series(dtype=np.int32),
-            "n_out": pd.Series(dtype=np.int32),
-            "lead_trim_ms": pd.Series(dtype=np.float64),
-            "trail_trim_ms": pd.Series(dtype=np.float64),
-            "gain_db": pd.Series(dtype=np.float64),
-            "limited": pd.Series(dtype=np.bool_),
-            "bytes": pd.Series(dtype=object)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_bin_view(col):
+    """(data, offsets) numpy views over a (possibly sliced) pyarrow
+    binary array: row i's payload is ``data[off[i]:off[i+1]]``.  Zero
+    copies — both arrays alias the Arrow buffers."""
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[col.offset:
+                                           col.offset + len(col) + 1]
+    data = (np.frombuffer(bufs[2], np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    return data, off
+
+
+def _arrow_ids(batch) -> list:
+    """Passthrough id columns (rid, clip_id, part) of a record-batch
+    slice, cast to the kernels' declared output types (a caller frame may
+    carry part as int64; the casts are no-ops when already right)."""
+    import pyarrow as pa
+    names = batch.schema.names
+    return [batch.column(names.index("rid")).cast(pa.int64()),
+            batch.column(names.index("clip_id")).cast(pa.string()),
+            batch.column(names.index("part")).cast(pa.int32())]
+
+
+def _decode_arrow(batch):
+    """Arrow-native twin of _decode_rows: decode a record-batch slice's
+    payloads INTO the flat scratch signal from buffer views.  Same
+    conventions (undecodable/empty rows occupy one zero sample); returns
+    (flat, starts, ns, total)."""
+    n = batch.num_rows
+    data, off = _arrow_bin_view(batch.column(batch.schema.names.index(
+        "bytes")))
+    codecs = batch.column(batch.schema.names.index(
+        "codec")).to_numpy(zero_copy_only=False)
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    w = np.where(np.isin(codecs, ("mulaw", "alaw")), 1, 2)
+    ns = np.maximum(lens // w, 1)
+    total = int(ns.sum())
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(ns[:-1], out=starts[1:])
+    flat = _scratch("flat", total, np.float64)
+    for i in range(n):
+        v = flat[starts[i]:starts[i] + ns[i]]
+        o0, c = off[i], codecs[i]
+        try:
+            if c in ("mulaw", "alaw"):
+                np.take(_decode_lut(c), data[o0:o0 + ns[i]], out=v)
+            elif lens[i] >= 2 * ns[i]:
+                np.divide(data[o0:o0 + 2 * ns[i]].view("<i2"), 32767.0,
+                          out=v)
+            else:          # zero/odd-length payload
+                v[:] = 0.0
+        except (ValueError, TypeError):
+            v[:] = 0.0
+    return flat, starts, ns, total
+
+
+def _arrow_chunk_audio_standardize(batch, store_rate: int,
+                                   target_rate: int, target_dbfs: float):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
+    (n_out, out_starts, lead, trail, gain, limited, enc
+     ) = _standardize_core(flat, starts, ns, total, store_rate,
+                           target_rate, target_dbfs)
+    off = np.empty(n + 1, dtype=np.int32)
+    off[0] = 0
+    off[1:] = np.cumsum(n_out * 2).astype(np.int32)
+    payload = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(enc)],
+        null_count=0)
+    return pa.RecordBatch.from_arrays(_arrow_ids(batch) + [
+        pa.array(ns.astype(np.int32)),
+        pa.array(n_out.astype(np.int32)),
+        pa.array(np.round(lead, 3)),
+        pa.array(np.round(trail, 3)),
+        pa.array(np.round(20.0 * np.log10(gain), 4)),
+        pa.array(limited),
+        payload,
+    ], names=["rid", "clip_id", "part", "n_in", "n_out", "lead_trim_ms",
+              "trail_trim_ms", "gain_db", "limited", "bytes"])
+
+
+def _standardize_core(flat, starts, ns, total, store_rate: int,
+                      target_rate: int, target_dbfs: float) -> tuple:
+    """The numeric trim -> resample -> gain pipeline over a decoded flat
+    signal (shared by the Arrow kernel and the per-row parity path).
+    Returns (n_out, out_starts, lead, trail, gain, limited, enc) where
+    ``enc`` is the concatenated s16le payload and row i's slice is
+    ``enc[out_starts[i]*2 : (out_starts[i]+n_out[i])*2]``."""
+    n = len(ns)
 
     # --- stage 1: trim bounds (audio_trim_offsets math; silent rows
     # keep their full span)
@@ -1211,20 +1289,7 @@ def _chunk_audio_standardize(b: pd.DataFrame, store_rate: int,
     out *= np.repeat(gain, n_out)
 
     enc = audio.pcm_s16le_encode(audio.float_to_int16(out))
-    oe = (out_starts + n_out) * 2
-    ob = out_starts * 2
-    payloads = [enc[ob[i]:oe[i]] for i in range(n)]
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_in": ns.astype(np.int32),
-        "n_out": n_out.astype(np.int32),
-        "lead_trim_ms": np.round(lead, 3),
-        "trail_trim_ms": np.round(trail, 3),
-        "gain_db": np.round(20.0 * np.log10(gain), 4),
-        "limited": limited,
-        "bytes": payloads})
+    return n_out, out_starts, lead, trail, gain, limited, enc
 
 
 # =========================================================================
@@ -1485,35 +1550,28 @@ def audio_dropouts(clips: DataFrame,
     mute IS a dropout); the leading/trailing silence case is owned by
     audio_trim_offsets.
 
-    Execution shape: same discipline as audio_quality — mapInPandas over
-    pruned columns, 1,024-row sub-chunks, scratch-pooled buffers.  Run
-    detection is fully vectorized ACROSS rows: one not-equal pass over
-    the flat decoded buffer, row boundaries forced to run starts, then
-    per-row folds ride ``reduceat`` over the run-length array (rows are
-    contiguous in run order, and _decode_rows guarantees ns >= 1 so the
-    reduceat index vector is strictly valid)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    Execution shape: same discipline as the other audio kernels —
+    mapInArrow over pruned columns, 1,024-row sub-chunks, scratch-pooled
+    buffers.  Run detection is fully vectorized ACROSS rows: one
+    not-equal pass over the flat decoded buffer, row boundaries forced
+    to run starts, then per-row folds ride ``reduceat`` over the
+    run-length array (rows are contiguous in run order, and the decode
+    convention guarantees ns >= 1 so the reduceat index vector is
+    strictly valid)."""
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_dropouts(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], min_run)
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_dropouts(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS), min_run)
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_DROPOUT_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_DROPOUT_SCHEMA)
 
 
-def _chunk_audio_dropouts(b: pd.DataFrame, min_run: int) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "n_samples": pd.Series(dtype=np.int32),
-            "max_const_run": pd.Series(dtype=np.int32),
-            "n_dropout_runs": pd.Series(dtype=np.int32),
-            "dropout_ratio": pd.Series(dtype=np.float64)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_dropouts(batch, min_run: int):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     # new-run markers: position 0 of every row, plus every sample that
     # differs from its predecessor (boundary positions forced, so a run
     # can never straddle two rows)
@@ -1529,11 +1587,11 @@ def _chunk_audio_dropouts(b: pd.DataFrame, min_run: int) -> pd.DataFrame:
     n_drop = np.add.reduceat(drop.astype(np.float64), first_run)
     drop_samples = np.add.reduceat(
         (run_lengths * drop).astype(np.float64), first_run)
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_samples": ns.astype(np.int32),
-        "max_const_run": max_run.astype(np.int32),
-        "n_dropout_runs": n_drop.astype(np.int32),
-        "dropout_ratio": np.round(drop_samples / ns, 6)})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(ns.astype(np.int32)),
+            pa.array(max_run.astype(np.int32)),
+            pa.array(n_drop.astype(np.int32)),
+            pa.array(np.round(drop_samples / ns, 6))],
+        names=["rid", "clip_id", "part", "n_samples", "max_const_run",
+               "n_dropout_runs", "dropout_ratio"])

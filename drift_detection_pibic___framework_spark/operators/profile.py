@@ -232,28 +232,32 @@ def suggest_constraints(df: DataFrame, cols: list = None,
     rows = prof.collect()            # O(n_columns) — bounded by contract
     low = [r.column for r in rows
            if r.n_distinct is not None and r.n_distinct <= max_domain]
-    domains = {}
-    if low:
-        drow = df.agg(*[
-            F.sort_array(F.collect_set(F.col(c).cast("string"))).alias(c)
-            for c in low]).collect()[0]
-        domains = {c: list(drow[c]) for c in low}
     # unique rule under APPROX counts: HLL can under/over-shoot, so a
     # `approx == n_rows` test both misses real keys and blesses near-keys.
     # Screen candidates at 90% of n_rows (beyond HLL++ default error),
-    # then verify EXACTLY in one restricted extra pass — at scale that is
-    # one count_distinct per candidate key column, not per column.
-    unique_ok = {}
+    # then verify EXACTLY — at scale that is one count_distinct per
+    # candidate key column, not per column.
+    cand = []
     if not exact_distinct:
         cand = [r.column for r in rows
                 if r.n_rows and r.n_nonnull == r.n_rows
                 and r.n_distinct is not None
                 and r.n_distinct >= 0.9 * r.n_rows]
-        if cand:
-            urow = df.agg(*[F.count_distinct(F.col(c)).alias(c)
-                            for c in cand]).collect()[0]
-            n = rows[0].n_rows
-            unique_ok = {c: urow[c] == n for c in cand}
+    # the domain collection and the exact-unique verification are
+    # independent restricted aggregations over the same table: run them
+    # as ONE aggregation pass (one scan, one job) instead of two
+    # (optimization round, guide §1.2 — don't pay two full passes where
+    # one computes both)
+    domains, unique_ok = {}, {}
+    if low or cand:
+        aggs = [F.sort_array(F.collect_set(F.col(c).cast("string")))
+                .alias(f"_dom_{c}") for c in low]
+        aggs += [F.count_distinct(F.col(c)).alias(f"_uniq_{c}")
+                 for c in cand]
+        row2 = df.agg(*aggs).collect()[0]
+        domains = {c: list(row2[f"_dom_{c}"]) for c in low}
+        n = rows[0].n_rows
+        unique_ok = {c: row2[f"_uniq_{c}"] == n for c in cand}
     data = []
     for r in rows:
         for constraint, params in _rules(r, domains.get(r.column),

@@ -36,8 +36,15 @@ def partition_column_stats(clips: DataFrame,
                            quantiles=QUANTILES,
                            round_to: int = 6) -> DataFrame:
     """One row per partition: count + per-column null-rate/mean/stddev/min/
-    max/approx-quantiles. Single agg — single shuffle, map-side partials."""
+    max/approx-quantiles. Single agg — single shuffle, map-side partials.
+
+    All quantiles of a column come from ONE percentile_approx sketch
+    evaluated at every probability (optimization round): one GK digest
+    per column instead of one per (column, quantile) — a fifth of the
+    sketch build/merge work for identical values (the digest is built
+    from the same inputs in the same order either way)."""
     aggs = [F.count(F.lit(1)).alias("row_count")]
+    qlist = list(quantiles)
     for c in numeric_cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
@@ -46,15 +53,25 @@ def partition_column_stats(clips: DataFrame,
             F.min(c).alias(f"{c}_min"),
             F.max(c).alias(f"{c}_max"),
         ]
-        for q in quantiles:
+        if qlist:
             aggs.append(
-                F.percentile_approx(c, F.lit(q), F.lit(10000))
-                .alias(f"{c}_p{int(q * 100)}"))
+                F.percentile_approx(
+                    c, F.array(*[F.lit(q) for q in qlist]), F.lit(10000))
+                .alias(f"_q_{c}"))
     for c in nullable_cols:
         aggs.append(
             F.round(F.avg(F.when(F.col(c).isNull(), 1.0).otherwise(0.0)),
                     round_to).alias(f"{c}_null_rate"))
-    return clips.groupBy("part").agg(*aggs)
+    g = clips.groupBy("part").agg(*aggs)
+    sel = [F.col("part"), F.col("row_count")]
+    for c in numeric_cols:
+        sel += [F.col(f"{c}_nulls"), F.col(f"{c}_mean"),
+                F.col(f"{c}_stddev"), F.col(f"{c}_min"), F.col(f"{c}_max")]
+        sel += [F.element_at(F.col(f"_q_{c}"), i + 1)
+                .alias(f"{c}_p{int(q * 100)}")
+                for i, q in enumerate(qlist)]
+    sel += [F.col(f"{c}_null_rate") for c in nullable_cols]
+    return g.select(*sel)
 
 
 def null_rate_verdicts(stats: DataFrame, col: str = "transcript",
