@@ -39,6 +39,19 @@ def histogram(clips: DataFrame, col: str, width: float = 100.0,
             .groupBy("part", "bin").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _histogram_once(clips: DataFrame, col: str, width: float,
+                    n_bins: int) -> DataFrame:
+    """The histogram, materialized ONCE (eager localCheckpoint).  Every
+    binned divergence derives baseline, totals and the dense grid from
+    the same (part, bin) counts; in a lazy plan that subtree appears 3x,
+    so the raw-row scan+aggregate ran three times per evaluation
+    (optimization round: drift branch 1.0 s -> the one histogram pass).
+    The checkpointed table is O(parts x bins) rows — tiny at any input
+    scale — and its blocks are freed when the frame is GC'd, so nothing
+    stays pinned across calls."""
+    return histogram(clips, col, width, n_bins).localCheckpoint(eager=True)
+
+
 def _proportions_grid(clips: DataFrame, col: str, width: float, n_bins: int,
                       baseline_parts, baseline: DataFrame) -> DataFrame:
     """Dense (part, bin) grid with partition proportion ``p``, baseline
@@ -46,7 +59,7 @@ def _proportions_grid(clips: DataFrame, col: str, width: float, n_bins: int,
     every binned divergence.  Zero bins participate identically regardless
     of which partitions are being validated (single-partition runs must
     score the same as full-table runs)."""
-    hist = histogram(clips, col, width, n_bins)
+    hist = _histogram_once(clips, col, width, n_bins)
     base_src = (histogram(baseline, col, width, n_bins)
                 if baseline is not None else hist)
     base = (base_src.filter(F.col("part").isin(list(baseline_parts)))
@@ -146,7 +159,7 @@ def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
     ``baseline`` lets the caller source the baseline window from a different
     DataFrame than the partitions under check (single-partition validation
     still compares against the designated baseline partitions on disk)."""
-    hist = histogram(clips, col, width, n_bins)
+    hist = _histogram_once(clips, col, width, n_bins)
     base_src = histogram(baseline, col, width, n_bins) if baseline is not None else hist
     base = (base_src.filter(F.col("part").isin(list(baseline_parts)))
             .groupBy("bin").agg(F.sum("cnt").alias("bcnt")))
