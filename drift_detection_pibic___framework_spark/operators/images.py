@@ -83,6 +83,12 @@ def decode_pnm(buf: bytes) -> np.ndarray:
         raise ValueError(f"not a binary PNM: magic {magic!r}")
     (w, h, maxval), off = _pnm_tokens(buf, 3)
     w, h, maxval = int(w), int(h), int(maxval)
+    if w <= 0 or h <= 0:
+        # zero dims decode to an empty array that crashes downstream
+        # kernels (reduceat on empty); negative dims silently mis-decode
+        # through numpy's -1 reshape inference (ADVICE r5) — fail loud,
+        # mirroring decode_bmp's dimension check
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise ValueError(f"only 8-bit PNM supported (maxval {maxval})")
     ch = 3 if magic == b"P6" else 1
@@ -347,7 +353,9 @@ def image_features(images: DataFrame, id_col: str = "img_id",
             for i in range(n):
                 try:
                     a = decode_any(bytes(bufs[i]), str(fmts[i]))
-                except (NotImplementedError, ValueError, TypeError):
+                except (NotImplementedError, ValueError, TypeError,
+                        IndexError):   # defense in depth: one corrupt
+                    #                    row must never kill the job
                     continue
                 w, h, c, m, s = image_features_reference(a)
                 wid[i], hei[i], cha[i] = w, h, c
@@ -403,7 +411,9 @@ def image_thumbnails(images: DataFrame, size: int = 8,
                     g = resize_area(to_luma(a), size, size)
                     thumbs.append(encode_pgm(
                         np.clip(np.round(g), 0, 255).astype(np.uint8)))
-                except (NotImplementedError, ValueError, TypeError):
+                except (NotImplementedError, ValueError, TypeError,
+                        IndexError):   # defense in depth: one corrupt
+                    #                    row must never kill the job
                     thumbs.append(None)
             yield pd.DataFrame({"img_id": b[id_col].astype(str),
                                 "thumb": pd.Series(thumbs, dtype=object)})

@@ -241,13 +241,16 @@ def main() -> int:
         # vacuous run over an empty/fully-processed feed) — report the
         # sink TOTAL, in one aggregation pass, without crashing on a
         # zero-epoch stream
-        try:
+        if os.path.exists(out):
+            # any OTHER failure (permissions, corruption, schema) must
+            # propagate — a bare except here reported real errors as
+            # "sink holds 0 vectors" (ADVICE r5)
             agg = (spark.read.parquet(out)
                    .agg(F.count(F.lit(1)).alias("n"),
                         F.countDistinct("epoch").alias("epochs"))
                    .collect()[0])
             n, epochs = agg["n"], agg["epochs"]
-        except Exception:
+        else:           # vacuous run over an empty/fully-processed feed
             n = epochs = 0
         print(f"stream-admit: sink {out} holds {n} vectors over "
               f"{epochs} epochs (cumulative across runs)")

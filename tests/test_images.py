@@ -66,6 +66,9 @@ def test_pnm_header_comments():
     b"P6\n4 3\n65535\n" + b"\x00" * 72,       # 16-bit maxval
     b"P6\n4 3\n255\n\x00\x00",                # short raster
     b"P6\n4",                                 # truncated header
+    b"P6\n0 1\n255\n",                        # zero width (ADVICE r5)
+    b"P6\n-1 3\n255\n" + b"\x00" * 27,        # negative width (ADVICE r5)
+    b"P5\n3 0\n255\n",                        # zero height
 ])
 def test_pnm_malformed_is_loud(bad):
     with pytest.raises(ValueError):

@@ -121,6 +121,44 @@ def test_simhash_candidate_recall_guaranteed(spark, docs):
         dedup.simhash_near_duplicates(d, max_hamming=64)
 
 
+def test_spread_parallelizes_narrow_scans(spark, docs):
+    """_spread (optimization r6) must repartition a sub-parallelism input
+    up to the cluster's default parallelism — a one-file corpus otherwise
+    runs the whole md5 signature pass on one core — and must be a no-op
+    on an input that is already spread (no gratuitous shuffle)."""
+    one = docs.limit(20).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    spread = dedup._spread(one)
+    assert (spread.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+    wide = docs.limit(20).repartition(
+        spark.sparkContext.defaultParallelism)
+    assert dedup._spread(wide) is wide
+
+
+def test_minhash_restriction_changes_no_pairs(spark, docs):
+    """The candidate-member semi-join restriction (optimization r6) must
+    not change a single output pair: the verify phase sees every doc that
+    appears in a candidate pair, so the pair set is identical to the
+    unrestricted pipeline's (cross-checked against direct all-pairs
+    Jaccard over the same docs at the same threshold)."""
+    d = docs.limit(40)
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup.minhash_near_duplicates(
+               d, threshold=0.2, num_hashes=16, bands=8).collect()}
+    ids = d.select("doc_id")
+    allp = (ids.alias("a").crossJoin(ids.alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b")))
+    want = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.jaccard_pairs(d, allp)
+            .filter("jaccard >= 0.2").collect()}
+    # LSH may miss pairs below its recall curve but must never invent
+    # one; on this fixture at 16x8 banding recall is total
+    assert got == want
+
+
 def test_minhash_pipeline_releases_caches(spark, docs):
     """minhash_near_duplicates must not leave intermediate caches pinned:
     only the returned (small) result is cached, and unpersisting it drops
