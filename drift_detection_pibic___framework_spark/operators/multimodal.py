@@ -1,5 +1,5 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata,
-processed as Arrow batches via ``mapInPandas``.
+processed as Arrow batches via ``mapInArrow``.
 
 Audio is REAL in this engine (G.711/PCM decode in functions/audio.py — it is
 the north-rule payload).  Image/video decode libraries are not in this
@@ -162,47 +162,6 @@ def audio_features(clips: DataFrame,
 
 #: rows per vectorized sub-chunk (see audio_features docstring).
 _AUDIO_CHUNK_ROWS = 1024
-
-
-def _decode_rows(b: pd.DataFrame):
-    """Decode a chunk's payloads INTO the flat scratch signal (one view per
-    row, zero temporaries).  Returns (flat, starts, ns, total); the flat
-    buffer is a scratch view valid until the next _scratch('flat', ...).
-
-    Convention shared by EVERY kernel built on this: an empty or
-    undecodable payload occupies ONE zero sample (``ns = max(len//w, 1)``)
-    — never zero — so downstream ``reduceat`` index vectors stay strictly
-    valid and such a clip reads as n_samples=1 with one length-1 run
-    (e.g. audio_dropouts reports (1, 1, 0, 0.0) for it; the pure-numpy
-    per-row references mirror the same fallback)."""
-    n = len(b)
-    bufs = b["bytes"].to_numpy()
-    codecs = b["codec"].to_numpy()
-    ns = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        w = 1 if codecs[i] in ("mulaw", "alaw") else 2
-        ns[i] = max(len(bufs[i]) // w, 1)
-    total = int(ns.sum())
-    starts = np.empty(n, dtype=np.int64)
-    starts[0] = 0
-    np.cumsum(ns[:-1], out=starts[1:])
-    flat = _scratch("flat", total, np.float64)
-    for i in range(n):
-        v = flat[starts[i]:starts[i] + ns[i]]
-        buf, c = bufs[i], codecs[i]
-        try:
-            if c in ("mulaw", "alaw"):
-                np.take(_decode_lut(c),
-                        np.frombuffer(buf, np.uint8, count=ns[i]),
-                        out=v)
-            elif len(buf) >= 2 * ns[i]:
-                np.divide(np.frombuffer(buf, "<i2", count=ns[i]),
-                          32767.0, out=v)
-            else:          # zero/odd-length payload
-                v[:] = 0.0
-        except (ValueError, TypeError):
-            v[:] = 0.0
-    return flat, starts, ns, total
 
 
 def _arrow_chunk_audio_features(batch, store_rate: int):
@@ -462,33 +421,24 @@ def audio_quality(clips: DataFrame) -> DataFrame:
     mostly silence, digitally clipped, or mastered far below the corpus
     loudness target before they enter a training mix.
 
-    Same execution shape as audio_features: mapInPandas over pruned
+    Same execution shape as audio_features: mapInArrow over pruned
     columns, 1,024-row sub-chunks, every full-signal array in the
     per-worker scratch pool (see audio_features for why that discipline
     is what keeps the kernel memory-bandwidth-bound at 100 TB)."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_quality(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_quality(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS))
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_QUALITY_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_QUALITY_SCHEMA)
 
 
-def _chunk_audio_quality(b: pd.DataFrame) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "n_samples": pd.Series(dtype=np.int32),
-            "peak": pd.Series(dtype=np.float64),
-            "rms_dbfs": pd.Series(dtype=np.float64),
-            "silence_ratio": pd.Series(dtype=np.float64),
-            "clip_ratio": pd.Series(dtype=np.float64)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_quality(batch):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     ab = _scratch("qabs", total, np.float64)
     np.absolute(flat, out=ab)
     peak = np.maximum.reduceat(ab, starts)
@@ -509,15 +459,15 @@ def _chunk_audio_quality(b: pd.DataFrame) -> pd.DataFrame:
     np.greater_equal(ab, CLIP_THRESHOLD, out=fb)
     flags[:] = fb
     clipr = np.add.reduceat(flags, starts) / ns
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_samples": ns.astype(np.int32),
-        "peak": np.round(peak, 6),
-        "rms_dbfs": np.round(dbfs, 4),
-        "silence_ratio": np.round(silence, 6),
-        "clip_ratio": np.round(clipr, 6)})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(ns.astype(np.int32)),
+            pa.array(np.round(peak, 6)),
+            pa.array(np.round(dbfs, 4)),
+            pa.array(np.round(silence, 6)),
+            pa.array(np.round(clipr, 6))],
+        names=["rid", "clip_id", "part", "n_samples", "peak", "rms_dbfs",
+               "silence_ratio", "clip_ratio"])
 
 
 AUDIO_TRIM_SCHEMA = ("rid long, clip_id string, part int, "
@@ -544,34 +494,25 @@ def audio_trim_offsets(clips: DataFrame) -> DataFrame:
     voiced sample (|x| >= SILENCE_THRESHOLD) and the trimmed-away edge
     durations in ms.
 
-    Same execution shape as audio_features/audio_quality: mapInPandas
+    Same execution shape as audio_features/audio_quality: mapInArrow
     over pruned columns, 1,024-row sub-chunks, scratch-pool buffers.  The
     per-row search is vectorized across the whole chunk: ONE flatnonzero
     over the flat |signal| mask + two searchsorted calls recover each
     row's first/last voiced index — no per-row Python loop."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_trim(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_trim(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS))
 
     cols = clips.select("rid", "clip_id", "part", "sr_hz", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_TRIM_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_TRIM_SCHEMA)
 
 
-def _chunk_audio_trim(b: pd.DataFrame) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "n_samples": pd.Series(dtype=np.int32),
-            "trim_start": pd.Series(dtype=np.int32),
-            "trim_end": pd.Series(dtype=np.int32),
-            "lead_ms": pd.Series(dtype=np.float64),
-            "trail_ms": pd.Series(dtype=np.float64)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_trim(batch):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     ab = _scratch("tabs", total, np.float64)
     np.absolute(flat, out=ab)
     voiced = np.flatnonzero(ab >= SILENCE_THRESHOLD)
@@ -583,18 +524,19 @@ def _chunk_audio_trim(b: pd.DataFrame) -> pd.DataFrame:
     trim_e = np.zeros(n, dtype=np.int64)
     trim_s[has] = voiced[lo_i[has]] - starts[has]
     trim_e[has] = voiced[hi_i[has] - 1] + 1 - starts[has]
-    sr = b["sr_hz"].to_numpy().astype(np.float64)
+    sr = batch.column(batch.schema.names.index("sr_hz")) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
     lead = np.where(has, trim_s, ns) / sr * 1000.0
     trail = np.where(has, ns - trim_e, 0) / sr * 1000.0
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_samples": ns.astype(np.int32),
-        "trim_start": trim_s.astype(np.int32),
-        "trim_end": trim_e.astype(np.int32),
-        "lead_ms": np.round(lead, 3),
-        "trail_ms": np.round(trail, 3)})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(ns.astype(np.int32)),
+            pa.array(trim_s.astype(np.int32)),
+            pa.array(trim_e.astype(np.int32)),
+            pa.array(np.round(lead, 3)),
+            pa.array(np.round(trail, 3))],
+        names=["rid", "clip_id", "part", "n_samples", "trim_start",
+               "trim_end", "lead_ms", "trail_ms"])
 
 
 AUDIO_SEGMENT_SCHEMA = ("rid long, clip_id string, part int, "
@@ -650,34 +592,21 @@ def audio_segments(clips: DataFrame) -> DataFrame:
     monitors scalar error streams, /root/reference/fluxo/
     StreamProcessor.py); this operator exists for the audio payload of
     the north_rule (graft axes A+B)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_segments(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_segments(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS))
 
     cols = clips.select("rid", "clip_id", "part", "sr_hz", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_SEGMENT_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_SEGMENT_SCHEMA)
 
 
-def _empty_segments() -> pd.DataFrame:
-    return pd.DataFrame({
-        "rid": pd.Series(dtype=np.int64),
-        "clip_id": pd.Series(dtype=object),
-        "part": pd.Series(dtype=np.int32),
-        "n_frames": pd.Series(dtype=np.int32),
-        "voiced_frames": pd.Series(dtype=np.int32),
-        "n_segments": pd.Series(dtype=np.int32),
-        "speech_ratio": pd.Series(dtype=np.float64),
-        "longest_ms": pd.Series(dtype=np.float64)})
-
-
-def _chunk_audio_segments(b: pd.DataFrame) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return _empty_segments()
+def _arrow_chunk_audio_segments(batch):
+    import pyarrow as pa
+    n = batch.num_rows
     L = SEG_FRAME_LEN
-    flat, starts, ns, total = _decode_rows(b)
+    flat, starts, ns, total = _decode_arrow(batch)
     k = ns // L                           # frames per row (tail ignored)
     tf = int(k.sum())
     nseg = np.zeros(n, dtype=np.int64)
@@ -712,17 +641,18 @@ def _chunk_audio_segments(b: pd.DataFrame) -> pd.DataFrame:
         run_row = np.searchsorted(off, rp, side="right") - 1
         nseg = np.bincount(run_row, minlength=n).astype(np.int64)
         np.maximum.at(longest, run_row, fp - rp)
-    sr = b["sr_hz"].to_numpy().astype(np.float64)
+    sr = batch.column(batch.schema.names.index("sr_hz")) \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
     ratio = np.where(k > 0, vf / np.maximum(k, 1), 0.0)
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_frames": k.astype(np.int32),
-        "voiced_frames": vf.astype(np.int32),
-        "n_segments": nseg.astype(np.int32),
-        "speech_ratio": np.round(ratio, 6),
-        "longest_ms": np.round(longest * L / sr * 1000.0, 3)})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(k.astype(np.int32)),
+            pa.array(vf.astype(np.int32)),
+            pa.array(nseg.astype(np.int32)),
+            pa.array(np.round(ratio, 6)),
+            pa.array(np.round(longest * L / sr * 1000.0, 3))],
+        names=["rid", "clip_id", "part", "n_frames", "voiced_frames",
+               "n_segments", "speech_ratio", "longest_ms"])
 
 
 AUDIO_FP_SCHEMA = "rid long, clip_id string, part int, fp long"
@@ -767,25 +697,20 @@ def audio_fingerprint(clips: DataFrame) -> DataFrame:
     (paid once, alongside the other audio kernels), after which dedup
     works on 8 bytes/clip — at 10^12 clips the near-dup join is a banded
     equi-join over ~8 TB of fingerprints, never a second audio scan."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_fingerprint(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS])
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_fingerprint(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS))
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_FP_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_FP_SCHEMA)
 
 
-def _chunk_audio_fingerprint(b: pd.DataFrame) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "fp": pd.Series(dtype=np.int64)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_fingerprint(batch):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     sq = _scratch("fpsq", total, np.float64)
     np.multiply(flat, flat, out=sq)
     cs = _scratch("fpcs", total + 1, np.float64)
@@ -801,11 +726,9 @@ def _chunk_audio_fingerprint(b: pd.DataFrame) -> pd.DataFrame:
     shifts = np.arange(FP_SEGMENTS - 1, dtype=np.uint64)
     fp = np.bitwise_or.reduce(bits << shifts[None, :], axis=1)
     fp[L == 0] = 0
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "fp": fp.view(np.int64)})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [pa.array(fp.view(np.int64))],
+        names=["rid", "clip_id", "part", "fp"])
 
 
 def audio_near_duplicates(clips: DataFrame, max_hamming: int = 4,
@@ -918,33 +841,38 @@ def audio_resample(clips: DataFrame, target_rate: int,
     with resample_reference per row, and >= 30 dB SNR against an
     analytically resampled sine (the north-rule invariant bar,
     /root/reference/README.md:1 framework scope)."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_resample(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS],
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_resample(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS),
                     store_rate, target_rate)
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_RESAMPLE_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_RESAMPLE_SCHEMA)
 
 
-def _empty_resample() -> pd.DataFrame:
-    return pd.DataFrame({
-        "rid": pd.Series(dtype=np.int64),
-        "clip_id": pd.Series(dtype=object),
-        "part": pd.Series(dtype=np.int32),
-        "n_in": pd.Series(dtype=np.int32),
-        "n_out": pd.Series(dtype=np.int32),
-        "bytes": pd.Series(dtype=object)})
+def _arrow_payload(enc: bytes, elem_starts, elem_counts):
+    """pyarrow binary array over ONE encoded s16le buffer: row i spans
+    bytes [elem_starts[i]*2, (elem_starts[i]+elem_counts[i])*2) — a new
+    offsets array over the shared data buffer, zero per-row slices
+    (guide §4.2's re-slice idiom)."""
+    import pyarrow as pa
+    n = len(elem_counts)
+    off = np.empty(n + 1, dtype=np.int32)
+    off[0] = 0
+    off[1:] = np.cumsum(elem_counts * 2).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(enc)],
+        null_count=0)
 
 
-def _chunk_audio_resample(b: pd.DataFrame, store_rate: int,
-                          target_rate: int) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return _empty_resample()
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_resample(batch, store_rate: int,
+                                target_rate: int):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     ratio = store_rate / target_rate
     n_out = np.maximum(np.round(ns * (target_rate / store_rate)), 1
                        ).astype(np.int64)
@@ -969,16 +897,12 @@ def _chunk_audio_resample(b: pd.DataFrame, store_rate: int,
     frac *= -1.0   # now (1 - frac)
     out += flat[row0 + i0] * frac
     enc = audio.pcm_s16le_encode(audio.float_to_int16(out))
-    oe = (out_starts + n_out) * 2
-    ob = out_starts * 2
-    payloads = [enc[ob[i]:oe[i]] for i in range(n)]
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "n_in": ns.astype(np.int32),
-        "n_out": n_out.astype(np.int32),
-        "bytes": payloads})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(ns.astype(np.int32)),
+            pa.array(n_out.astype(np.int32)),
+            _arrow_payload(enc, out_starts, n_out)],
+        names=["rid", "clip_id", "part", "n_in", "n_out", "bytes"])
 
 
 AUDIO_LOUDNORM_SCHEMA = ("rid long, clip_id string, part int, "
@@ -1015,30 +939,20 @@ def audio_loudness_normalize(clips: DataFrame,
     Same chunked scratch-pool shape as the other audio kernels; the
     per-row RMS/peak are reduceat folds and the gain multiply is one
     flat vector op.  Silent clips pass through at unity gain."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_loudnorm(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], target_dbfs)
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                yield _arrow_chunk_audio_loudnorm(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS), target_dbfs)
 
     cols = clips.select("rid", "clip_id", "part", "bytes", "codec")
-    return cols.mapInPandas(gen, AUDIO_LOUDNORM_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_LOUDNORM_SCHEMA)
 
 
-def _chunk_audio_loudnorm(b: pd.DataFrame, target_dbfs: float
-                          ) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return pd.DataFrame({
-            "rid": pd.Series(dtype=np.int64),
-            "clip_id": pd.Series(dtype=object),
-            "part": pd.Series(dtype=np.int32),
-            "gain_db": pd.Series(dtype=np.float64),
-            "rms_dbfs_in": pd.Series(dtype=np.float64),
-            "rms_dbfs_out": pd.Series(dtype=np.float64),
-            "limited": pd.Series(dtype=np.bool_),
-            "bytes": pd.Series(dtype=object)})
-    flat, starts, ns, total = _decode_rows(b)
+def _arrow_chunk_audio_loudnorm(batch, target_dbfs: float):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
     sq = _scratch("lnsq", total, np.float64)
     np.multiply(flat, flat, out=sq)
     rms = np.sqrt(np.add.reduceat(sq, starts) / ns)
@@ -1057,19 +971,16 @@ def _chunk_audio_loudnorm(b: pd.DataFrame, target_dbfs: float
     out = _scratch("lnout", total, np.float64)
     np.multiply(flat, np.repeat(gain, ns), out=out)
     enc = audio.pcm_s16le_encode(audio.float_to_int16(out))
-    oe = (starts + ns) * 2
-    ob = starts * 2
-    payloads = [enc[ob[i]:oe[i]] for i in range(n)]
     dbfs_out = dbfs_in + 20.0 * np.log10(gain)
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy(),
-        "clip_id": b["clip_id"].to_numpy(),
-        "part": b["part"].to_numpy(),
-        "gain_db": np.round(20.0 * np.log10(gain), 4),
-        "rms_dbfs_in": np.round(dbfs_in, 4),
-        "rms_dbfs_out": np.round(np.maximum(dbfs_out, DBFS_FLOOR), 4),
-        "limited": limited,
-        "bytes": payloads})
+    return pa.RecordBatch.from_arrays(
+        _arrow_ids(batch) + [
+            pa.array(np.round(20.0 * np.log10(gain), 4)),
+            pa.array(np.round(dbfs_in, 4)),
+            pa.array(np.round(np.maximum(dbfs_out, DBFS_FLOOR), 4)),
+            pa.array(limited),
+            _arrow_payload(enc, starts, ns)],
+        names=["rid", "clip_id", "part", "gain_db", "rms_dbfs_in",
+               "rms_dbfs_out", "limited", "bytes"])
 
 
 # ---------------------------------------------------------------------------
@@ -1160,10 +1071,15 @@ def _arrow_ids(batch) -> list:
 
 
 def _decode_arrow(batch):
-    """Arrow-native twin of _decode_rows: decode a record-batch slice's
-    payloads INTO the flat scratch signal from buffer views.  Same
-    conventions (undecodable/empty rows occupy one zero sample); returns
-    (flat, starts, ns, total)."""
+    """Decode a record-batch slice's payloads INTO the flat scratch
+    signal from views over the batch's contiguous Arrow buffers (no
+    per-row bytes objects, guide §4.2).  Convention shared by EVERY
+    kernel built on this: an empty or undecodable payload occupies ONE
+    zero sample (``ns = max(len//w, 1)``) — never zero — so downstream
+    ``reduceat`` index vectors stay strictly valid and such a clip reads
+    as n_samples=1 with one length-1 run (e.g. audio_dropouts reports
+    (1, 1, 0, 0.0) for it; the pure-numpy per-row references mirror the
+    same fallback).  Returns (flat, starts, ns, total)."""
     n = batch.num_rows
     data, off = _arrow_bin_view(batch.column(batch.schema.names.index(
         "bytes")))
@@ -1201,13 +1117,7 @@ def _arrow_chunk_audio_standardize(batch, store_rate: int,
     (n_out, out_starts, lead, trail, gain, limited, enc
      ) = _standardize_core(flat, starts, ns, total, store_rate,
                            target_rate, target_dbfs)
-    off = np.empty(n + 1, dtype=np.int32)
-    off[0] = 0
-    off[1:] = np.cumsum(n_out * 2).astype(np.int32)
-    payload = pa.Array.from_buffers(
-        pa.binary(), n,
-        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(enc)],
-        null_count=0)
+    payload = _arrow_payload(enc, out_starts, n_out)
     return pa.RecordBatch.from_arrays(_arrow_ids(batch) + [
         pa.array(ns.astype(np.int32)),
         pa.array(n_out.astype(np.int32)),
@@ -1410,38 +1320,27 @@ def audio_chunks(clips: DataFrame, store_rate: int = STORE_RATE,
     indices; no per-window decode).  Row expansion happens INSIDE the
     python worker, so the shuffle-free single stage reads each payload
     exactly once and writes only the window payloads."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         for full in batches:
-            for lo in range(0, len(full), _AUDIO_CHUNK_ROWS):
-                yield _chunk_audio_chunks(
-                    full.iloc[lo:lo + _AUDIO_CHUNK_ROWS], store_rate,
+            for lo in range(0, full.num_rows, _AUDIO_CHUNK_ROWS):
+                out = _arrow_chunk_audio_chunks(
+                    full.slice(lo, _AUDIO_CHUNK_ROWS), store_rate,
                     win_ms, hop_ms, min_tail_ms)
+                if out is not None:      # zero planned windows -> no batch
+                    yield out
 
     cols = clips.select("rid", "clip_id", "part", "dur_ms", "bytes",
                         "codec")
-    return cols.mapInPandas(gen, AUDIO_CHUNK_SCHEMA)
+    return cols.mapInArrow(gen, AUDIO_CHUNK_SCHEMA)
 
 
-def _empty_chunks() -> pd.DataFrame:
-    return pd.DataFrame({
-        "rid": pd.Series(dtype=np.int64),
-        "clip_id": pd.Series(dtype=object),
-        "part": pd.Series(dtype=np.int32),
-        "seg_idx": pd.Series(dtype=np.int32),
-        "start_ms": pd.Series(dtype=np.int32),
-        "end_ms": pd.Series(dtype=np.int32),
-        "n_samples": pd.Series(dtype=np.int32),
-        "rms": pd.Series(dtype=np.float64),
-        "bytes": pd.Series(dtype=object)})
-
-
-def _chunk_audio_chunks(b: pd.DataFrame, store_rate: int, win_ms: int,
-                        hop_ms: int, min_tail_ms: int) -> pd.DataFrame:
-    n = len(b)
-    if not n:
-        return _empty_chunks()
-    flat, starts, ns, total = _decode_rows(b)
-    dur = b["dur_ms"].to_numpy().astype(np.int64)
+def _arrow_chunk_audio_chunks(batch, store_rate: int, win_ms: int,
+                              hop_ms: int, min_tail_ms: int):
+    import pyarrow as pa
+    n = batch.num_rows
+    flat, starts, ns, total = _decode_arrow(batch)
+    dur = batch.column(batch.schema.names.index("dur_ms")) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     # windows per row (chunk_plan math, vectorized)
     n_full = np.where(dur >= win_ms, (dur - win_ms) // hop_ms + 1, 0)
     covered = np.where(n_full > 0, (n_full - 1) * hop_ms + win_ms, 0)
@@ -1449,7 +1348,7 @@ def _chunk_audio_chunks(b: pd.DataFrame, store_rate: int, win_ms: int,
     n_win = n_full + has_tail
     tw = int(n_win.sum())
     if not tw:
-        return _empty_chunks()
+        return None
     row_of = np.repeat(np.arange(n), n_win)
     first_w = np.cumsum(n_win) - n_win
     seg_idx = np.arange(tw) - first_w[row_of]
@@ -1484,19 +1383,18 @@ def _chunk_audio_chunks(b: pd.DataFrame, store_rate: int, win_ms: int,
                    np.sqrt(np.maximum(sums, 0.0) / np.maximum(w_ns, 1)),
                    0.0)
     enc = audio.pcm_s16le_encode(audio.float_to_int16(out))
-    ob = out_starts * 2
-    oe = (out_starts + w_ns) * 2
-    payloads = [enc[ob[i]:oe[i]] for i in range(tw)]
-    return pd.DataFrame({
-        "rid": b["rid"].to_numpy()[row_of],
-        "clip_id": b["clip_id"].to_numpy()[row_of],
-        "part": b["part"].to_numpy()[row_of],
-        "seg_idx": seg_idx.astype(np.int32),
-        "start_ms": s_ms.astype(np.int32),
-        "end_ms": e_ms.astype(np.int32),
-        "n_samples": w_ns.astype(np.int32),
-        "rms": np.round(rms, 6),
-        "bytes": payloads})
+    take = pa.array(row_of)
+    ids = [a.take(take) for a in _arrow_ids(batch)]
+    return pa.RecordBatch.from_arrays(
+        ids + [
+            pa.array(seg_idx.astype(np.int32)),
+            pa.array(s_ms.astype(np.int32)),
+            pa.array(e_ms.astype(np.int32)),
+            pa.array(w_ns.astype(np.int32)),
+            pa.array(np.round(rms, 6)),
+            _arrow_payload(enc, out_starts, w_ns)],
+        names=["rid", "clip_id", "part", "seg_idx", "start_ms", "end_ms",
+               "n_samples", "rms", "bytes"])
 
 
 # ---------------------------------------------------------------------------
