@@ -896,8 +896,13 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     information).
     """
     e = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # no distinct on the edge set (optimization round): every caller
+    # supplies distinct (a < b) pairs, so the two union halves are
+    # disjoint and deduped by construction — the distinct was a full
+    # extra shuffle; duplicated edges would in any case only repeat work
+    # inside the min-aggregation, never change a label
     edges = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+        e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     edges = edges.localCheckpoint(eager=True)
 
     # Round 1 fused into the label init: every node starts at
