@@ -395,6 +395,8 @@ def simhash_near_duplicates(docs: DataFrame, col: str = "text",
     BENCH/BASELINE.md SimHash A/B) instead of the SQL-oracle-checkable
     expression form; results are identical (bit-for-bit parity is
     test-pinned)."""
+    docs = _spread(docs)     # per-token md5 hashing must not run on one
+    #                          core when the corpus arrives as one split
     sh = (simhash_fold(docs, col) if use_kernel else simhash(docs, col))
     return (hamming_near_duplicates(sh, "doc_id", "simhash", max_hamming)
             .select(F.col("id_a").alias("doc_a"),

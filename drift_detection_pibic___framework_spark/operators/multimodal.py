@@ -859,6 +859,13 @@ def _arrow_payload(enc: bytes, elem_starts, elem_counts):
     (guide §4.2's re-slice idiom)."""
     import pyarrow as pa
     n = len(elem_counts)
+    total = int(elem_counts.sum()) * 2
+    if total >= 2 ** 31:
+        # a 32-bit-offset binary array would silently wrap — unreachable
+        # with the 1,024-row sub-chunks and sane clip sizes, but payload
+        # corruption must never be the failure mode
+        raise ValueError(f"payload chunk too large for int32 offsets "
+                         f"({total} bytes); lower the chunk size")
     off = np.empty(n + 1, dtype=np.int32)
     off[0] = 0
     off[1:] = np.cumsum(elem_counts * 2).astype(np.int32)
