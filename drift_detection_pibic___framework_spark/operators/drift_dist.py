@@ -149,7 +149,8 @@ def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
                  n_bins: int = 40,
                  baseline_parts=DEFAULT_BASELINE_PARTS,
                  baseline: DataFrame = None,
-                 round_to: int = 6) -> DataFrame:
+                 round_to: int = 6,
+                 _hist: DataFrame = None) -> DataFrame:
     """Per-partition PSI and binned-KS vs the baseline partitions.
 
     PSI = sum over bins of (p - b) * ln(p / b) with EPS-smoothed proportions
@@ -158,8 +159,11 @@ def drift_scores(clips: DataFrame, col: str = "dur_ms", width: float = 100.0,
 
     ``baseline`` lets the caller source the baseline window from a different
     DataFrame than the partitions under check (single-partition validation
-    still compares against the designated baseline partitions on disk)."""
-    hist = _histogram_once(clips, col, width, n_bins)
+    still compares against the designated baseline partitions on disk).
+    ``_hist`` (internal) lets a composite caller supply the already
+    materialized (part, bin) counts so the raw scan runs once."""
+    hist = _hist if _hist is not None else _histogram_once(
+        clips, col, width, n_bins)
     base_src = histogram(baseline, col, width, n_bins) if baseline is not None else hist
     base = (base_src.filter(F.col("part").isin(list(baseline_parts)))
             .groupBy("bin").agg(F.sum("cnt").alias("bcnt")))
@@ -227,10 +231,13 @@ def drift_scores_with_p(clips: DataFrame, col: str = "dur_ms",
     """``drift_scores`` plus the binned-KS asymptotic p-value per
     partition (SURVEY §7.2 step 4's "with asymptotic p-value").  Sample
     sizes ride the same single aggregation pass (per-partition and
-    baseline row counts over the binned values)."""
+    baseline row counts over the binned values).  The (part, bin) counts
+    are materialized ONCE and shared with ``drift_scores`` — previously
+    this variant rebuilt its own lazy histogram beside the checkpointed
+    one, costing a second full scan+aggregate per evaluation."""
+    hist = _histogram_once(clips, col, width, n_bins)
     scores = drift_scores(clips, col, width, n_bins, baseline_parts,
-                          baseline, round_to)
-    hist = histogram(clips, col, width, n_bins)
+                          baseline, round_to, _hist=hist)
     base_src = (histogram(baseline, col, width, n_bins)
                 if baseline is not None else hist)
     totals = hist.groupBy("part").agg(F.sum("cnt").alias("n_part"))

@@ -214,6 +214,18 @@ def test_ks_pvalue_matches_scipy_style_oracle(spark, clips):
         assert rows[p].ks_p > 0.2, p
 
 
+def test_ks_pvalue_reuses_one_histogram(spark, clips):
+    """drift_scores_with_p must derive scores AND sample sizes from the one
+    materialized (part, bin) histogram: with no separate baseline frame its
+    whole plan reads the checkpointed counts, never the raw parquet again
+    (optimization round: the p-value variant used to rebuild its own lazy
+    histogram beside the checkpointed one — a second full scan)."""
+    plan = drift_dist.drift_scores_with_p(clips, "dur_ms") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()
+    assert "ExistingRDD" in plan
+
+
 def test_emd_against_numpy_oracle(spark, clips, duck):
     """Binned Wasserstein-1 must match width * sum|CDF gap| recomputed in
     numpy, separate drifted partitions from clean ones, and read roughly
